@@ -1,0 +1,478 @@
+"""The wave-structured distributed crawl engine (SURVEY.md §7.0).
+
+Replaces the reference's single-threaded pull loop (crawler.py:757-899) with
+a BFS level-synchronous dataflow that preserves the FIFO-BFS ordering
+contract exactly (priority = (depth, discovery seq); politeness deferrals
+carry seq forward):
+
+    frontier_wave_k  ──sort by corpus part──▶ map_batches(CorpusFetcher)
+      ├─ pages rows  → write parquet pages/wave=k  (+ per-part lineage)
+      ├─ edges       → write parquet links/wave=k
+      └─ candidates  → map_batches(Canonicalizer: clean/sha1/robots filter)
+           → groupby(sha1).map_groups(first by (parent_seq, pos))   # shuffle
+           → SeenShard.admit() per hash partition (exactly-once test-and-set)
+           → trap gating (signature running counts, threshold reject)
+           → seq assignment → frontier_wave_{k+1}
+
+Every wave commits atomically: outputs + admitted-keys file + frontier file
+are written first, the lineage record last (tmp+rename). Resume replays
+committed waves' admitted files into the shard actors and continues from the
+last committed frontier — the URL-seen set after kill+resume is identical to
+an uninterrupted run (north rule; unlike the reference's lossy 1,000-entry
+checkpoint queue, crawler.py:695).
+
+Driver-held state is O(frontier-wave + signature cardinality) only: the seen
+set lives in the shard actors, pages/links stream to parquet. Scale notes
+inline where the sandbox implementation chooses the small-scale variant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..canonical import (norm_url, shard_of, url_host, url_sha1,
+                         url_signature)
+from ..policy import CrawlConfig, host_cap, should_crawl
+from ..sources.robots import RobotsRules, robots_map
+from ..state.filters import sha1s_to_u64
+from ..state.seen_filter import make_shards
+from .fetch_actor import CorpusFetcher
+
+CANDIDATE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("depth", pa.int32()),
+    ("parent_seq", pa.int64()),
+    ("pos", pa.int32()),
+    ("host", pa.string()),
+    ("sha1", pa.string()),
+    ("part", pa.int32()),
+    ("shard", pa.int32()),
+    ("signature", pa.string()),
+])
+
+FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "sha1", "part"]
+
+
+class Canonicalizer:
+    """North-rule canonicalization stage: actor-pool map_batches that cleans
+    candidate URLs, applies the should-crawl predicate (domain policy,
+    extensions, patterns, robots — robots rules broadcast via ray.put and
+    materialized once per actor) and computes sha1 / shard / trap signature.
+    """
+
+    def __init__(self, cfg_ref, robots_ref, num_parts: int):
+        self.cfg: CrawlConfig = ray.get(cfg_ref)
+        self.robots: dict[str, RobotsRules] | None = ray.get(robots_ref)
+        self.num_parts = num_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        pseqs = batch.column("parent_seq").to_pylist()
+        poss = batch.column("pos").to_pylist()
+        cfg, robots = self.cfg, self.robots
+        rows = []
+        for u, d, ps, po in zip(urls, depths, pseqs, poss):
+            if not should_crawl(u, cfg, robots):
+                continue
+            sha = url_sha1(u)
+            rows.append({
+                "url": u, "depth": d, "parent_seq": ps, "pos": po,
+                "host": url_host(u), "sha1": sha,
+                "part": shard_of(sha, self.num_parts),
+                "shard": shard_of(sha, cfg.num_shards),
+                "signature": url_signature(u),
+            })
+        if not rows:
+            return CANDIDATE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
+
+
+def _explode_edges(batch: pa.Table) -> pa.Table:
+    """Fetched batch → candidate rows (one per edge), carrying discovery
+    order (parent_seq, pos) for deterministic admission."""
+    seqs = batch.column("seq").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    edges_col = batch.column("edges").to_pylist()
+    urls, cdepths, pseqs, poss = [], [], [], []
+    for seq, depth, edges in zip(seqs, depths, edges_col):
+        for e in edges or []:
+            urls.append(e["target_url"])
+            cdepths.append(depth + 1)
+            pseqs.append(seq)
+            poss.append(e["pos"])
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "depth": pa.array(cdepths, pa.int32()),
+        "parent_seq": pa.array(pseqs, pa.int64()),
+        "pos": pa.array(poss, pa.int32()),
+    })
+
+
+def _edges_to_links(batch: pa.Table) -> pa.Table:
+    """Fetched batch → links table rows (S9 sink shape)."""
+    edges_col = batch.column("edges").to_pylist()
+    rows = [e for edges in edges_col for e in (edges or [])]
+    if not rows:
+        from ..stages.parse import EDGES_SCHEMA
+        return EDGES_SCHEMA.empty_table()
+    from ..stages.parse import EDGES_SCHEMA
+    return pa.Table.from_pylist(rows, schema=EDGES_SCHEMA)
+
+
+class WaveCrawler:
+    """Drives the crawl; owns shard actors and the per-wave driver state."""
+
+    def __init__(self, corpus_dir: str, out_dir: str, cfg: CrawlConfig,
+                 fetch_concurrency: int = 4, fetch_batch_size: int = 1024,
+                 exact_seen: bool = True):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.cfg = cfg
+        with open(os.path.join(corpus_dir, "config.json")) as f:
+            self.num_parts = json.load(f)["num_parts"]
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.exact_seen = exact_seen
+        robots_tbl = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
+        self.robots = robots_map(robots_tbl.to_pylist())
+        self.shards = make_shards(cfg.num_shards, exact=exact_seen)
+        self._cfg_ref = ray.put(cfg)
+        self._robots_ref = ray.put(self.robots if cfg.respect_robots else None)
+        # driver state
+        self.next_seq = 0
+        self.fetched_total = 0
+        self.trap_counts: dict[str, int] = {}
+        self.wave = 0
+
+    # ------------------------------------------------------------ paths
+    def _p(self, *parts) -> str:
+        return os.path.join(self.out_dir, *parts)
+
+    def _lineage_path(self, wave) -> str:
+        return self._p("lineage", f"wave-{wave}.json")
+
+    # ------------------------------------------------------------ start
+    def start(self, seeds: list[str]) -> None:
+        for d in ("pages", "links", "admitted", "frontier", "lineage"):
+            os.makedirs(self._p(d), exist_ok=True)
+        with open(self._p("crawl_config.json"), "w") as f:
+            json.dump({"base_domain": self.cfg.base_domain,
+                       "max_depth": self.cfg.max_depth,
+                       "max_urls": self.cfg.max_urls,
+                       "num_shards": self.cfg.num_shards,
+                       "trap_threshold": self.cfg.trap_threshold,
+                       "per_host_wave_cap": self.cfg.per_host_wave_cap}, f)
+        rows = []
+        for u in seeds:
+            sha = url_sha1(u)
+            sig = url_signature(u)
+            if self.trap_counts.get(sig, 0) >= self.cfg.trap_threshold:
+                continue
+            admitted = ray.get(
+                self.shards[shard_of(sha, self.cfg.num_shards)].admit.remote([sha]))
+            if not admitted[0]:
+                continue
+            self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
+            rows.append({"url": u, "depth": 0, "seq": self.next_seq,
+                         "wave": -1, "host": url_host(u), "sha1": sha,
+                         "part": shard_of(sha, self.num_parts),
+                         "signature": sig})
+            self.next_seq += 1
+        tbl = pa.Table.from_pylist(rows) if rows else None
+        if tbl is not None:
+            pq.write_table(tbl, self._p("admitted", "init.parquet"))
+            front = tbl.select([c for c in FRONTIER_COLS if c != "wave"]) \
+                       .append_column("wave", pa.array([0] * len(rows), pa.int32()))
+            pq.write_table(front, self._p("frontier", "wave-00000.parquet"))
+        self._commit("init", {"next_seq": self.next_seq, "fetched_total": 0,
+                              "wave": 0})
+
+    def _commit(self, tag, payload: dict) -> None:
+        tmp = self._lineage_path(tag) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._lineage_path(tag))
+
+    # ----------------------------------------------------------- resume
+    def resume(self) -> int:
+        """Restore from the last committed wave; returns the next wave id.
+        Partial (uncommitted) wave outputs are discarded — admission inserts
+        are idempotent so replaying the wave is exactly-once in effect."""
+        if not os.path.exists(self._lineage_path("init")):
+            raise FileNotFoundError("no committed init state in " + self.out_dir)
+        waves = []
+        for f in os.listdir(self._p("lineage")):
+            if f.startswith("wave-") and f.endswith(".json"):
+                tag = f[len("wave-"):-len(".json")]
+                if tag.isdigit():
+                    waves.append(int(tag))
+        last = max(waves) if waves else -1
+        state_file = (self._lineage_path(last) if last >= 0
+                      else self._lineage_path("init"))
+        with open(state_file) as f:
+            st = json.load(f)
+        self.next_seq = st["next_seq"]
+        self.fetched_total = st["fetched_total"] if "fetched_total" in st else 0
+        self.wave = last + 1
+        # discard partial outputs beyond the last commit
+        for k in range(self.wave, self.wave + 3):
+            for d in (self._p("pages", f"wave={k}"),
+                      self._p("links", f"wave={k}")):
+                shutil.rmtree(d, ignore_errors=True)
+            for fpath in (self._p("admitted", f"wave-{k:05d}.parquet"),
+                          self._p("frontier", f"wave-{k + 1:05d}.parquet")):
+                if os.path.exists(fpath):
+                    os.remove(fpath)
+        # replay admitted keys into shard actors + rebuild trap counts
+        admitted_files = [self._p("admitted", "init.parquet")] + [
+            self._p("admitted", f"wave-{k:05d}.parquet") for k in range(self.wave)]
+        self.trap_counts = {}
+        per_shard: dict[int, list] = {i: [] for i in range(self.cfg.num_shards)}
+        for fpath in admitted_files:
+            if not os.path.exists(fpath):
+                continue
+            tbl = pq.read_table(fpath, columns=["sha1", "signature"])
+            for sha, sig in zip(tbl.column("sha1").to_pylist(),
+                                tbl.column("signature").to_pylist()):
+                per_shard[shard_of(sha, self.cfg.num_shards)].append(sha)
+                self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
+        futs = [self.shards[i].add_bulk.remote(sha1s_to_u64(v))
+                for i, v in per_shard.items() if v]
+        if futs:
+            ray.get(futs)
+        return self.wave
+
+    # ------------------------------------------------------------ waves
+    def _load_frontier(self, wave: int) -> pa.Table | None:
+        fp = self._p("frontier", f"wave-{wave:05d}.parquet")
+        if not os.path.exists(fp):
+            return None
+        return pq.read_table(fp)
+
+    def run_wave(self) -> dict | None:
+        """Execute one wave; returns wave metrics or None when done."""
+        k = self.wave
+        frontier = self._load_frontier(k)
+        if frontier is None or frontier.num_rows == 0:
+            return None
+        t0 = time.perf_counter()
+        rows = frontier.to_pylist()
+        rows.sort(key=lambda r: (r["depth"], r["seq"]))
+        fetchable = [r for r in rows if r["depth"] <= self.cfg.max_depth]
+        # politeness gating (T2/T3): per-host wave budget, robots crawl-delay
+        gated, deferred = [], []
+        if self.cfg.per_host_wave_cap > 0:
+            used: dict[str, int] = {}
+            caps: dict[str, int] = {}
+            for r in fetchable:
+                h = r["host"]
+                if h not in caps:
+                    caps[h] = host_cap(h, self.cfg, self.robots)
+                if used.get(h, 0) < caps[h]:
+                    used[h] = used.get(h, 0) + 1
+                    gated.append(r)
+                else:
+                    deferred.append(r)
+        else:
+            gated = fetchable
+        remaining = self.cfg.max_urls - self.fetched_total
+        stopped = False
+        if remaining <= 0:
+            return None
+        if len(gated) > remaining:
+            gated, stopped = gated[:remaining], True
+            deferred = []
+        if not gated:
+            # everything deferred (pathological cap); avoid a livelock by
+            # promoting one row
+            if deferred:
+                gated, deferred = deferred[:1], deferred[1:]
+            else:
+                return None
+        for r in gated:
+            r["wave"] = k
+
+        # --------- fetch + parse (actor-pool map_batches, partition-affine)
+        gated_sorted = sorted(gated, key=lambda r: r["part"])
+        frontier_tbl = pa.Table.from_pylist(gated_sorted)
+        n_gated = len(gated_sorted)
+        fetched = (
+            rd.from_arrow(frontier_tbl)
+            .map_batches(
+                CorpusFetcher,
+                fn_constructor_args=(self.corpus_dir, self.cfg.base_domain,
+                                     self.num_parts),
+                batch_format="pyarrow",
+                batch_size=min(self.fetch_batch_size,
+                               max(32, n_gated // max(1, self.fetch_concurrency))),
+                concurrency=self.fetch_concurrency,
+                num_cpus=1,
+            )
+            .materialize()          # wave-bounded; forked into 3 consumers
+        )
+        # pages + links sinks (S9): partitioned per wave → resumable
+        fetched.drop_columns(["edges"]).write_parquet(
+            self._p("pages", f"wave={k}"))
+        fetched.map_batches(_edges_to_links, batch_format="pyarrow") \
+               .write_parquet(self._p("links", f"wave={k}"))
+
+        # --------- frontier expansion: canonicalize → dedup → admit → trap
+        candidates = (
+            fetched
+            .map_batches(_explode_edges, batch_format="pyarrow")
+            .map_batches(
+                Canonicalizer,
+                fn_constructor_args=(self._cfg_ref, self._robots_ref,
+                                     self.num_parts),
+                batch_format="pyarrow",
+                concurrency=2,
+                num_cpus=1,
+            )
+        )
+        # within-wave dedup: first sighting by (parent_seq, pos) — the
+        # hash-partitioned groupby-aggregate of the north rule. Deterministic
+        # regardless of task scheduling.
+        deduped = candidates.groupby("sha1").map_groups(
+            lambda df: df.sort_values(["parent_seq", "pos"]).head(1),
+            batch_format="pandas",
+        )
+        cand_tbl = _ds_to_table(deduped, CANDIDATE_SCHEMA)
+        n_candidates = cand_tbl.num_rows
+
+        # admission via shard actors (exactly-once test-and-set), parallel
+        # across shards. Driver only touches frontier-sized data here.
+        cand_rows = cand_tbl.to_pylist()
+        cand_rows.sort(key=lambda r: (r["parent_seq"], r["pos"]))
+        # two-phase admission: (1) membership probe against shard actors,
+        # (2) trap gate in discovery order — trap-rejected URLs must NOT
+        # enter the seen set (reference link_manager.py:87-107 checks the
+        # trap before adding) — (3) bulk insert of the survivors. The
+        # driver is the sole writer within a wave, so the phases compose
+        # atomically; replay after a crash re-runs all three idempotently.
+        by_shard: dict[int, list[int]] = {}
+        for i, r in enumerate(cand_rows):
+            by_shard.setdefault(r["shard"], []).append(i)
+        is_new = [False] * len(cand_rows)
+        futs = {s: self.shards[s].contains.remote(
+                    [cand_rows[i]["sha1"] for i in idxs])
+                for s, idxs in by_shard.items()}
+        for s, idxs in by_shard.items():
+            for i, present in zip(idxs, ray.get(futs[s])):
+                is_new[i] = not present
+        # trap gating in discovery order (T4/A5 running signature counts)
+        admitted_rows, trap_rejected = [], 0
+        for i, r in enumerate(cand_rows):
+            if not is_new[i]:
+                continue
+            c = self.trap_counts.get(r["signature"], 0)
+            if c >= self.cfg.trap_threshold:
+                trap_rejected += 1
+                continue
+            self.trap_counts[r["signature"]] = c + 1
+            r["seq"] = self.next_seq
+            self.next_seq += 1
+            admitted_rows.append(r)
+        add_by_shard: dict[int, list[str]] = {}
+        for r in admitted_rows:
+            add_by_shard.setdefault(r["shard"], []).append(r["sha1"])
+        add_futs = [self.shards[s].add_bulk.remote(sha1s_to_u64(v))
+                    for s, v in add_by_shard.items()]
+        if add_futs:
+            ray.get(add_futs)
+
+        # --------- checkpoint: admitted keys, next frontier, lineage last
+        if admitted_rows:
+            adm_tbl = pa.Table.from_pylist([
+                {"url": r["url"], "depth": r["depth"], "seq": r["seq"],
+                 "wave": k, "host": r["host"], "sha1": r["sha1"],
+                 "part": r["part"], "signature": r["signature"]}
+                for r in admitted_rows])
+            pq.write_table(adm_tbl,
+                           self._p("admitted", f"wave-{k:05d}.parquet"))
+        next_rows = ([] if stopped else
+                     deferred + [{c: r.get(c, k + 1) for c in FRONTIER_COLS}
+                                 for r in admitted_rows])
+        for r in next_rows:
+            r["wave"] = k + 1
+        if next_rows and not stopped:
+            nf = pa.Table.from_pylist(next_rows)
+            pq.write_table(nf, self._p("frontier",
+                                       f"wave-{k + 1:05d}.parquet"))
+        self.fetched_total += n_gated
+        elapsed = time.perf_counter() - t0
+        by_part: dict[int, int] = {}
+        for r in gated_sorted:
+            by_part[r["part"]] = by_part.get(r["part"], 0) + 1
+        metrics = {
+            "wave": k, "fetched": n_gated, "candidates": n_candidates,
+            "admitted": len(admitted_rows), "deferred": len(deferred),
+            "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
+            "next_seq": self.next_seq, "fetched_total": self.fetched_total,
+            "by_part": {str(p): c for p, c in sorted(by_part.items())},
+            "stopped": stopped,
+        }
+        self._commit(k, metrics)
+        self.wave += 1
+        if stopped:
+            return dict(metrics, done=True)
+        return metrics
+
+    def run(self, seeds: list[str] | None = None,
+            resume: bool = False, max_waves: int = 10_000) -> dict:
+        if resume:
+            self.resume()
+        else:
+            if os.path.exists(self.out_dir):
+                shutil.rmtree(self.out_dir)
+            self.start(seeds or [])
+        t0 = time.perf_counter()
+        waves = []
+        for _ in range(max_waves):
+            m = self.run_wave()
+            if m is None:
+                break
+            waves.append(m)
+            if m.get("done"):
+                break
+        return {
+            "fetched_total": self.fetched_total,
+            "waves": waves,
+            "num_waves": len(waves),
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+            "out_dir": self.out_dir,
+        }
+
+    # -------------------------------------------------------- inspection
+    def seen_sha1s(self) -> set[int]:
+        """Union of all shard key sets (exact mode; tests only)."""
+        parts = ray.get([s.snapshot_keys.remote() for s in self.shards])
+        out: set[int] = set()
+        for p in parts:
+            out.update(p.tolist())
+        return out
+
+
+def _ds_to_table(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a small Dataset to one Arrow table with a stable schema."""
+    tbls = [pa.Table.from_pandas(ds.to_pandas(), schema=schema,
+                                 preserve_index=False)] \
+        if ds.count() else [schema.empty_table()]
+    return pa.concat_tables(tbls)
+
+
+def crawl_paths(out_dir: str) -> dict[str, str]:
+    return {"pages": os.path.join(out_dir, "pages"),
+            "links": os.path.join(out_dir, "links"),
+            "admitted": os.path.join(out_dir, "admitted"),
+            "frontier": os.path.join(out_dir, "frontier"),
+            "lineage": os.path.join(out_dir, "lineage")}

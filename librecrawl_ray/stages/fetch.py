@@ -1,0 +1,52 @@
+"""Fetch semantics shared by the oracle and the distributed engine.
+
+``fetch_and_parse`` is the spec for one URL: resolve the corpus redirect
+chain (policy.resolve_fetch), parse the final document's spans (parse stage)
+and assemble the full pages row (reference row template crawler.py:982-1031)
+plus its edge rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..canonical import strip_www, url_host
+from ..policy import FetchOutcome, resolve_fetch
+from ..schema import PAGES_SCHEMA
+from .parse import EDGES_SCHEMA, extract_edges, parse_doc
+
+# nested edges column carried on fetched rows until the links explode stage
+EDGE_ITEM = pa.struct([(f.name, f.type) for f in EDGES_SCHEMA])
+FETCHED_SCHEMA = pa.schema(list(PAGES_SCHEMA) + [
+    pa.field("edges", pa.list_(EDGE_ITEM)),
+])
+
+
+def fetch_and_parse(url: str, depth: int, seq: int, wave: int,
+                    lookup, base_domain: str) -> dict:
+    """Fetch one frontier URL against the corpus → full pages row dict with
+    nested ``edges``. ``lookup(url) -> row dict | None`` by normalized URL."""
+    out: FetchOutcome = resolve_fetch(url, lookup)
+    doc = out.doc
+    spans = (doc.get("spans") or []) if doc else []
+    parsed = parse_doc(url, spans, base_domain)
+    edges = extract_edges(url, spans, base_domain)
+    return {
+        "url": url,
+        "final_url": out.final_url,
+        "status_code": out.status_code,
+        "content_type": (doc.get("content_type") if doc else "") or "",
+        "size": int(doc.get("size") or 0) if doc else 0,
+        "response_time": float(doc.get("response_time_ms") or 0.0) if doc else 0.0,
+        "is_internal": strip_www(url_host(url)) == strip_www(base_domain.lower()),
+        "depth": depth, "seq": seq, "wave": wave,
+        "redirect_chain": out.redirect_chain,
+        "redirects": out.redirects,
+        "redirect_count": out.redirect_count,
+        "has_redirect_loop": out.has_redirect_loop,
+        "response_headers": (list(doc.get("headers") or []) if doc else []),
+        "x_robots_tag": (doc.get("x_robots_tag") if doc else "") or "",
+        "spans": spans,
+        "edges": edges,
+        **parsed,
+    }

@@ -1,0 +1,279 @@
+"""Parse stage: span sequences → the LibreCrawl SEO extraction surface.
+
+Re-expresses the reference's BeautifulSoup extractors
+(/root/reference/src/core/seo_extractor.py:10-301, M10–M19 in SURVEY.md §2.2)
+as batch functions over the corpus span model. Each function takes/returns a
+``pyarrow.Table`` so it can run as ``ds.map_batches(parse_documents_batch,
+batch_format="pyarrow")`` or be fused into the fetch task.
+
+The unit of vectorization is the *document*: span scanning is a Python loop
+per doc (the same per-document CPU cost the reference pays in BeautifulSoup,
+minus the HTML tokenizer), parallelized across batches/cores by Ray Data.
+All limits mirror the reference: h2/h3 ≤ 10 (seo_extractor.py:36-39),
+images ≤ 20 (:197), anchor text ≤ 100 chars (link_manager.py:130).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ..canonical import (classify_scope, clean_url, is_internal, strip_www,
+                         url_host)
+
+_WORD_RE = re.compile(r"\w+")
+_GA4_RE = re.compile(r"\bG-[A-Z0-9]{10}\b")
+_GTM_RE = re.compile(r"\bGTM-[A-Z0-9]+\b")
+_HEADING_KINDS = {f"h{i}": i for i in range(1, 7)}
+
+# meta names promoted to dedicated columns (seo_extractor.py:95-113)
+_PROMOTED_META = ("viewport", "author", "keywords", "generator",
+                  "theme_color", "charset", "lang")
+
+
+def _split_kv(text: str) -> tuple[str, str]:
+    k, _, v = text.partition("=")
+    return k, v
+
+
+def absolutize_image_src(src: str, page_url: str) -> str:
+    """Reference image-src absolutization (seo_extractor.py:203-209):
+    ``//`` → https, ``/`` → host-join, else urljoin."""
+    if src.startswith("//"):
+        return "https:" + src
+    if src.startswith("/"):
+        return f"https://{url_host(page_url)}{src}"
+    return clean_url(src, page_url) if not src.startswith("http") else src
+
+
+def parse_doc(url: str, spans: list[dict],
+              base_domain: str | None = None) -> dict:
+    """Parse one document's span list into the pages-row field dict.
+
+    ``base_domain`` is the crawl's base domain for internal/external link
+    counting (crawler.py base_domain semantics); defaults to the page's own
+    host for standalone parsing."""
+    title = None
+    meta_description = None
+    h1_list: list[str] = []
+    h2: list[str] = []
+    h3: list[str] = []
+    headings: list[dict] = []
+    word_count = 0
+    canonical_url = ""
+    meta_tags: dict[str, str] = {}
+    og: dict[str, str] = {}
+    tw: dict[str, str] = {}
+    robots_meta = ""
+    hreflang: list[dict] = []
+    images: list[dict] = []
+    json_ld: list[str] = []
+    internal_links = 0
+    external_links = 0
+    ga4 = ""
+    gtm = ""
+    if base_domain is None:
+        base_domain = url_host(url)
+
+    for s in spans:
+        kind = s["kind"]
+        text = s["text"]
+        mref = s["media_ref"]
+        if kind in _HEADING_KINDS:
+            lvl = _HEADING_KINDS[kind]
+            headings.append({"level": lvl, "text": text})
+            if lvl == 1:
+                h1_list.append(text)
+            elif lvl == 2 and len(h2) < 10:
+                h2.append(text)
+            elif lvl == 3 and len(h3) < 10:
+                h3.append(text)
+        elif kind == "text":
+            word_count += len(_WORD_RE.findall(text))
+            if not ga4:
+                m = _GA4_RE.search(text)
+                if m:
+                    ga4 = m.group(0)
+            if not gtm:
+                m = _GTM_RE.search(text)
+                if m:
+                    gtm = m.group(0)
+        elif kind.startswith("link"):
+            target = clean_url(mref, url)
+            if is_internal(target, base_domain):
+                internal_links += 1
+            else:
+                external_links += 1
+        elif kind == "title":
+            if title is None:
+                title = text
+        elif kind == "meta_description":
+            if meta_description is None:
+                meta_description = text
+        elif kind == "canonical":
+            if not canonical_url:
+                canonical_url = mref
+        elif kind == "meta":
+            k, v = _split_kv(text)
+            if k not in meta_tags:
+                meta_tags[k] = v
+        elif kind == "meta_robots":
+            if not robots_meta:
+                robots_meta = text
+        elif kind == "og":
+            k, v = _split_kv(text)
+            og[k] = v
+        elif kind == "twitter":
+            k, v = _split_kv(text)
+            tw[k] = v
+        elif kind == "hreflang":
+            hreflang.append({"lang": text, "url": mref})
+        elif kind == "image":
+            if len(images) < 20:
+                images.append({
+                    "src": absolutize_image_src(mref, url),
+                    "alt": text,
+                    # fixture spans carry no dimensions; empty = missing (I10)
+                    "width": "", "height": "",
+                })
+        elif kind == "json_ld":
+            try:
+                json.loads(text)
+                json_ld.append(text)
+            except (ValueError, TypeError):
+                pass  # reference skips invalid JSON-LD (seo_extractor.py:146-148)
+
+    return {
+        "title": title or "",
+        "meta_description": meta_description or "",
+        "h1": h1_list[0] if h1_list else "",
+        "h1_list": h1_list,
+        "h2": h2,
+        "h3": h3,
+        "headings_structure": headings,
+        "word_count": word_count,
+        "canonical_url": canonical_url,
+        "lang": meta_tags.get("lang", ""),
+        "viewport": meta_tags.get("viewport", ""),
+        "robots": robots_meta,
+        "author": meta_tags.get("author", ""),
+        "keywords": meta_tags.get("keywords", ""),
+        "generator": meta_tags.get("generator", ""),
+        "theme_color": meta_tags.get("theme_color", ""),
+        "charset": meta_tags.get("charset", ""),
+        "meta_tags": list(meta_tags.items()),
+        "og_tags": list(og.items()),
+        "twitter_tags": list(tw.items()),
+        "hreflang": hreflang,
+        "images": images,
+        "internal_links": internal_links,
+        "external_links": external_links,
+        "json_ld": json_ld,
+        "analytics_ga4_id": ga4,
+        "analytics_gtm_id": gtm,
+    }
+
+
+_PARSE_FIELDS = [
+    ("title", pa.string()), ("meta_description", pa.string()),
+    ("h1", pa.string()), ("h1_list", pa.list_(pa.string())),
+    ("h2", pa.list_(pa.string())), ("h3", pa.list_(pa.string())),
+    ("headings_structure",
+     pa.list_(pa.struct([("level", pa.int32()), ("text", pa.string())]))),
+    ("word_count", pa.int64()), ("canonical_url", pa.string()),
+    ("lang", pa.string()), ("viewport", pa.string()), ("robots", pa.string()),
+    ("author", pa.string()), ("keywords", pa.string()),
+    ("generator", pa.string()), ("theme_color", pa.string()),
+    ("charset", pa.string()),
+    ("meta_tags", pa.map_(pa.string(), pa.string())),
+    ("og_tags", pa.map_(pa.string(), pa.string())),
+    ("twitter_tags", pa.map_(pa.string(), pa.string())),
+    ("hreflang",
+     pa.list_(pa.struct([("lang", pa.string()), ("url", pa.string())]))),
+    ("images",
+     pa.list_(pa.struct([("src", pa.string()), ("alt", pa.string()),
+                         ("width", pa.string()), ("height", pa.string())]))),
+    ("internal_links", pa.int64()), ("external_links", pa.int64()),
+    ("json_ld", pa.list_(pa.string())),
+    ("analytics_ga4_id", pa.string()), ("analytics_gtm_id", pa.string()),
+]
+PARSE_SCHEMA = pa.schema(_PARSE_FIELDS)
+
+
+def parse_documents_batch(batch: pa.Table,
+                          base_domain: str | None = None) -> pa.Table:
+    """map_batches body: documents batch (doc_id, spans, …) → parsed columns
+    appended. Keeps every input column (incl. the spans passthrough needed
+    for the per-row span-sequence invariant)."""
+    urls = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    parsed = [parse_doc(u, s or [], base_domain) for u, s in zip(urls, spans_col)]
+    out = batch
+    for name, typ in _PARSE_FIELDS:
+        out = out.append_column(
+            name, pa.array([p[name] for p in parsed], type=typ))
+    return out
+
+
+# ------------------------------------------------------------------- edges
+
+def extract_edges(url: str, spans: list[dict], base_domain: str,
+                  dedup: set | None = None) -> list[dict]:
+    """Link spans → edge rows (link_manager.py:120-195 semantics):
+    anchor text truncated to 100 chars, (source,target) exact-deduped with
+    first-wins, placement/nofollow from the span kind flags."""
+    out = []
+    seen = dedup if dedup is not None else set()
+    for pos, s in enumerate(spans):
+        kind = s["kind"]
+        if not kind.startswith("link"):
+            continue
+        flags = kind.split("|")
+        target = clean_url(s["media_ref"], url)
+        key = (url, target)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append({
+            "source_url": url,
+            "target_url": target,
+            "anchor_text": s["text"][:100],
+            "is_internal": is_internal(target, base_domain),
+            "target_domain": strip_www(url_host(target)),
+            "target_status": None,
+            "placement": flags[1] if len(flags) > 1 else "body",
+            "nofollow": "nofollow" in flags,
+            "blank": "blank" in flags,
+            "noopener": "noopener" in flags,
+            "scope": classify_scope(target, base_domain),
+            "pos": pos,
+        })
+    return out
+
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("source_url", pa.string()), ("target_url", pa.string()),
+        ("anchor_text", pa.string()), ("is_internal", pa.bool_()),
+        ("target_domain", pa.string()), ("target_status", pa.int32()),
+        ("placement", pa.string()), ("nofollow", pa.bool_()),
+        ("blank", pa.bool_()), ("noopener", pa.bool_()),
+        ("scope", pa.string()), ("pos", pa.int32()),
+    ]
+)
+
+
+def make_edge_extractor(base_domain: str):
+    """Returns a map_batches body (documents batch → edge rows table)."""
+    def extract_edges_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        rows: list[dict] = []
+        for u, s in zip(urls, spans_col):
+            rows.extend(extract_edges(u, s or [], base_domain))
+        if not rows:
+            return EDGES_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=EDGES_SCHEMA)
+    return extract_edges_batch
