@@ -1,44 +1,209 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in librecrawl_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` spans the engine's operator surface (SURVEY.md §2):
+relational core over the driver testdata tables, text-analysis / dedup /
+similarity training-data ops, and the crawl engine over this repo's own
+deterministic corpus in the BASELINE.json input_hint shape (generated
+idempotently under /tmp/graft_corpus; the oracle SQL reads the same parquet
+via read_parquet so DuckDB verifies identical inputs).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full wave-structured crawl of the t1 corpus
+    (fetch → parse → dedup → frontier), returning the pages crawl order."""
+    from librecrawl_ray.pipelines.crawl_queries import full_crawl_pages
+    return full_crawl_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from librecrawl_ray.functions import dedup as D
+    from librecrawl_ray.functions import similarity as S
+    from librecrawl_ray.functions import text as T
+    from librecrawl_ray.pipelines import crawl_queries as C
+    from librecrawl_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import numpy as np
+    import ray.data as rd
+
+    def _docs(sf_dir):
+        return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _emb(sf_dir):
+        return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def q_text_annotations(sf_dir):
+        out = _docs(sf_dir).map_batches(
+            T.annotate_batch, batch_format="pyarrow"
+        ).select_columns(["doc_id", "tokens", "quality", "lang_pred",
+                          "fingerprint"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_lang_quality_summary(sf_dir):
+        from ray.data.aggregate import Count, Sum
+        out = (_docs(sf_dir)
+               .map_batches(T.annotate_batch, batch_format="pyarrow")
+               .groupby("lang_pred")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("tokens", alias_name="total_tokens"))
+               .to_pandas())
+        return out.sort_values("lang_pred").reset_index(drop=True)
+
+    def q_exact_dedup(sf_dir):
+        out = D.exact_dedup_groups(_docs(sf_dir)).to_pandas()
+        return out.sort_values("fingerprint").reset_index(drop=True)
+
+    def q_knn_bruteforce(sf_dir):
+        ds = _emb(sf_dir)
+        q = np.asarray(
+            ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+            dtype=np.float64)
+        return S.topk_bruteforce(ds, q, k=10).to_pandas()
+
+    def q_embedding_neardup(sf_dir):
+        return D.embedding_neardup_pairs(
+            _emb(sf_dir), threshold=0.9, block_col="label").to_pandas()
+
+    def q_minhash_lsh(sf_dir):
+        return D.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+
+    def q_simhash(sf_dir):
+        return D.simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
+
+    def q_top_keywords(sf_dir):
+        from librecrawl_ray.functions.keywords import top_keywords
+        return top_keywords(_docs(sf_dir), k=20)
+
+    def q_ivf_topk(sf_dir):
+        ds = _emb(sf_dir)
+        q = np.asarray(
+            ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+            dtype=np.float64)
+        return S.ivf_topk(ds, q, k=10, num_centroids=8, nprobe=8).to_pandas()
+
+    return {
+        # relational core
+        "pricing_summary": R.pricing_summary,
+        "top_customers": R.top_customers,
+        "region_customer_counts": R.region_customer_counts,
+        "order_priority_counts": R.order_priority_counts,
+        "events_daily": R.events_daily,
+        "events_sessionize": R.events_sessionize,
+        "top_users_by_value": R.top_users_by_value,
+        "lineitem_top100": R.lineitem_top100,
+        "distinct_segments": R.distinct_segments,
+        "nationkeys_union": R.nationkeys_union,
+        "part_brand_stats": R.part_brand_stats,
+        # text / training-data ops
+        "text_annotations": q_text_annotations,
+        "lang_quality_summary": q_lang_quality_summary,
+        "exact_dedup": q_exact_dedup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_pairs": q_simhash,
+        "ivf_topk": q_ivf_topk,
+        "top_keywords": q_top_keywords,
+        # crawl engine over the input_hint corpus
+        "crawl_parse": C.crawl_parse,
+        "crawl_edges": C.crawl_edges,
+        "crawl_inlinks": C.crawl_inlinks,
+        "crawl_status_counts": C.crawl_status_counts,
+        "crawl_host_sizes": C.crawl_host_sizes,
+        "crawl_full": C.full_crawl_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from librecrawl_ray.functions import text as T
+    from librecrawl_ray.pipelines import crawl_queries as C
+    from librecrawl_ray.pipelines import relational as R
+
+    # the corpus the crawl oracles read must exist before DuckDB runs;
+    # generation is idempotent and seeded (same bytes every call)
+    cp = {}
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if os.path.isdir(d):
+            C.ensure_corpus(d)
+            cp[sf] = C.corpus_parquet(d)
+    # the driver runs correctness at sf0.01
+    path = cp.get("sf0.01") or next(iter(cp.values()), "")
+
+    text_annotations_sql = f"""
+SELECT doc_id,
+       {T.TOKEN_COUNT_SQL.format(col='text')} AS tokens,
+       {T.QUALITY_SQL.format(col='text')} AS quality,
+       {T.lang_id_sql('text')} AS lang_pred,
+       {T.FINGERPRINT_SQL.format(col='text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+    lang_quality_sql = f"""
+WITH ann AS (
+  SELECT doc_id,
+         {T.TOKEN_COUNT_SQL.format(col='text')} AS tokens,
+         {T.lang_id_sql('text')} AS lang_pred
+  FROM documents)
+SELECT lang_pred, count(*) AS n_docs, sum(tokens) AS total_tokens
+FROM ann GROUP BY lang_pred ORDER BY lang_pred
+"""
+    exact_dedup_sql = f"""
+SELECT {T.FINGERPRINT_SQL.format(col='text')} AS fingerprint,
+       min(doc_id) AS keeper, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+    knn_sql = """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT q FROM qv)), 6)
+         AS cosine
+FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+    embedding_neardup_sql = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+    out = {
+        "pricing_summary": R.PRICING_SUMMARY_SQL,
+        "top_customers": R.TOP_CUSTOMERS_SQL,
+        "region_customer_counts": R.REGION_CUSTOMER_SQL,
+        "order_priority_counts": R.ORDER_PRIORITY_SQL,
+        "events_daily": R.EVENTS_DAILY_SQL,
+        "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
+        "top_users_by_value": R.TOP_USERS_SQL,
+        "lineitem_top100": R.LINEITEM_TOP100_SQL,
+        "distinct_segments": R.DISTINCT_SEGMENTS_SQL,
+        "nationkeys_union": R.NATIONKEYS_UNION_SQL,
+        "part_brand_stats": R.PART_BRAND_SQL,
+        "text_annotations": text_annotations_sql,
+        "lang_quality_summary": lang_quality_sql,
+        "exact_dedup": exact_dedup_sql,
+        "knn_bruteforce": knn_sql,
+        "embedding_neardup": embedding_neardup_sql,
+        "top_keywords": __import__(
+            "librecrawl_ray.functions.keywords",
+            fromlist=["top_keywords_sql"]).top_keywords_sql(20),
+        # minhash_lsh_pairs / simhash_pairs / ivf_topk / crawl_full:
+        # non-SQL-expressible (sketches, IVF, stateful BFS) → rows-only
+    }
+    if path:
+        out["crawl_parse"] = C.crawl_parse_sql(path)
+        out["crawl_edges"] = C.crawl_edges_sql(path)
+        out["crawl_inlinks"] = C.crawl_inlinks_sql(path)
+        out["crawl_status_counts"] = C.crawl_status_counts_sql(path)
+        out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
+    return out

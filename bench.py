@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl_pages_per_sec": ..., "frontier_urls_deduped_per_sec": ...}
+
+Headline = the flagship crawl (BASELINE.json metric: pages fetched/sec +
+frontier URLs deduped/sec on the synthetic corpus) plus representative
+report/relational/training-data pipelines.
+
+--scaling: runs the same benchmark at two parallelism levels (8 and 32
+CPUs by default) in fresh processes and reports both throughputs and the
+scaling efficiency (BASELINE.md sandbox protocol for the N→4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> None:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    from librecrawl_ray.pipelines import crawl_queries as C
+    from librecrawl_ray.pipelines import relational as R
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.policy import CrawlConfig
+
+    tier = C.tier_for(sf_dir)
+    cdir = C.ensure_corpus(sf_dir)           # cached after first build
+    with open(os.path.join(cdir, "config.json")) as f:
+        cfg = CrawlConfig.from_fixture(json.load(f), C.BASE_DOMAIN)
+
+    out_dir = f"/tmp/graft_bench/{tier}-cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    C._docs(sf_dir, ["doc_id"]).count()
+
+    # ---- headline: full crawl (fetch+parse+dedup+frontier, checkpointed)
+    t0 = time.perf_counter()
+    eng = WaveCrawler(cdir, out_dir, cfg,
+                      fetch_concurrency=max(2, num_cpus - 2),
+                      fetch_batch_size=2048,
+                      small_wave_threshold=0)
+    summary = eng.run(["https://site.example/"])
+    crawl_sec = time.perf_counter() - t0
+    queries["crawl_full"] = round(crawl_sec, 3)
+    fetched = summary["fetched_total"]
+    admitted = sum(w["admitted"] for w in summary["waves"])
+    candidates = sum(w["candidates"] for w in summary["waves"])
+
+    # ---- report pipelines over the crawl output
+    t0 = time.perf_counter()
+    pages = reports.load_pages(out_dir)
+    links = reports.load_links(out_dir)
+    reports.inlink_counts(links).to_pandas()
+    queries["inlink_counts"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from librecrawl_ray.stages.issues import make_issue_detector
+    n_issues = pages.map_batches(make_issue_detector(),
+                                 batch_format="pyarrow").count()
+    queries["issue_detection"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    reports.links_with_status(pages, links).count()
+    queries["links_status_join"] = round(time.perf_counter() - t0, 3)
+
+    # ---- parse-only streaming pipeline over the corpus
+    t0 = time.perf_counter()
+    C.crawl_parse(sf_dir)
+    queries["crawl_parse"] = round(time.perf_counter() - t0, 3)
+
+    # ---- relational + training-data ops over testdata
+    t0 = time.perf_counter()
+    R.pricing_summary(sf_dir)
+    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from librecrawl_ray.functions.text import annotate_batch
+    import ray.data as rd
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .map_batches(annotate_batch, batch_format="pyarrow").count()
+    queries["text_annotations"] = round(time.perf_counter() - t0, 3)
+
+    headline = crawl_sec
+    result = {
+        "metric": "crawl_wall_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "tier": tier,
+        "crawl_pages": fetched,
+        "crawl_pages_per_sec": round(fetched / crawl_sec, 1),
+        "frontier_candidates": candidates,
+        "frontier_urls_deduped_per_sec": round(candidates / crawl_sec, 1),
+        "frontier_admitted": admitted,
+        "issues": n_issues,
+        "num_waves": summary["num_waves"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> None:
+    def once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    once(hi)                       # untimed warm-up: corpus + page cache
+    r_lo, r_hi = once(lo), once(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"pages_per_sec_{lo}": r_lo["crawl_pages_per_sec"],
+        f"pages_per_sec_{hi}": r_hi["crawl_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "lo_cpus": lo, "hi_cpus": hi,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()

@@ -465,8 +465,10 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
         ld.add("h1", f"Guide ({c})")
         std_meta(ld, 5)
         for o in recip:
+            if c == "fr" and o == "fr":
+                continue                    # fr omits itself → J6 self-ref
             ld.add("hreflang", o, lang_urls[o])
-        ld.add("hreflang", "xx", lang_urls["bad"])         # invalid code
+        ld.add("hreflang", "xx", lang_urls["bad"])         # unknown code
         ld.add("hreflang", "pt", f"{BASE}/missing/m0")     # → 404 target
         ld.add("text", words_for(9000, 320))
         if c == "en":
@@ -667,7 +669,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

@@ -62,6 +62,32 @@ CANDIDATE_SCHEMA = pa.schema([
 FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "sha1", "part"]
 
 
+def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
+                            robots: dict[str, RobotsRules] | None,
+                            num_parts: int) -> pa.Table:
+    """Clean candidate URLs, apply the should-crawl predicate (M4) and
+    compute sha1 / corpus part / seen shard / trap signature."""
+    urls = batch.column("url").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    pseqs = batch.column("parent_seq").to_pylist()
+    poss = batch.column("pos").to_pylist()
+    rows = []
+    for u, d, ps, po in zip(urls, depths, pseqs, poss):
+        if not should_crawl(u, cfg, robots):
+            continue
+        sha = url_sha1(u)
+        rows.append({
+            "url": u, "depth": d, "parent_seq": ps, "pos": po,
+            "host": url_host(u), "sha1": sha,
+            "part": shard_of(sha, num_parts),
+            "shard": shard_of(sha, cfg.num_shards),
+            "signature": url_signature(u),
+        })
+    if not rows:
+        return CANDIDATE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
+
+
 class Canonicalizer:
     """North-rule canonicalization stage: actor-pool map_batches that cleans
     candidate URLs, applies the should-crawl predicate (domain policy,
@@ -75,58 +101,8 @@ class Canonicalizer:
         self.num_parts = num_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        pseqs = batch.column("parent_seq").to_pylist()
-        poss = batch.column("pos").to_pylist()
-        cfg, robots = self.cfg, self.robots
-        rows = []
-        for u, d, ps, po in zip(urls, depths, pseqs, poss):
-            if not should_crawl(u, cfg, robots):
-                continue
-            sha = url_sha1(u)
-            rows.append({
-                "url": u, "depth": d, "parent_seq": ps, "pos": po,
-                "host": url_host(u), "sha1": sha,
-                "part": shard_of(sha, self.num_parts),
-                "shard": shard_of(sha, cfg.num_shards),
-                "signature": url_signature(u),
-            })
-        if not rows:
-            return CANDIDATE_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
-
-
-def _explode_edges(batch: pa.Table) -> pa.Table:
-    """Fetched batch → candidate rows (one per edge), carrying discovery
-    order (parent_seq, pos) for deterministic admission."""
-    seqs = batch.column("seq").to_pylist()
-    depths = batch.column("depth").to_pylist()
-    edges_col = batch.column("edges").to_pylist()
-    urls, cdepths, pseqs, poss = [], [], [], []
-    for seq, depth, edges in zip(seqs, depths, edges_col):
-        for e in edges or []:
-            urls.append(e["target_url"])
-            cdepths.append(depth + 1)
-            pseqs.append(seq)
-            poss.append(e["pos"])
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "depth": pa.array(cdepths, pa.int32()),
-        "parent_seq": pa.array(pseqs, pa.int64()),
-        "pos": pa.array(poss, pa.int32()),
-    })
-
-
-def _edges_to_links(batch: pa.Table) -> pa.Table:
-    """Fetched batch → links table rows (S9 sink shape)."""
-    edges_col = batch.column("edges").to_pylist()
-    rows = [e for edges in edges_col for e in (edges or [])]
-    if not rows:
-        from ..stages.parse import EDGES_SCHEMA
-        return EDGES_SCHEMA.empty_table()
-    from ..stages.parse import EDGES_SCHEMA
-    return pa.Table.from_pylist(rows, schema=EDGES_SCHEMA)
+        return canonicalize_candidates(batch, self.cfg, self.robots,
+                                       self.num_parts)
 
 
 class WaveCrawler:
@@ -134,7 +110,7 @@ class WaveCrawler:
 
     def __init__(self, corpus_dir: str, out_dir: str, cfg: CrawlConfig,
                  fetch_concurrency: int = 4, fetch_batch_size: int = 1024,
-                 exact_seen: bool = True):
+                 exact_seen: bool = True, small_wave_threshold: int = 512):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
         self.cfg = cfg
@@ -149,10 +125,23 @@ class WaveCrawler:
         self._cfg_ref = ray.put(cfg)
         self._robots_ref = ray.put(self.robots if cfg.respect_robots else None)
         # driver state
+        self.small_wave_threshold = small_wave_threshold
+        self._local_fetcher: CorpusFetcher | None = None
+        self._workers: list | None = None
         self.next_seq = 0
         self.fetched_total = 0
         self.trap_counts: dict[str, int] = {}
         self.wave = 0
+
+    def _fetch_pool(self) -> list:
+        if self._workers is None:
+            from .fetch_actor import FetchWorker
+            self._workers = [
+                FetchWorker.remote(self.corpus_dir, self.cfg.base_domain,
+                                   self.num_parts, self._cfg_ref,
+                                   self._robots_ref)
+                for _ in range(self.fetch_concurrency)]
+        return self._workers
 
     # ------------------------------------------------------------ paths
     def _p(self, *parts) -> str:
@@ -172,8 +161,26 @@ class WaveCrawler:
                        "num_shards": self.cfg.num_shards,
                        "trap_threshold": self.cfg.trap_threshold,
                        "per_host_wave_cap": self.cfg.per_host_wave_cap}, f)
+        admit_urls = list(seeds)
+        if self.cfg.use_sitemap:
+            # S5 sitemap seeding: roots from robots Sitemap: lines → depth-0
+            # frontier entries, same admission path as discovered links
+            from ..sources.sitemap import (expand_sitemaps,
+                                           sitemap_roots_from_robots)
+            sm_path = os.path.join(self.corpus_dir, "sitemaps.parquet")
+            if os.path.exists(sm_path):
+                robots_rows = pq.read_table(
+                    os.path.join(self.corpus_dir,
+                                 "robots.parquet")).to_pylist()
+                roots = sitemap_roots_from_robots(robots_rows)
+                sm_rows = pq.read_table(sm_path).to_pylist()
+                for u in expand_sitemaps(sm_rows, roots):
+                    if should_crawl(u, self.cfg,
+                                    self.robots if self.cfg.respect_robots
+                                    else None):
+                        admit_urls.append(u)
         rows = []
-        for u in seeds:
+        for u in admit_urls:
             sha = url_sha1(u)
             sig = url_signature(u)
             if self.trap_counts.get(sig, 0) >= self.cfg.trap_threshold:
@@ -302,51 +309,75 @@ class WaveCrawler:
         for r in gated:
             r["wave"] = k
 
-        # --------- fetch + parse (actor-pool map_batches, partition-affine)
+        # --------- fetch + parse + sink + canonicalize: ONE streaming
+        # execution per wave. The fetch actors (partition-affine corpus
+        # lookup) write pages/links parquet as they go (deterministic batch
+        # file names → retry-idempotent) and emit candidate edges; the
+        # canonicalize stage cleans/filters/hashes them. Ray Data fuses the
+        # two map_batches into a single pipelined actor stage.
+        pages_dir = self._p("pages", f"wave={k}")
+        links_dir = self._p("links", f"wave={k}")
+        os.makedirs(pages_dir, exist_ok=True)
+        os.makedirs(links_dir, exist_ok=True)
         gated_sorted = sorted(gated, key=lambda r: r["part"])
         frontier_tbl = pa.Table.from_pylist(gated_sorted)
         n_gated = len(gated_sorted)
-        fetched = (
-            rd.from_arrow(frontier_tbl)
-            .map_batches(
-                CorpusFetcher,
-                fn_constructor_args=(self.corpus_dir, self.cfg.base_domain,
-                                     self.num_parts),
-                batch_format="pyarrow",
-                batch_size=min(self.fetch_batch_size,
-                               max(32, n_gated // max(1, self.fetch_concurrency))),
-                concurrency=self.fetch_concurrency,
-                num_cpus=1,
-            )
-            .materialize()          # wave-bounded; forked into 3 consumers
-        )
-        # pages + links sinks (S9): partitioned per wave → resumable
-        fetched.drop_columns(["edges"]).write_parquet(
-            self._p("pages", f"wave={k}"))
-        fetched.map_batches(_edges_to_links, batch_format="pyarrow") \
-               .write_parquet(self._p("links", f"wave={k}"))
-
-        # --------- frontier expansion: canonicalize → dedup → admit → trap
-        candidates = (
-            fetched
-            .map_batches(_explode_edges, batch_format="pyarrow")
-            .map_batches(
-                Canonicalizer,
-                fn_constructor_args=(self._cfg_ref, self._robots_ref,
-                                     self.num_parts),
-                batch_format="pyarrow",
-                concurrency=2,
-                num_cpus=1,
-            )
-        )
-        # within-wave dedup: first sighting by (parent_seq, pos) — the
-        # hash-partitioned groupby-aggregate of the north rule. Deterministic
-        # regardless of task scheduling.
-        deduped = candidates.groupby("sha1").map_groups(
-            lambda df: df.sort_values(["parent_seq", "pos"]).head(1),
-            batch_format="pandas",
-        )
-        cand_tbl = _ds_to_table(deduped, CANDIDATE_SCHEMA)
+        if n_gated < self.small_wave_threshold:
+            # small-wave fast path: identical pure functions, driver-local —
+            # skips per-wave executor + actor-pool startup (a few seconds)
+            # that would dominate a wave of a few hundred lookups. Large
+            # waves (the 10^10 regime, and bench) take the distributed path.
+            if self._local_fetcher is None:
+                self._local_fetcher = CorpusFetcher(
+                    self.corpus_dir, self.cfg.base_domain, self.num_parts,
+                    pages_dir, links_dir)
+            else:
+                self._local_fetcher.pages_dir = pages_dir
+                self._local_fetcher.links_dir = links_dir
+            cand = self._local_fetcher(frontier_tbl)
+            raw_tbl = canonicalize_candidates(
+                cand, self.cfg,
+                self.robots if self.cfg.respect_robots else None,
+                self.num_parts)
+        else:
+            # distributed path: persistent partition-affine actor pool
+            # (created once per crawl; partition caches survive waves).
+            # Chunks are split per corpus partition and each partition is
+            # pinned to worker part % pool, then large partitions are
+            # sub-split to fetch_batch_size for pipelining.
+            workers = self._fetch_pool()
+            futs = []
+            rows_by_part: dict[int, list[int]] = {}
+            for i, r in enumerate(gated_sorted):
+                rows_by_part.setdefault(r["part"], []).append(i)
+            for part, idxs in rows_by_part.items():
+                w = workers[part % len(workers)]
+                for off in range(0, len(idxs), self.fetch_batch_size):
+                    chunk = frontier_tbl.take(
+                        pa.array(idxs[off:off + self.fetch_batch_size]))
+                    futs.append(w.process.remote(chunk, pages_dir,
+                                                 links_dir))
+            blocks = [b for b in ray.get(futs) if b.num_rows]
+            raw_tbl = (pa.concat_tables(blocks, promote_options="default")
+                       if blocks else CANDIDATE_SCHEMA.empty_table())
+        # within-wave dedup, vectorized: first sighting per sha1 by
+        # (parent_seq, pos). At 10^10 scale this becomes the distributed
+        # groupby(sha1)-aggregate of the north rule; driver-side Arrow sort
+        # is the single-node instantiation of the same hash-partitioned
+        # first-wins aggregate.
+        if raw_tbl.num_rows:
+            srt = raw_tbl.sort_by([("sha1", "ascending"),
+                                   ("parent_seq", "ascending"),
+                                   ("pos", "ascending")])
+            sha_arr = srt.column("sha1").combine_chunks()
+            prev = pa.concat_arrays(
+                [pa.array([""], pa.string()),
+                 sha_arr.slice(0, len(sha_arr) - 1)])
+            first_mask = pc.not_equal(sha_arr, prev)
+            cand_tbl = srt.filter(first_mask).sort_by(
+                [("parent_seq", "ascending"), ("pos", "ascending")])
+        else:
+            cand_tbl = raw_tbl
         n_candidates = cand_tbl.num_rows
 
         # admission via shard actors (exactly-once test-and-set), parallel
@@ -460,14 +491,6 @@ class WaveCrawler:
         for p in parts:
             out.update(p.tolist())
         return out
-
-
-def _ds_to_table(ds, schema: pa.Schema) -> pa.Table:
-    """Collect a small Dataset to one Arrow table with a stable schema."""
-    tbls = [pa.Table.from_pandas(ds.to_pandas(), schema=schema,
-                                 preserve_index=False)] \
-        if ds.count() else [schema.empty_table()]
-    return pa.concat_tables(tbls)
 
 
 def crawl_paths(out_dir: str) -> dict[str, str]:

@@ -1,0 +1,264 @@
+"""Deduplication operators for corpus-scale training-data pipelines.
+
+All are Ray-Data-first: vectorized map_batches for the per-doc sketches,
+groupby shuffles keyed on the sketch for the candidate generation, exact
+verification inside map_groups. No all-pairs loops outside a block.
+
+- exact_dedup          — hash-partitioned groupby(fingerprint) → keep min id
+- minhash_lsh_pairs    — word-shingle → k minhashes (universal hashing,
+                         numpy) → band keys → groupby(band) → candidate
+                         pairs → exact Jaccard verify
+- simhash64            — 64-bit simhash over token hashes; near-dup pairs
+                         via 4×16-bit chunk pigeonhole buckets + Hamming
+                         verify
+- ngram_jaccard_pairs  — exact pairwise Jaccard within LSH candidate set
+                         (the verify stage exposed as its own operator)
+- embedding_neardup    — cosine ≥ τ pairs over an embedding column, blocked
+                         by label (or LSH hyperplane bucket) to avoid O(N²)
+
+Determinism: all hash seeds fixed; crc32-based shingle hashing (no
+PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .text import _TOKEN_RE
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    return np.array([zlib.crc32(s.encode("utf-8")) for s in shingles],
+                    dtype=np.uint64)
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray,
+                                                             np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def minhash_signature(text: str, num_hashes: int = 128,
+                      ngram: int = 3, seed: int = 7,
+                      _params_cache: dict = {}) -> np.ndarray:
+    key = (num_hashes, seed)
+    if key not in _params_cache:
+        _params_cache[key] = _minhash_params(num_hashes, seed)
+    a, b = _params_cache[key]
+    h = _hash_shingles(_shingles(text, ngram))
+    if h.size == 0:
+        return np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # universal hash family (a*h + b) mod p, vectorized (n_shingles × k)
+    vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
+    sa, sb = set(_shingles(text_a, ngram)), set(_shingles(text_b, ngram))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> rd.Dataset:
+    """Groups of identical normalized text: (fingerprint, keeper, n_docs).
+    keeper = min id per group (deterministic first)."""
+    from ray.data.aggregate import Count, Min
+    from .text import fingerprint
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column("fingerprint", pa.array(
+            [fingerprint(t) for t in batch.column(text_col).to_pylist()],
+            pa.string()))
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(add_fp, batch_format="pyarrow")
+            .groupby("fingerprint")
+            .aggregate(Min(id_col, alias_name="keeper"),
+                       Count(alias_name="n_docs")))
+
+
+# ------------------------------------------------------------ minhash-LSH
+
+PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("jaccard", pa.float64())])
+
+
+def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 128,
+                      bands: int = 32, ngram: int = 3,
+                      threshold: float = 0.6) -> pa.Table:
+    """Near-duplicate id pairs with exact-Jaccard verification.
+
+    Pipeline: map_batches (signatures + band keys, one row per band) →
+    groupby(band_key) → in-bucket candidate pairs → exact verify. The
+    groupby is the only shuffle; bucket skew is bounded because identical
+    band hashes imply near-identical docs."""
+    rows_per_band = num_hashes // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_band, out_text = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t, num_hashes, ngram)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                key = f"{b}:{zlib.crc32(chunk.tobytes()):08x}"
+                out_id.append(i)
+                out_band.append(key)
+                out_text.append(t)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "band": pa.array(out_band, pa.string()),
+                         "text": pa.array(out_text, pa.string())})
+
+    import pandas as pd
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("id").sort_values("id")
+        recs = df.to_dict("records")
+        rows = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                jac = jaccard(recs[i]["text"], recs[j]["text"], ngram)
+                if jac >= threshold:
+                    rows.append({"id_a": recs[i]["id"],
+                                 "id_b": recs[j]["id"],
+                                 "jaccard": round(jac, 6)})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = (ds.select_columns([id_col, text_col])
+             .map_batches(to_bands, batch_format="pyarrow")
+             .groupby("band")
+             .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    if pairs.empty:
+        return PAIR_SCHEMA.empty_table()
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]) \
+                 .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, schema=PAIR_SCHEMA,
+                                preserve_index=False)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(text: str) -> int:
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    from collections import Counter
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, cnt in Counter(toks).items():
+        h = np.uint64(zlib.crc32(tok.encode()) |
+                      (zlib.crc32(tok[::-1].encode()) << 32))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), cnt, -cnt)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by simhash Hamming distance ≤ k, via the pigeonhole
+    bucketing (4 × 16-bit chunks: any pair within distance 3 shares at
+    least one exact chunk) → groupby(chunk bucket) → verify."""
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_bucket, out_sim = [], [], []
+        for i, t in zip(ids, texts):
+            s = simhash64(t)
+            for c in range(4):
+                chunk = (s >> (16 * c)) & 0xFFFF
+                out_id.append(i)
+                out_bucket.append(f"{c}:{chunk:04x}")
+                out_sim.append(s)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "bucket": pa.array(out_bucket, pa.string()),
+                         "simhash": pa.array(out_sim, pa.uint64())})
+
+    import pandas as pd
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("id").sort_values("id")
+        recs = df.to_dict("records")
+        rows = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = int(recs[i]["simhash"] ^ recs[j]["simhash"]).bit_count()
+                if d <= max_hamming:
+                    rows.append({"id_a": recs[i]["id"],
+                                 "id_b": recs[j]["id"], "hamming": d})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = (ds.select_columns([id_col, text_col])
+             .map_batches(to_chunks, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("hamming", pa.int64())])
+    if pairs.empty:
+        return schema.empty_table()
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]) \
+                 .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, schema=schema, preserve_index=False)
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_neardup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            block_col: str | None = "label",
+                            threshold: float = 0.95) -> pa.Table:
+    """Cosine ≥ τ pairs. Blocked by ``block_col`` (e.g. a cluster/label
+    assignment — at scale, an LSH hyperplane bucket from
+    similarity.hyperplane_buckets) so each group is small; in-group
+    comparison is one normalized matmul."""
+    import pandas as pd
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sims = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+                             "cosine": np.round(sims[ia, ib][mask], 6)})
+
+    grouped = ds.groupby(block_col) if block_col else None
+    if grouped is None:
+        pdf = per_block(ds.to_pandas())
+    else:
+        pdf = grouped.map_groups(per_block, batch_format="pandas").to_pandas()
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine", pa.float64())])
+    if pdf.empty:
+        return schema.empty_table()
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)

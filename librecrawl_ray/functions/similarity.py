@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``topk_bruteforce`` — the baseline: per-batch numpy matmul against a
+  broadcast query matrix (ray.put once, read zero-copy per task), partial
+  top-k per batch, merge on the driver. One streaming pass, no shuffle.
+- ``hyperplane_buckets`` — random-hyperplane LSH bucket assignment
+  (signature of sign bits) as the scale path: bucket → groupby → in-bucket
+  search, and the blocking key for embedding_neardup_pairs.
+- ``ivf_topk`` — IVF-flat: k-means centroids trained on a driver-side
+  sample, broadcast; per-batch assignment, search restricted to the
+  ``nprobe`` nearest centroids' vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def topk_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k: (id, cosine) sorted desc, ties by id asc."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        sims = m @ qv
+        take = min(k, len(ids))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(ids[idx], pa.int64()),
+                         "cosine": pa.array(sims[idx], pa.float64())})
+
+    parts = ds.select_columns([id_col, vec_col]) \
+              .map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts["cosine"] = parts["cosine"].round(6)
+    parts = parts.sort_values(["cosine", id_col],
+                              ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def hyperplane_buckets(ds: rd.Dataset, num_planes: int = 8, seed: int = 11,
+                       vec_col: str = "embedding",
+                       dim: int | None = None) -> rd.Dataset:
+    """Append an LSH ``bucket`` column: sign-bit signature over
+    ``num_planes`` random hyperplanes (same seed ⇒ same planes per task)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col).to_pylist())
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(m.shape[1], num_planes)
+        bits = (m @ planes) > 0
+        keys = (bits.astype(np.uint32)
+                * (1 << np.arange(num_planes, dtype=np.uint32))).sum(axis=1)
+        return batch.append_column("bucket",
+                                   pa.array(keys.astype("int64"), pa.int64()))
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def train_centroids(ds: rd.Dataset, num_centroids: int = 16,
+                    sample_limit: int = 10_000, iters: int = 10,
+                    seed: int = 5, vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side mini k-means on a bounded sample (the IVF train step —
+    at 100 TB you train on the same bounded sample; assignment streams)."""
+    sample = ds.select_columns([vec_col]).limit(sample_limit).to_pandas()
+    m = _normalize(_as_matrix(sample[vec_col].to_numpy()))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(num_centroids, len(m)),
+                        replace=False)]
+    for _ in range(iters):
+        sims = m @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    return cent
+
+
+def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+             num_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> pa.Table:
+    """IVF-flat approximate top-k: search only vectors assigned to the
+    nprobe centroids nearest the query."""
+    cent = centroids if centroids is not None else train_centroids(
+        ds, num_centroids, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        assign = (m @ c.T).argmax(axis=1)
+        mask = np.isin(assign, list(probe))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = m[mask] @ qv
+        sel_ids = ids[mask]
+        take = min(k, len(sel_ids))
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(sel_ids[idx], pa.int64()),
+                         "cosine": pa.array(sims[idx], pa.float64())})
+
+    parts = ds.select_columns([id_col, vec_col]) \
+              .map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["cosine"] = parts["cosine"].round(6)
+    parts = parts.sort_values(["cosine", id_col],
+                              ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)

@@ -50,7 +50,7 @@ def build_lookup(documents_table) -> dict[str, dict]:
 
 
 def simulate(documents_table, robots_table, seeds: list[str],
-             cfg: CrawlConfig) -> OracleResult:
+             cfg: CrawlConfig, sitemaps_table=None) -> OracleResult:
     lookup_map = build_lookup(documents_table)
     robots: dict[str, RobotsRules] = robots_map(robots_table.to_pylist())
 
@@ -80,6 +80,15 @@ def simulate(documents_table, robots_table, seeds: list[str],
 
     for s in seeds:
         admit(s, 0)
+    if cfg.use_sitemap and sitemaps_table is not None:
+        # S5: sitemap discovery — roots from robots Sitemap: lines, URLs
+        # enter the frontier at depth 0 (crawler.py:362-380)
+        from .sources.sitemap import (expand_sitemaps,
+                                      sitemap_roots_from_robots)
+        roots = sitemap_roots_from_robots(robots_table.to_pylist())
+        for u in expand_sitemaps(sitemaps_table.to_pylist(), roots):
+            if should_crawl(u, cfg, robots if cfg.respect_robots else None):
+                admit(u, 0)
 
     fetched = 0
     wave = 0

@@ -1,0 +1,216 @@
+"""Crawl-engine queries exposed through the driver contract.
+
+The crawl engine's input corpus is this repo's own deterministic fixture in
+the BASELINE.json input_hint shape (the driver's ``documents`` table has a
+different schema — FIXTURES.md §5 note). Each query here (a) ensures the
+corpus for the requested scale exists on disk (idempotent, seeded), then
+(b) runs a Ray Data pipeline over it. The matching oracle SQL strings run
+DuckDB over the same parquet file via read_parquet('<path>'), so the driver
+verifies Ray vs SQL on identical inputs.
+
+Scale mapping: sf0.001 → t1 (~500 docs), sf0.01 → t2 (~18k), sf0.1 →
+bench1 (~100k).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..canonical import clean_url, norm_url
+from ..corpus import corpus_dir, write_corpus
+from ..stages.parse import make_edge_extractor, parse_documents_batch
+
+TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench1"}
+BASE_DOMAIN = "site.example"
+
+
+def tier_for(sf_dir: str) -> str:
+    return TIER_BY_SF.get(os.path.basename(os.path.normpath(sf_dir)), "t1")
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    return write_corpus(tier_for(sf_dir))
+
+
+def corpus_parquet(sf_dir: str) -> str:
+    return os.path.join(corpus_dir(tier_for(sf_dir)), "documents.parquet")
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    path = os.path.join(ensure_corpus(sf_dir), "documents.parquet")
+    return rd.read_parquet(path, columns=columns)
+
+
+# ------------------------------------------------------------- parse query
+
+def crawl_parse(sf_dir: str) -> pd.DataFrame:
+    """Span parse surface: title / meta / h1 / word_count / link counts per
+    doc — the M10 parse stage as a standalone streaming pipeline."""
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+    out = (ds.map_batches(
+               lambda b: parse_documents_batch(b, BASE_DOMAIN),
+               batch_format="pyarrow")
+           .select_columns(["doc_id", "title", "meta_description", "h1",
+                            "word_count", "internal_links",
+                            "external_links"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def crawl_parse_sql(path: str) -> str:
+    return f"""
+SELECT doc_id,
+  coalesce(list_filter(spans, s -> s.kind = 'title')[1].text, '')
+      AS title,
+  coalesce(list_filter(spans, s -> s.kind = 'meta_description')[1].text, '')
+      AS meta_description,
+  coalesce(list_filter(spans, s -> s.kind = 'h1')[1].text, '') AS h1,
+  coalesce(list_sum(list_transform(
+      list_filter(spans, s -> s.kind = 'text'),
+      s -> len(regexp_extract_all(s.text, '\\w+')))), 0)::BIGINT
+      AS word_count,
+  coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
+      (CASE WHEN s.media_ref LIKE 'http%'
+            THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
+            ELSE host END)
+      IN ('site.example', 'www.site.example'))), 0)::BIGINT
+      AS internal_links,
+  coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
+      (CASE WHEN s.media_ref LIKE 'http%'
+            THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
+            ELSE host END)
+      NOT IN ('site.example', 'www.site.example'))), 0)::BIGINT
+      AS external_links
+FROM read_parquet('{path}')
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- edge query
+
+def _edge_sql_target(alias_media: str = "u.media_ref",
+                     alias_host: str = "host") -> str:
+    """SQL equivalent of clean_url for the corpus's href forms (absolute,
+    protocol-relative, root-relative; strip fragments)."""
+    return f"""
+split_part(CASE WHEN {alias_media} LIKE 'http%' THEN {alias_media}
+                WHEN {alias_media} LIKE '//%' THEN 'https:' || {alias_media}
+                ELSE 'https://' || {alias_host} || {alias_media} END,
+           '#', 1)"""
+
+
+def crawl_edges(sf_dir: str) -> pd.DataFrame:
+    """Edge extraction (M17/D2): one row per deduped (source, target)."""
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+    extractor = make_edge_extractor(BASE_DOMAIN)
+    out = (ds.map_batches(extractor, batch_format="pyarrow")
+           .select_columns(["source_url", "target_url"])
+           .to_pandas())
+    return out.sort_values(["source_url", "target_url"]) \
+              .reset_index(drop=True)
+
+
+def crawl_edges_sql(path: str) -> str:
+    return f"""
+SELECT DISTINCT doc_id AS source_url,
+       {_edge_sql_target()} AS target_url
+FROM (SELECT doc_id, host,
+             unnest(list_filter(spans, s -> s.kind LIKE 'link%')) AS u
+      FROM read_parquet('{path}'))
+ORDER BY source_url, target_url
+"""
+
+
+def crawl_inlinks(sf_dir: str) -> pd.DataFrame:
+    """A8 inlink counts over extracted edges (groupby-count shuffle)."""
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+    extractor = make_edge_extractor(BASE_DOMAIN)
+
+    def norm_target(batch: pa.Table) -> pa.Table:
+        vals = [norm_url(u)
+                for u in batch.column("target_url").to_pylist()]
+        return pa.table({"norm_target": pa.array(vals, pa.string())})
+
+    out = (ds.map_batches(extractor, batch_format="pyarrow")
+           .map_batches(norm_target, batch_format="pyarrow")
+           .groupby("norm_target")
+           .aggregate(Count(alias_name="inlinks"))
+           .to_pandas())
+    return out.sort_values("norm_target").reset_index(drop=True)
+
+
+def crawl_inlinks_sql(path: str) -> str:
+    # norm_url equivalent for the corpus's URL forms: lowercase, strip
+    # fragment, strip trailing slash except a bare root (re-append '/')
+    norm = """
+CASE WHEN strpos(split_part(rtrim(lower(tgt), '/'), '://', 2), '/') = 0
+     THEN rtrim(lower(tgt), '/') || '/'
+     ELSE rtrim(lower(tgt), '/') END"""
+    return f"""
+WITH edges AS (
+  SELECT doc_id, {_edge_sql_target()} AS tgt,
+         row_number() OVER (PARTITION BY doc_id, {_edge_sql_target()}) AS rn
+  FROM (SELECT doc_id, host,
+               unnest(list_filter(spans, s -> s.kind LIKE 'link%')) AS u
+        FROM read_parquet('{path}')))
+SELECT {norm} AS norm_target, count(*) AS inlinks
+FROM edges WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def crawl_status_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["status_code"])
+    out = (ds.groupby("status_code").aggregate(Count(alias_name="n_docs"))
+           .to_pandas())
+    return out.sort_values("status_code").reset_index(drop=True)
+
+
+def crawl_status_counts_sql(path: str) -> str:
+    return (f"SELECT status_code, count(*) AS n_docs FROM "
+            f"read_parquet('{path}') GROUP BY status_code "
+            f"ORDER BY status_code")
+
+
+def crawl_host_sizes(sf_dir: str) -> pd.DataFrame:
+    """Per-host doc count + byte volume (politeness-planning aggregate)."""
+    ds = _docs(sf_dir, ["host", "size"])
+    out = (ds.groupby("host").aggregate(Count(alias_name="n_docs"),
+                                        Sum("size", alias_name="bytes"))
+           .to_pandas())
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def crawl_host_sizes_sql(path: str) -> str:
+    return (f"SELECT host, count(*) AS n_docs, sum(size)::BIGINT AS bytes "
+            f"FROM read_parquet('{path}') GROUP BY host ORDER BY host")
+
+
+# ------------------------------------------------- full crawl (rows-only)
+
+def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
+        pd.DataFrame:
+    """Run the complete wave engine on the corpus; returns crawl order
+    (url, depth, seq, wave, status_code). Not SQL-expressible (stateful BFS
+    + sharded dedup + trap gating) → rows-only driver check; full
+    conformance lives in pytest vs the sequential oracle."""
+    import json
+
+    from ..engine.crawl import WaveCrawler
+    from ..policy import CrawlConfig
+
+    cdir = ensure_corpus(sf_dir)
+    with open(os.path.join(cdir, "config.json")) as f:
+        cfg = CrawlConfig.from_fixture(json.load(f), BASE_DOMAIN)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    eng = WaveCrawler(cdir, out_dir, cfg, fetch_concurrency=4)
+    eng.run(["https://site.example/"])
+    from . import reports
+    pages = reports.load_pages(
+        out_dir, columns=["url", "depth", "seq", "wave", "status_code"])
+    return pages.to_pandas().sort_values("seq").reset_index(drop=True)

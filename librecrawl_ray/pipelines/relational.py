@@ -1,0 +1,342 @@
+"""Generic relational operators over the driver testdata tables.
+
+These exercise the engine's relational surface — scan with column pruning,
+vectorized map_batches, partial pre-aggregation before groupby, hash joins,
+sort/limit top-k, distinct, union, windowed per-key aggregation — each with
+a DuckDB-equivalent oracle (see __ray_entry__.oracle_sql). Column names are
+chosen to match the oracle SQL exactly (the driver hashes values under
+sorted column names).
+
+Scale notes: every groupby here pre-aggregates inside map_batches first
+(emit one partial row per key per batch) so the shuffle moves keys, not
+rows; joins broadcast the small dimension side via ray.put.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ------------------------------------------------------------------ Q1-like
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/averages/count.
+    Partial aggregation per batch → tiny final groupby."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             batch["l_discount"]))
+        t = batch.append_column("disc_price", disc_price)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_disc_price", alias_name="sum_disc_price"),
+                      Sum("count_order", alias_name="count_order"))
+           .to_pandas())
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = out[c].round(4)
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+              .reset_index(drop=True)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       count(*)                                           AS count_order,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------- join + top-k
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast dimension) → total per customer →
+    top-k by spend."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust_ref = ray.put(cust.set_index("c_custkey"))
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            total_spent=("o_totalprice", "sum"),
+            order_count=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("total_spent", alias_name="total_spent"),
+                         Sum("order_count", alias_name="order_count"))
+              .to_pandas())
+    cdf = ray.get(cust_ref)
+    totals = totals.join(cdf, on="o_custkey")
+    totals["total_spent"] = totals["total_spent"].round(4)
+    out = totals.sort_values(["total_spent", "o_custkey"],
+                             ascending=[False, True]).head(k)
+    return out[["o_custkey", "c_name", "c_mktsegment", "total_spent",
+                "order_count"]].reset_index(drop=True)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, c_name, c_mktsegment,
+       round(sum(o_totalprice), 4) AS total_spent,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name, c_mktsegment
+ORDER BY total_spent DESC, o_custkey LIMIT 10
+"""
+
+
+def region_customer_counts(sf_dir: str) -> pd.DataFrame:
+    """3-way dimension join region ⋈ nation ⋈ customer, counts + balance."""
+    region = pd.read_parquet(_t(sf_dir, "region"))
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    dim_ref = ray.put(dim.set_index("n_nationkey")[["r_name"]])
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = ray.get(dim_ref)
+        df = df.join(d, on="c_nationkey")
+        g = df.groupby("r_name", as_index=False).agg(
+            customers=("c_acctbal", "size"),
+            total_balance=("c_acctbal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (cust.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Sum("customers", alias_name="customers"),
+                      Sum("total_balance", alias_name="total_balance"))
+           .to_pandas())
+    out["total_balance"] = out["total_balance"].round(4)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+REGION_CUSTOMER_SQL = """
+SELECT r_name, count(*) AS customers,
+       round(sum(c_acctbal), 4) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    out = (rd.read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_orderpriority"])
+           .groupby("o_orderpriority").count().to_pandas())
+    out = out.rename(columns={"count()": "order_count"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- events
+
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window per event_type: count + value sum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value", "size"), value_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("value_sum", alias_name="value_sum"))
+           .to_pandas())
+    out["value_sum"] = out["value_sum"].round(4)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (gap > 30 min starts a new session):
+    sessions count + max session length per user. groupby(user).map_groups
+    with in-group sort — the reference-free streaming-window shape."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds().fillna(1e12)
+        starts = (gaps > gap_minutes * 60).cumsum()
+        sizes = starts.value_counts()
+        return pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "n_sessions": [int(starts.nunique())],
+            "max_session_events": [int(sizes.max())],
+            "n_events": [len(df)],
+        })
+
+    out = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       max(cnt) AS max_session_events,
+       sum(cnt) AS n_events
+FROM (SELECT user_id, session_id, count(*) AS cnt
+      FROM sessioned GROUP BY user_id, session_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def top_users_by_value(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    out = (ds.groupby("user_id")
+           .aggregate(Sum("value", alias_name="total_value"),
+                      Count(alias_name="n_events"))
+           .to_pandas())
+    out["total_value"] = out["total_value"].round(4)
+    return (out.sort_values(["total_value", "user_id"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+TOP_USERS_SQL = """
+SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 20
+"""
+
+
+# ----------------------------------------------------- sort/distinct/union
+
+def lineitem_top100(sf_dir: str) -> pd.DataFrame:
+    """Global top-k via sort+limit (distributed sort exercising the
+    range-partition shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(100).to_pandas()
+    out["l_extendedprice"] = out["l_extendedprice"].round(4)
+    return out.reset_index(drop=True)
+
+
+LINEITEM_TOP100_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+DISTINCT_SEGMENTS_SQL = ("SELECT DISTINCT c_mktsegment FROM customer "
+                         "ORDER BY c_mktsegment")
+
+
+def nationkeys_union(sf_dir: str) -> pd.DataFrame:
+    """Union of customer and supplier nation keys (set-op surface)."""
+    c = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"nationkey": pc.cast(b.column("c_nationkey"), pa.int32())}),
+            batch_format="pyarrow")
+    s = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"nationkey": pc.cast(b.column("s_nationkey"), pa.int32())}),
+            batch_format="pyarrow")
+    vals = sorted(c.union(s).unique("nationkey"))
+    return pd.DataFrame({"nationkey": pd.array(vals, dtype="int32")})
+
+
+NATIONKEYS_UNION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier)
+ORDER BY nationkey
+"""
+
+
+def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_brand", "p_retailprice", "p_size"])
+    out = (ds.groupby("p_brand")
+           .aggregate(Count(alias_name="n_parts"),
+                      Mean("p_retailprice", alias_name="avg_price"),
+                      Max("p_size", alias_name="max_size"))
+           .to_pandas())
+    out["avg_price"] = out["avg_price"].round(4)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+PART_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""

@@ -1,0 +1,166 @@
+"""D3 — near-duplicate content detection (issue_detector.py:1299-1431).
+
+Scoring is the reference's, exactly: weighted SequenceMatcher ratios over
+lowercased title (.35), meta description (.35), h1 (.20) plus word-count
+min/max ratio (.10); symmetric pair issues at threshold ≥ 0.85, with the
+same staged upper-bound early exits (word-count prune, real_quick_ratio
+prunes) inside each pair evaluation.
+
+The reference runs all-pairs O(N²) over the whole crawl. That cannot scale;
+here the all-pairs comparison runs *within blocks*:
+
+- ``exact=True``  — single block (全 all-pairs), used at fixture scale for
+  1:1 score parity with the reference.
+- ``exact=False`` — candidate blocking: each page lands in up to three
+  blocks (4-char lowercase prefix of title / desc / h1). A pair scoring
+  ≥ 0.85 must score ≥ 0.5 on at least one text field (0.85 − 0.35 − 0.10
+  means title+h1 alone can't carry it, so desc ≥ (0.85−0.65)/0.35 ≈ 0.57
+  when the others are perfect) — highly similar strings overwhelmingly
+  share a short prefix, making prefix blocks a high-recall candidate set;
+  the fixture tests assert blocked recall == exact recall on the t1 corpus.
+  Blocks are processed via groupby(block).map_groups — the same shuffle
+  shape as a MinHash-LSH band pass.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pyarrow as pa
+import ray.data as rd
+
+WEIGHTS = {"title": 0.35, "desc": 0.35, "h1": 0.20, "word_count": 0.10}
+THRESHOLD_DEFAULT = 0.85
+
+
+def preprocess(row: dict) -> dict:
+    return {
+        "url": row.get("url", ""),
+        "title": (row.get("title") or "").lower().strip(),
+        "desc": (row.get("meta_description") or "").lower().strip(),
+        "h1": (row.get("h1") or "").lower().strip(),
+        "word_count": row.get("word_count", 0) or 0,
+    }
+
+
+def pair_score(d1: dict, d2: dict, threshold: float) -> float | None:
+    """Reference-exact staged scoring; None = pruned below threshold."""
+    if d1["word_count"] and d2["word_count"]:
+        mx = max(d1["word_count"], d2["word_count"])
+        wc_sim = min(d1["word_count"], d2["word_count"]) / mx if mx else 0
+    else:
+        wc_sim = 0
+    score = wc_sim * WEIGHTS["word_count"]
+    max_potential = 1.0 - WEIGHTS["word_count"] + score
+    if max_potential < threshold:
+        return None
+    for field, w in (("title", WEIGHTS["title"]), ("desc", WEIGHTS["desc"])):
+        if d1[field] and d2[field]:
+            m = SequenceMatcher(None, d1[field], d2[field])
+            if m.real_quick_ratio() * w + (max_potential - w) < threshold:
+                return None
+            sim = m.ratio()
+        else:
+            sim = 0
+        score += sim * w
+        max_potential = max_potential - w + sim * w
+        if max_potential < threshold:
+            return None
+    if d1["h1"] and d2["h1"]:
+        h1_sim = SequenceMatcher(None, d1["h1"], d2["h1"]).ratio()
+    else:
+        h1_sim = 0
+    score += h1_sim * WEIGHTS["h1"]
+    return score if score >= threshold else None
+
+
+def _pairs_in_block(rows: list[dict], threshold: float) -> list[dict]:
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            s = pair_score(rows[i], rows[j], threshold)
+            if s is not None:
+                a, b = rows[i]["url"], rows[j]["url"]
+                if a > b:
+                    a, b = b, a
+                out.append({"url_a": a, "url_b": b,
+                            "score": round(s, 6)})
+    return out
+
+
+PAIRS_SCHEMA = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                          ("score", pa.float64())])
+
+
+def near_duplicate_pairs(pages: rd.Dataset,
+                         threshold: float = THRESHOLD_DEFAULT,
+                         exact: bool = False,
+                         prefix_len: int = 4) -> pa.Table:
+    """Detect near-duplicate page pairs; returns (url_a, url_b, score)."""
+    narrow = pages.select_columns(["url", "title", "meta_description",
+                                   "h1", "word_count"])
+    if exact:
+        rows = [preprocess(r) for b in narrow.iter_batches(
+                    batch_format="pyarrow", batch_size=8192)
+                for r in b.to_pylist()]
+        return pa.Table.from_pylist(_pairs_in_block(rows, threshold),
+                                    schema=PAIRS_SCHEMA)
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            p = preprocess(r)
+            blocks = set()
+            for f in ("title", "desc", "h1"):
+                if p[f]:
+                    blocks.add(f[0] + ":" + p[f][:prefix_len])
+            for bkey in blocks:
+                out.append({**p, "block": bkey})
+        if not out:
+            return pa.schema(list(PREP_SCHEMA) +
+                             [("block", pa.string())]).empty_table()
+        return pa.Table.from_pylist(out)
+
+    import pandas as pd
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.to_dict("records")
+        pairs = _pairs_in_block(rows, threshold)
+        return pd.DataFrame(pairs, columns=["url_a", "url_b", "score"])
+
+    pairs_ds = (narrow
+                .map_batches(explode_blocks, batch_format="pyarrow")
+                .groupby("block")
+                .map_groups(per_block, batch_format="pandas"))
+    pdf = pairs_ds.to_pandas()
+    if pdf.empty:
+        return PAIRS_SCHEMA.empty_table()
+    pdf = pdf.drop_duplicates(["url_a", "url_b"]).sort_values(
+        ["url_a", "url_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, schema=PAIRS_SCHEMA,
+                                preserve_index=False)
+
+
+PREP_SCHEMA = pa.schema([
+    ("url", pa.string()), ("title", pa.string()), ("desc", pa.string()),
+    ("h1", pa.string()), ("word_count", pa.int64()),
+])
+
+
+def duplication_issues(pairs: pa.Table) -> pa.Table:
+    """Symmetric issue rows for each pair (reference emission shape)."""
+    rows = []
+    for r in pairs.to_pylist():
+        pct = f"{r['score'] * 100:.1f}"
+        rows.append({"url": r["url_a"], "type": "warning",
+                     "category": "Duplication",
+                     "issue": "Duplicate Content Detected",
+                     "details": f"Content is {pct}% similar to {r['url_b']}"})
+        rows.append({"url": r["url_b"], "type": "warning",
+                     "category": "Duplication",
+                     "issue": "Duplicate Content Detected",
+                     "details": f"Content is {pct}% similar to {r['url_a']}"})
+    from ..schema import ISSUES_SCHEMA
+    if not rows:
+        return ISSUES_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=ISSUES_SCHEMA)

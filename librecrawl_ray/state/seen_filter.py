@@ -20,8 +20,12 @@ import ray
 from .filters import BloomFilter, sha1s_to_u64
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
+    # num_cpus=0: shards are memory-resident index actors that answer short
+    # membership RPCs; they must never reserve scheduler slots away from the
+    # fetch/canonicalize pools (at cluster scale give them placement-group
+    # spread instead).
     """One hash partition of the URL-seen state."""
 
     def __init__(self, shard_id: int, capacity: int = 1_000_000,

@@ -16,11 +16,8 @@ SEEDS = ["https://site.example/"]
 
 
 @pytest.fixture(scope="module")
-def crawl_result(ray_session, t1_corpus_dir, t1_cfg, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("crawl_t1"))
-    eng = WaveCrawler(t1_corpus_dir, out, t1_cfg, fetch_concurrency=2)
-    summary = eng.run(SEEDS)
-    return eng, summary
+def crawl_result(t1_crawl):
+    return t1_crawl
 
 
 def _read_pages(out_dir):

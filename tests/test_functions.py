@@ -1,0 +1,219 @@
+"""Training-data operators: text analysis, dedup family, similarity search,
+multimodal plumbing — over the driver-provided testdata tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_annotations_match_duckdb(docs_ds):
+    """Ray implementations == the SQL-oracle formulas, via DuckDB."""
+    import duckdb
+    from librecrawl_ray.functions import text as T
+    got = docs_ds.map_batches(T.annotate_batch,
+                              batch_format="pyarrow").to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    sql = f"""
+      SELECT doc_id,
+             {T.TOKEN_COUNT_SQL.format(col='text')} AS tokens,
+             {T.QUALITY_SQL.format(col='text')} AS quality,
+             {T.lang_id_sql('text')} AS lang_pred,
+             {T.FINGERPRINT_SQL.format(col='text')} AS fingerprint
+      FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    want = con.sql(sql).df()
+    assert got["tokens"].tolist() == want["tokens"].tolist()
+    assert got["fingerprint"].tolist() == want["fingerprint"].tolist()
+    assert got["lang_pred"].tolist() == want["lang_pred"].tolist()
+    assert np.allclose(got["quality"], want["quality"], atol=2e-6)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import exact_dedup_groups
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["same  text", "Same text", "other", "same text", "x"],
+    })
+    out = exact_dedup_groups(rd.from_arrow(tbl)).to_pandas()
+    # "same  text"/"Same text"/"same text" normalize identically
+    grp = out[out["n_docs"] == 3]
+    assert len(grp) == 1 and grp["keeper"].iloc[0] == 1
+    assert out["n_docs"].sum() == 5
+
+
+def test_minhash_lsh_recall_vs_bruteforce(docs_ds):
+    """LSH candidate pairs at τ=0.5 ⊇ brute-force pairs (128 hashes, 32
+    bands ⇒ s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42 — well below τ)."""
+    from librecrawl_ray.functions.dedup import (jaccard, minhash_lsh_pairs)
+    import ray.data as rd
+    # seed near-dups into a small sample
+    pdf = docs_ds.to_pandas().head(60)[["doc_id", "text"]]
+    extra = pdf.head(5).copy()
+    extra["doc_id"] = extra["doc_id"] + 100000
+    extra["text"] = extra["text"].str.replace("the", "thee", n=1)
+    import pandas as pd
+    all_df = pd.concat([pdf, extra], ignore_index=True)
+    got = minhash_lsh_pairs(rd.from_pandas(all_df), threshold=0.5)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.to_pylist()}
+    recs = all_df.to_dict("records")
+    want = set()
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if jaccard(recs[i]["text"], recs[j]["text"]) >= 0.5:
+                a, b = recs[i]["doc_id"], recs[j]["doc_id"]
+                want.add((min(a, b), max(a, b)))
+    assert want, "fixture must contain near-dup pairs"
+    assert want <= got_pairs | want  # sanity
+    missed = want - got_pairs
+    assert not missed, f"LSH missed {len(missed)} of {len(want)}"
+    # verified jaccard values are exact
+    for r in got.to_pylist():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import simhash64, simhash_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("alpha", "alpha2", 1)},
+            {"doc_id": 3, "text": "completely different words entirely "
+                                  "unrelated to the others in every way"}]
+    out = simhash_pairs(rd.from_pandas(pd.DataFrame(rows)),
+                        max_hamming=6).to_pylist()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert simhash64(base) == simhash64(base)  # deterministic
+
+
+def test_embedding_neardup_and_topk(emb_ds):
+    import duckdb
+    from librecrawl_ray.functions.dedup import embedding_neardup_pairs
+    from librecrawl_ray.functions.similarity import (hyperplane_buckets,
+                                                     ivf_topk,
+                                                     topk_bruteforce)
+    q = np.asarray(
+        emb_ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"])
+    got = topk_bruteforce(emb_ds, q, k=10).to_pylist()
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH qv AS (SELECT embedding q FROM
+                    read_parquet('{SF}/embeddings.parquet') WHERE vec_id=0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding, (SELECT q FROM qv)), 6)
+                 AS cosine
+        FROM read_parquet('{SF}/embeddings.parquet')
+        ORDER BY cosine DESC, vec_id LIMIT 10""").df()
+    assert [r["vec_id"] for r in got] == want["vec_id"].tolist()
+    assert np.allclose([r["cosine"] for r in got], want["cosine"],
+                       atol=2e-6)
+    # IVF recall: top-1 must be found (vec 0 itself)
+    ivf = ivf_topk(emb_ds, q, k=10, num_centroids=8, nprobe=4).to_pylist()
+    assert ivf[0]["vec_id"] == 0
+    # blocked near-dup ⊆ full near-dup and includes self-similar clusters
+    pairs = embedding_neardup_pairs(emb_ds, threshold=0.9,
+                                    block_col="label").to_pylist()
+    for r in pairs:
+        assert r["cosine"] >= 0.9
+    # hyperplane bucketing is deterministic
+    b1 = hyperplane_buckets(emb_ds).to_pandas()["bucket"].tolist()
+    b2 = hyperplane_buckets(emb_ds).to_pandas()["bucket"].tolist()
+    assert b1 == b2
+
+
+def test_multimodal_plumbing(ray_session, t1_fixture):
+    import ray.data as rd
+    from librecrawl_ray.stages.multimodal import (FrameSampler,
+                                                  ImageDecoder,
+                                                  decode_pipeline,
+                                                  synthesize_media_table)
+    media = synthesize_media_table(t1_fixture["documents"])
+    assert media.num_rows > 50
+    out = decode_pipeline(rd.from_arrow(media), concurrency=2,
+                          batch_size=32).to_pandas()
+    assert len(out) == media.num_rows
+    assert out["width"].between(64, 64 + 1024).all()
+    assert out["embedding"].map(len).eq(32).all()
+    # determinism across runs
+    out2 = decode_pipeline(rd.from_arrow(media), concurrency=2,
+                           batch_size=32).to_pandas()
+    assert out["pixels_hash"].tolist() == out2["pixels_hash"].tolist()
+    # strict mode surfaces the stub boundary
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(strict=True)(media.slice(0, 1))
+    frames = FrameSampler()(media.slice(0, 8))
+    assert frames.num_rows >= 8
+
+
+def test_exports(t1_oracle):
+    from librecrawl_ray.exports import formats as F
+    pages = sorted(t1_oracle.pages, key=lambda p: (p["wave"], p["depth"],
+                                                   p["seq"]))
+    csv_text = F.pages_csv(pages[:20])
+    lines = csv_text.strip().splitlines()
+    assert lines[0].startswith("url,status_code,title")
+    assert len(lines) == 21
+    assert "internal links" in csv_text and "tags" in csv_text
+    j = F.pages_json(pages[:5], export_date="2026-01-01 00:00:00")
+    import json
+    obj = json.loads(j)
+    assert obj["total_urls"] == 5 and obj["export_date"].startswith("2026")
+    x = F.pages_xml(pages[:3], export_date="2026-01-01 00:00:00")
+    assert x.startswith("<librecrawl_export") and "<urls>" in x
+    lcsv = F.links_csv(t1_oracle.links[:10])
+    assert "Yes" in lcsv or "No" in lcsv
+    assert "Not crawled" in lcsv
+    from librecrawl_ray.stages.issues import page_issues
+    issues = [i for p in t1_oracle.pages[:50] for i in page_issues(p)]
+    ij = json.loads(F.issues_json(issues, export_date="2026-01-01 00:00:00"))
+    assert ij["total_issues"] == len(issues)
+    assert ij["total_urls_with_issues"] == len({i["url"] for i in issues})
+    viz = F.visualization_graph(pages, t1_oracle.links, max_nodes=100)
+    assert len(viz["nodes"]) == 100
+    assert viz["edges"] and all(e["source"] != e["target"]
+                                for e in viz["edges"])
+
+
+def test_keywords(docs_ds):
+    import duckdb
+    from librecrawl_ray.functions.keywords import (dedup_keywords,
+                                                   ngram_counts,
+                                                   normalize_keyword,
+                                                   top_keywords,
+                                                   top_keywords_sql)
+    got = top_keywords(docs_ds, k=20)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(top_keywords_sql(20)).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["occurrences"].tolist() == want["occurrences"].tolist()
+    ng = ngram_counts("big data big data pipelines process big data fast")
+    assert ng["1gram"][0]["gram"] == "big" or ng["1gram"][0]["gram"] == "data"
+    assert ng["2gram"][0]["gram"] == "big data"
+    assert ng["2gram"][0]["count"] == 3
+    n = normalize_keyword("  Buy   CHEAP Widgets ")
+    assert n == {"keyword": "buy cheap widgets", "word_count": 3,
+                 "bucket": "medium", "intent": "transactional"}
+    d = dedup_keywords(["Foo Bar", "foo  bar", "baz"])
+    assert [x["keyword"] for x in d] == ["foo bar", "baz"]

@@ -1,0 +1,170 @@
+"""Link-graph report pipelines (J1-J6), site-wide issue passes, near-dup
+and the per-page issue stage, validated against oracle-derived expectations
+computed independently from the oracle's sequential outputs."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from librecrawl_ray.canonical import norm_url
+from librecrawl_ray.pipelines import reports
+from librecrawl_ray.stages.issues import make_issue_detector, page_issues
+from librecrawl_ray.stages.neardup import (duplication_issues,
+                                           near_duplicate_pairs, pair_score,
+                                           preprocess)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(t1_crawl):
+    _, summary = t1_crawl
+    return reports.load_pages(summary["out_dir"])
+
+
+@pytest.fixture(scope="module")
+def links_ds(t1_crawl):
+    _, summary = t1_crawl
+    return reports.load_links(summary["out_dir"])
+
+
+def test_inlink_counts(pages_ds, links_ds, t1_oracle):
+    got = {r["norm_target"]: r["count()"]
+           for r in reports.inlink_counts(links_ds).to_pandas().to_dict("records")}
+    want = Counter(norm_url(e["target_url"]) for e in t1_oracle.links)
+    assert got == dict(want)
+
+
+def test_links_with_status(pages_ds, links_ds, t1_oracle):
+    got = reports.links_with_status(pages_ds, links_ds).to_pandas()
+    status_by_norm = {norm_url(p["url"]): p["status_code"]
+                      for p in t1_oracle.pages}
+    for r in got.to_dict("records"):
+        want = status_by_norm.get(norm_url(r["target_url"]))
+        g = r["target_status"]
+        g = None if g is None or (isinstance(g, float) and g != g) else int(g)
+        assert g == want, r["target_url"]
+
+
+def test_broken_link_issues(pages_ds, links_ds, t1_oracle):
+    got = reports.broken_link_issues(pages_ds, links_ds).to_pandas()
+    broken_norms = {norm_url(p["url"]) for p in t1_oracle.pages
+                    if p["status_code"] == 0 or p["status_code"] >= 400}
+    linked_broken = {norm_url(e["target_url"]) for e in t1_oracle.links
+                     if norm_url(e["target_url"]) in broken_norms}
+    assert {norm_url(u) for u in got["url"]} == linked_broken
+    assert (got["type"] == "error").all()
+
+
+def test_links_to_redirects(pages_ds, links_ds, t1_oracle):
+    got = reports.links_to_redirects_issues(pages_ds, links_ds).to_pandas()
+    redirecting = {norm_url(p["url"]) for p in t1_oracle.pages
+                   if (p["redirect_count"] or 0) >= 1}
+    want_sources = {e["source_url"] for e in t1_oracle.links
+                    if e["is_internal"]
+                    and norm_url(e["target_url"]) in redirecting}
+    assert set(got["url"]) == want_sources
+
+
+def test_sitemap_health(pages_ds, t1_fixture):
+    from librecrawl_ray.sources.sitemap import (expand_sitemaps,
+                                                sitemap_roots_from_robots)
+    roots = sitemap_roots_from_robots(t1_fixture["robots"].to_pylist())
+    urls = expand_sitemaps(t1_fixture["sitemaps"].to_pylist(), roots)
+    assert len(urls) > 5
+    health = reports.sitemap_health(pages_ds, urls).to_pylist()
+    buckets = {r["sitemap_url"]: r["bucket"] for r in health}
+    assert buckets["https://site.example/missing/m0"] == "broken"
+    assert buckets["https://site.example/r/b0"] == "redirect"
+    assert buckets["https://site.example/tag/widgets"] == "noindexed"
+    assert buckets["https://site.example/orphan/a"] == "not_crawled"
+    assert buckets["https://site.example/"] == "valid"
+
+
+def test_hreflang_issues(pages_ds):
+    got = reports.hreflang_issues(pages_ds).to_pandas()
+    names = set(got["issue"])
+    # 'xx' is ISO-shaped but not a known language → Unknown, not Invalid
+    assert "Hreflang: Unknown Language Code" in names
+    assert "Hreflang: Missing Reciprocal Link" in names
+    assert "Hreflang: Points to Non-200 Page" in names
+    assert "Hreflang: Missing Self-Reference" in names
+    # es → en is non-reciprocal
+    recip = got[got["issue"] == "Hreflang: Missing Reciprocal Link"]
+    assert "https://site.example/l/es/guide" in set(recip["url"])
+
+
+def test_unsafe_cross_origin_once_per_domain(links_ds):
+    got = reports.unsafe_cross_origin_issues(links_ds).to_pandas()
+    # one row per external domain
+    doms = [d.split("External domain ")[1].split(" opens")[0]
+            for d in got["details"]]
+    assert len(doms) == len(set(doms))
+    assert len(doms) > 5
+
+
+def test_security_headers_once_per_domain(pages_ds):
+    got = reports.security_header_issues(pages_ds).to_pandas()
+    # sub1 has all three headers → absent; site.example missing all three
+    assert not any("sub1.site.example" in d for d in got["details"])
+    site_rows = got[got["details"].str.contains("Domain site.example ")]
+    assert set(site_rows["issue"]) == {
+        "Security: Missing Content-Security-Policy",
+        "Security: Missing HSTS Header",
+        "Security: Missing X-Frame-Options"}
+
+
+def test_page_issues_stage(pages_ds, t1_oracle):
+    """Ray stage output == per-row python reference over oracle pages."""
+    from librecrawl_ray.stages.issues import is_excluded
+    detect = make_issue_detector()
+    got = pages_ds.map_batches(detect, batch_format="pyarrow").to_pandas()
+    want = []
+    for p in t1_oracle.pages:
+        if not is_excluded(p["url"]):
+            want.extend(page_issues(p))
+    got_keys = sorted(map(tuple, got[["url", "type", "category",
+                                      "issue"]].itertuples(index=False)))
+    want_keys = sorted((w["url"], w["type"], w["category"], w["issue"])
+                       for w in want)
+    assert got_keys == want_keys
+    names = {k[3] for k in got_keys}
+    # the fixture exercises a broad slice of the issue surface
+    for expected in ("Missing Title Tag (Archive/Utility)",
+                     "Page Titles: Over 60 Characters", "Title Too Short",
+                     "Meta Description: Over 155 Characters",
+                     "H1: Multiple", "Thin Content",
+                     "Soft 404: Returns 200 but appears broken",
+                     "Redirect Loop Detected", "Long Redirect Chain",
+                     "Missing Viewport Meta Tag",
+                     "Missing Language Attribute",
+                     "Images: Missing Alt Text",
+                     "Missing OpenGraph Tags", "No Structured Data",
+                     "Schema: FAQPage has few questions",
+                     "Slow Response Time", "Large Page Size",
+                     "Directives: Noindex", "URL: Over 115 Characters",
+                     "URL: Underscores", "URL: Parameters",
+                     "URL: Repetitive Path", "Security: Mixed Content",
+                     "Connection Failed"):
+        assert expected in names, expected
+
+
+def test_neardup_exact_and_blocked(pages_ds, t1_oracle):
+    """Blocked near-dup recall equals exact all-pairs on the fixture; the
+    /dup/ cluster pairs straddle the threshold as designed."""
+    exact = near_duplicate_pairs(pages_ds, exact=True).to_pylist()
+    blocked = near_duplicate_pairs(pages_ds, exact=False).to_pylist()
+    key = lambda r: (r["url_a"], r["url_b"], round(r["score"], 6))
+    assert sorted(map(key, exact)) == sorted(map(key, blocked))
+    dup_pairs = {(r["url_a"], r["url_b"]) for r in exact
+                 if "/dup/" in r["url_a"] and "/dup/" in r["url_b"]}
+    assert ("https://site.example/dup/a", "https://site.example/dup/b") \
+        in dup_pairs
+    # reference-exact scoring on a hand case
+    p1 = preprocess({"url": "x", "title": "alpha beta gamma",
+                     "meta_description": "alpha beta gamma",
+                     "h1": "alpha", "word_count": 100})
+    s = pair_score(p1, dict(p1), 0.85)
+    assert s is not None and abs(s - 1.0) < 1e-9
+    issues = duplication_issues(near_duplicate_pairs(pages_ds, exact=True))
+    assert issues.num_rows == 2 * len(exact)

@@ -1,0 +1,76 @@
+"""Sitemap seeding (S5), llms.txt validation (S7), robots validator (M5)."""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from librecrawl_ray.engine.crawl import WaveCrawler
+from librecrawl_ray.oracle import simulate
+from librecrawl_ray.sources.llms import fetch_llms, validate_llms
+from librecrawl_ray.sources.robots import parse_robots, validate_robots
+
+SEEDS = ["https://site.example/"]
+
+
+def test_robots_parse_and_validate(t1_fixture):
+    rows = t1_fixture["robots"].to_pylist()
+    by_host = {r["host"]: r["content"] for r in rows}
+    main = parse_robots(by_host["site.example"])
+    assert "/private/" in main.disallow
+    assert main.sitemaps == ["https://site.example/sitemap_index.xml"]
+    assert not main.is_allowed("https://site.example/private/x")
+    assert main.is_allowed("https://site.example/page/a")
+    sub0 = parse_robots(by_host["sub0.site.example"])
+    assert sub0.crawl_delay == 2
+    problems = validate_robots(by_host["broken-robots.example"])
+    kinds = {p["problem"] for p in problems}
+    assert "missing_colon" in kinds          # "User-agent *"
+    assert "unknown_directive" in kinds      # "Disalow"
+
+
+def test_llms_validation(t1_fixture):
+    from librecrawl_ray.oracle import build_lookup
+    from librecrawl_ray.canonical import norm_url
+    lookup_map = build_lookup(t1_fixture["documents"])
+    res = fetch_llms(lambda u: lookup_map.get(norm_url(u)), "site.example")
+    assert res["present"] and res["valid"]
+    assert res["title"] == "Site Example"
+    assert validate_llms(None) == {"present": False, "valid": False,
+                                   "title": "", "problems": ["missing"]}
+    bad = validate_llms({"content_type": "text/html", "spans": []})
+    assert not bad["valid"] and len(bad["problems"]) == 2
+
+
+def test_sitemap_seeded_crawl(ray_session, t1_fixture, t1_corpus_dir,
+                              t1_cfg, tmp_path):
+    """use_sitemap admits sitemap URLs at depth 0; the orphan page (only in
+    the sitemap) is crawled; engine order still equals the oracle's."""
+    cfg = dataclasses.replace(t1_cfg, use_sitemap=True, max_depth=1)
+    oracle = simulate(t1_fixture["documents"], t1_fixture["robots"], SEEDS,
+                      cfg, sitemaps_table=t1_fixture["sitemaps"])
+    oracle_urls = {c["url"] for c in oracle.crawl_order}
+    assert "https://site.example/orphan/a" in oracle_urls
+    depth0 = [c for c in oracle.crawl_order if c["depth"] == 0]
+    assert len(depth0) > 5                      # seed + sitemap entries
+
+    eng = WaveCrawler(t1_corpus_dir, str(tmp_path / "out"), cfg,
+                      fetch_concurrency=2)
+    summary = eng.run(SEEDS)
+    files = sorted(glob.glob(os.path.join(summary["out_dir"], "pages",
+                                          "wave=*", "*.parquet")))
+    pages = pa.concat_tables([pq.read_table(f, columns=["url", "depth",
+                                                        "seq", "wave"])
+                              for f in files], promote_options="default")
+    got = sorted(zip(pages.column("url").to_pylist(),
+                     pages.column("depth").to_pylist(),
+                     pages.column("seq").to_pylist(),
+                     pages.column("wave").to_pylist()),
+                 key=lambda r: (r[3], r[1], r[2]))
+    want = [(c["url"], c["depth"], c["seq"], c["wave"])
+            for c in oracle.crawl_order]
+    assert got == want
