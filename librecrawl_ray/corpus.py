@@ -125,8 +125,8 @@ DEFAULT_CONFIG = {
     "duplication_threshold": 0.85,
     "max_file_size": 50 * 1024 * 1024,
     "per_host_wave_cap": 0,          # 0 = politeness off (no deferrals)
-    "num_shards": 8,                 # seen-filter shards
-    "num_parts": 8,                  # corpus hash partitions
+    "num_shards": 16,                # seen-filter shards
+    "num_parts": 32,                 # corpus hash partitions
     "use_sitemap": False,
     "retries": 3,
 }
@@ -669,7 +669,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

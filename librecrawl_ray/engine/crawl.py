@@ -143,6 +143,15 @@ class WaveCrawler:
                 for _ in range(self.fetch_concurrency)]
         return self._workers
 
+    def release_workers(self) -> None:
+        """Kill the fetch pool (frees its CPU reservations for post-crawl
+        report pipelines). Seen shards stay alive (num_cpus=0 memory
+        actors) so tests can still inspect the seen set."""
+        if self._workers is not None:
+            for w in self._workers:
+                ray.kill(w)
+            self._workers = None
+
     # ------------------------------------------------------------ paths
     def _p(self, *parts) -> str:
         return os.path.join(self.out_dir, *parts)
@@ -339,6 +348,7 @@ class WaveCrawler:
                 cand, self.cfg,
                 self.robots if self.cfg.respect_robots else None,
                 self.num_parts)
+            t_fetch = time.perf_counter() - t0
         else:
             # distributed path: persistent partition-affine actor pool
             # (created once per crawl; partition caches survive waves).
@@ -360,6 +370,7 @@ class WaveCrawler:
             blocks = [b for b in ray.get(futs) if b.num_rows]
             raw_tbl = (pa.concat_tables(blocks, promote_options="default")
                        if blocks else CANDIDATE_SCHEMA.empty_table())
+        t_fetch = time.perf_counter() - t0
         # within-wave dedup, vectorized: first sighting per sha1 by
         # (parent_seq, pos). At 10^10 scale this becomes the distributed
         # groupby(sha1)-aggregate of the north rule; driver-side Arrow sort
@@ -384,6 +395,7 @@ class WaveCrawler:
         # across shards. Driver only touches frontier-sized data here.
         cand_rows = cand_tbl.to_pylist()
         cand_rows.sort(key=lambda r: (r["parent_seq"], r["pos"]))
+        t_dedup = time.perf_counter() - t0 - t_fetch
         # two-phase admission: (1) membership probe against shard actors,
         # (2) trap gate in discovery order — trap-rejected URLs must NOT
         # enter the seen set (reference link_manager.py:87-107 checks the
@@ -448,6 +460,8 @@ class WaveCrawler:
             "wave": k, "fetched": n_gated, "candidates": n_candidates,
             "admitted": len(admitted_rows), "deferred": len(deferred),
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
+            "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
+            "t_admit": round(elapsed - t_fetch - t_dedup, 3),
             "next_seq": self.next_seq, "fetched_total": self.fetched_total,
             "by_part": {str(p): c for p, c in sorted(by_part.items())},
             "stopped": stopped,
@@ -475,6 +489,7 @@ class WaveCrawler:
             waves.append(m)
             if m.get("done"):
                 break
+        self.release_workers()
         return {
             "fetched_total": self.fetched_total,
             "waves": waves,

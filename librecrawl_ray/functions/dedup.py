@@ -134,23 +134,25 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
 
     import pandas as pd
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("id").sort_values("id")
-        recs = df.to_dict("records")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                jac = jaccard(recs[i]["text"], recs[j]["text"], ngram)
-                if jac >= threshold:
-                    rows.append({"id_a": recs[i]["id"],
-                                 "id_b": recs[j]["id"],
-                                 "jaccard": round(jac, 6)})
+        for _, g in df.groupby("band"):
+            g = g.drop_duplicates("id").sort_values("id")
+            recs = g.to_dict("records")
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    jac = jaccard(recs[i]["text"], recs[j]["text"], ngram)
+                    if jac >= threshold:
+                        rows.append({"id_a": recs[i]["id"],
+                                     "id_b": recs[j]["id"],
+                                     "jaccard": round(jac, 6)})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    pairs = (ds.select_columns([id_col, text_col])
-             .map_batches(to_bands, batch_format="pyarrow")
-             .groupby("band")
-             .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    from ..pipelines.reports import bucketed_groups
+    pairs = bucketed_groups(
+        ds.select_columns([id_col, text_col])
+          .map_batches(to_bands, batch_format="pyarrow"),
+        "band", per_bucket).to_pandas()
     if pairs.empty:
         return PAIR_SCHEMA.empty_table()
     pairs = pairs.drop_duplicates(["id_a", "id_b"]) \
@@ -201,22 +203,25 @@ def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
 
     import pandas as pd
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("id").sort_values("id")
-        recs = df.to_dict("records")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = int(recs[i]["simhash"] ^ recs[j]["simhash"]).bit_count()
-                if d <= max_hamming:
-                    rows.append({"id_a": recs[i]["id"],
-                                 "id_b": recs[j]["id"], "hamming": d})
+        for _, g in df.groupby("bucket"):
+            g = g.drop_duplicates("id").sort_values("id")
+            recs = g.to_dict("records")
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = int(recs[i]["simhash"]
+                            ^ recs[j]["simhash"]).bit_count()
+                    if d <= max_hamming:
+                        rows.append({"id_a": recs[i]["id"],
+                                     "id_b": recs[j]["id"], "hamming": d})
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = (ds.select_columns([id_col, text_col])
-             .map_batches(to_chunks, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    from ..pipelines.reports import bucketed_groups
+    pairs = bucketed_groups(
+        ds.select_columns([id_col, text_col])
+          .map_batches(to_chunks, batch_format="pyarrow"),
+        "bucket", per_bucket).to_pandas()
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("hamming", pa.int64())])
     if pairs.empty:

@@ -29,6 +29,7 @@ import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..canonical import norm_url
@@ -54,15 +55,53 @@ def _add_norm(ds: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _bucket_of(vals: list[str], buckets: int) -> pa.Array:
+    import zlib
+    return pa.array([zlib.crc32(v.encode()) % buckets for v in vals],
+                    pa.int32())
+
+
+BROADCAST_JOIN_ROWS = 2_000_000
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
-              how: str = "inner", right_key: str | None = None) -> rd.Dataset:
-    """Reduce-side hash join: tag side → union → groupby(key) → per-group
-    merge. One shuffle, arbitrary schemas, no reliance on Dataset.join
-    (which, in Ray 2.49.2, raises ArrowInvalid on some streamed upstream
-    graphs — observed with parquet-read → map_batches → filter inputs).
-    At scale this is exactly the partitioned hash join; salt ``key`` before
-    calling for skewed keys."""
+              how: str = "inner", right_key: str | None = None,
+              buckets: int = 32,
+              broadcast_threshold: int = BROADCAST_JOIN_ROWS) -> rd.Dataset:
+    """Adaptive hash join.
+
+    Map-side broadcast when the right side fits under
+    ``broadcast_threshold`` rows (ray.put once, pandas merge per left
+    batch — no shuffle), else reduce-side bucketed: tag side → union →
+    groupby(bucket of key) → ONE pandas merge per bucket. No reliance on
+    Dataset.join (which, in Ray 2.49.2, raises ArrowInvalid on some
+    streamed upstream graphs — observed with parquet-read → map_batches →
+    filter inputs). Bucketing keeps the per-group work vectorized; at
+    10^10 scale raise ``buckets`` ≈ cluster cores and salt hot keys."""
     import pandas as pd
+
+    rk0 = right_key or key
+    if broadcast_threshold > 0:
+        try:
+            rdf = right.to_pandas(limit=broadcast_threshold)
+        except ValueError:
+            rdf = None
+        if rdf is not None:
+            lschema = left.schema()
+            lcols0 = list(lschema.names)
+            rcols0 = [c for c in rdf.columns if c != rk0]
+            rcols0_out = [c if c not in lcols0 else c + "_r"
+                          for c in rcols0]
+            rdf = rdf.rename(columns=dict(zip(rcols0, rcols0_out)))
+            rdf = rdf.rename(columns={rk0: key})
+            r_ref = ray.put(rdf)
+
+            def bmerge(df: pd.DataFrame) -> pd.DataFrame:
+                rsmall = ray.get(r_ref)
+                m = df.merge(rsmall, on=key,
+                             how="inner" if how == "inner" else "left")
+                return m[lcols0 + rcols0_out]
+            return left.map_batches(bmerge, batch_format="pandas")
 
     def _pa_type(t):
         """Ray Schema.types entries are pyarrow types for Arrow blocks but
@@ -86,7 +125,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
         t = batch
         for c, out_c in zip(rcols, rcols_out):
             t = t.append_column(out_c, pa.nulls(t.num_rows, rtypes[c]))
-        return t.append_column("__side", pa.array(["L"] * t.num_rows))
+        t = t.append_column("__side", pa.array(["L"] * t.num_rows))
+        return t.append_column(
+            "__bucket", _bucket_of(batch.column(key).to_pylist(), buckets))
 
     def tag_right(batch: pa.Table) -> pa.Table:
         t = pa.table({key: batch.column(rk)})
@@ -97,10 +138,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
         for c, out_c in zip(rcols, rcols_out):
             t = t.append_column(out_c, batch.column(c))
         t = t.append_column("__side", pa.array(["R"] * batch.num_rows))
-        return t.select(lcols + rcols_out + ["__side"])
+        t = t.append_column(
+            "__bucket", _bucket_of(batch.column(rk).to_pylist(), buckets))
+        return t.select(lcols + rcols_out + ["__side", "__bucket"])
 
     lt = left.map_batches(tag_left, batch_format="pyarrow") \
-             .select_columns(lcols + rcols_out + ["__side"])
+             .select_columns(lcols + rcols_out + ["__side", "__bucket"])
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
 
@@ -121,7 +164,23 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
                         how="inner" if how == "inner" else "left")
         return m[out_cols]
 
-    return both.groupby(key).map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def bucketed_groups(ds: rd.Dataset, key_col: str, per_bucket,
+                    buckets: int = 32) -> rd.Dataset:
+    """groupby-aggregate with bucketed shuffle: rows are grouped by
+    hash(key) % buckets and ``per_bucket(df)`` handles ALL keys of one
+    bucket with vectorized pandas (a per-key map_groups costs one pandas
+    invocation per key — at 10^5+ keys that dominates wall time)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _bucket_of(batch.column(key_col).to_pylist(),
+                                   buckets))
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: per_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas"))
 
 
 # ------------------------------------------------------- J1 / A8 link graph
@@ -144,23 +203,24 @@ def linked_from(pages: rd.Dataset, links: rd.Dataset,
     """J1: pages ⟕ collected source lists on normalized url. Mirrors the
     reference's post-crawl `_update_all_linked_from` (crawler.py:1411-1423)
     final-state semantics."""
-    def collect(tbl: pa.Table) -> pa.Table:
-        srcs = sorted(set(tbl.column("source_url").to_pylist()))
-        if max_sources:
-            srcs = srcs[:max_sources]
-        # carried as a joined string through the (pandas-merging) join,
-        # split back to list<string> afterwards — nested types don't
-        # round-trip pandas object dtype reliably
-        return pa.table({
-            "norm_target": pa.array(
-                [tbl.column("norm_target")[0].as_py()], pa.string()),
-            "linked_from_s": pa.array(["\x1f".join(srcs)], pa.string()),
-        })
+    import pandas as pd
 
-    agg = (_add_norm(links.select_columns(["source_url", "target_url"]),
-                     "target_url", "norm_target")
-           .groupby("norm_target").map_groups(collect,
-                                              batch_format="pyarrow"))
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        # linked_from carried as a joined string through the
+        # (pandas-merging) join, split back to list<string> afterwards —
+        # nested types don't round-trip pandas object dtype reliably
+        def agg_sources(s):
+            srcs = sorted(set(s))
+            if max_sources:
+                srcs = srcs[:max_sources]
+            return "\x1f".join(srcs)
+        out = df.groupby("norm_target")["source_url"].agg(agg_sources)
+        return out.rename("linked_from_s").reset_index()
+
+    agg = bucketed_groups(
+        _add_norm(links.select_columns(["source_url", "target_url"]),
+                  "target_url", "norm_target"),
+        "norm_target", collect)
     keyed = _add_norm(pages, "url", "norm_url")
     joined = hash_join(keyed, agg, "norm_url", how="left_outer",
                        right_key="norm_target")
@@ -209,17 +269,19 @@ def links_to_redirects_issues(pages: rd.Dataset,
         "target_url", "norm_target")
     hits = hash_join(internal, redirecting, "norm_target", how="inner")
 
-    def per_source(df: pd.DataFrame) -> pd.DataFrame:
-        targets = sorted(df["target_url"].unique().tolist())
-        return pd.DataFrame({
-            "url": [df["source_url"].iloc[0]],
-            "type": ["info"], "category": ["Links"],
-            "issue": ["Links: Internal Links to Redirects"],
-            "details": [f"{len(targets)} internal link(s) point to "
-                        f"redirecting URLs: {', '.join(targets[:5])}"],
-        })
-    return hits.groupby("source_url").map_groups(per_source,
-                                                 batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        def fmt(s):
+            targets = sorted(set(s))
+            return (f"{len(targets)} internal link(s) point to "
+                    f"redirecting URLs: {', '.join(targets[:5])}")
+        agg = df.groupby("source_url")["target_url"].agg(fmt)
+        out = agg.rename("details").reset_index() \
+                 .rename(columns={"source_url": "url"})
+        out["type"] = "info"
+        out["category"] = "Links"
+        out["issue"] = "Links: Internal Links to Redirects"
+        return out[["url", "type", "category", "issue", "details"]]
+    return bucketed_groups(hits, "source_url", per_bucket)
 
 
 # ------------------------------------------------- J4 broken link sources
@@ -237,18 +299,22 @@ def broken_link_issues(pages: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
                      broken.select_columns(["norm_target", "status_code"]),
                      "norm_target", how="inner")
 
-    def per_target(df: pd.DataFrame) -> pd.DataFrame:
-        sources = sorted(df["source_url"].unique().tolist())
-        status = int(df["status_code"].iloc[0])
-        return pd.DataFrame({
-            "url": [df["target_url"].iloc[0]],
-            "type": ["error"], "category": ["Links"],
-            "issue": [f"Broken Link ({status if status else 'No Response'})"],
-            "details": [f"Linked from {len(sources)} page(s): "
-                        f"{', '.join(sources[:5])}"],
-        })
-    return hits.groupby("norm_target").map_groups(per_target,
-                                                  batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tgt, g in df.groupby("norm_target"):
+            sources = sorted(set(g["source_url"]))
+            status = int(g["status_code"].iloc[0])
+            rows.append({
+                "url": g["target_url"].iloc[0],
+                "type": "error", "category": "Links",
+                "issue": f"Broken Link "
+                         f"({status if status else 'No Response'})",
+                "details": f"Linked from {len(sources)} page(s): "
+                           f"{', '.join(sources[:5])}",
+            })
+        return pd.DataFrame(rows, columns=["url", "type", "category",
+                                           "issue", "details"])
+    return bucketed_groups(hits, "norm_target", per_bucket)
 
 
 # ----------------------------------------------------- J5 sitemap health
@@ -411,18 +477,18 @@ def hreflang_issues(pages: rd.Dataset) -> rd.Dataset:
     import pandas as pd
 
     def self_ref(df: pd.DataFrame) -> pd.DataFrame:
-        has = (df["norm_source"] == df["norm_target"]).any()
-        if has:
-            return pd.DataFrame(columns=["url", "type", "category", "issue",
-                                         "details"])
-        return pd.DataFrame({
-            "url": [df["source"].iloc[0]], "type": ["warning"],
-            "category": ["International"],
-            "issue": ["Hreflang: Missing Self-Reference"],
-            "details": ["Page's hreflang set does not include itself"],
-        })
-    selfs = edges.groupby("norm_source").map_groups(self_ref,
-                                                    batch_format="pandas")
+        rows = []
+        for src, g in df.groupby("norm_source"):
+            if not (g["norm_source"] == g["norm_target"]).any():
+                rows.append({
+                    "url": g["source"].iloc[0], "type": "warning",
+                    "category": "International",
+                    "issue": "Hreflang: Missing Self-Reference",
+                    "details": "Page's hreflang set does not include "
+                               "itself"})
+        return pd.DataFrame(rows, columns=["url", "type", "category",
+                                           "issue", "details"])
+    selfs = bucketed_groups(edges, "norm_source", self_ref, buckets=8)
     return annotated.union(selfs)
 
 
@@ -437,17 +503,17 @@ def unsafe_cross_origin_issues(links: rd.Dataset) -> rd.Dataset:
         lambda r: bool(r["blank"]) and not bool(r["noopener"])
         and not bool(r["is_internal"]))
 
-    def per_domain(df: pd.DataFrame) -> pd.DataFrame:
-        dom = df["target_domain"].iloc[0]
-        src = df["source_url"].min()
-        return pd.DataFrame({
-            "url": [src], "type": ["info"], "category": ["Security"],
-            "issue": ["Security: Unsafe Cross-Origin Links"],
-            "details": [f'External domain {dom} opens in new tab without '
-                        f'rel="noopener" (Best practice recommendation)'],
-        })
-    return bad.groupby("target_domain").map_groups(per_domain,
-                                                   batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("target_domain")["source_url"].min()
+        out = agg.rename("url").reset_index()
+        out["type"] = "info"
+        out["category"] = "Security"
+        out["issue"] = "Security: Unsafe Cross-Origin Links"
+        out["details"] = out["target_domain"].map(
+            lambda dom: f'External domain {dom} opens in new tab without '
+                        f'rel="noopener" (Best practice recommendation)')
+        return out[["url", "type", "category", "issue", "details"]]
+    return bucketed_groups(bad, "target_domain", per_bucket, buckets=16)
 
 
 _SECURITY_HEADERS = (

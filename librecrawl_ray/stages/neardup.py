@@ -123,15 +123,16 @@ def near_duplicate_pairs(pages: rd.Dataset,
 
     import pandas as pd
 
-    def per_block(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.to_dict("records")
-        pairs = _pairs_in_block(rows, threshold)
-        return pd.DataFrame(pairs, columns=["url_a", "url_b", "score"])
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("block"):
+            out.extend(_pairs_in_block(g.to_dict("records"), threshold))
+        return pd.DataFrame(out, columns=["url_a", "url_b", "score"])
 
-    pairs_ds = (narrow
-                .map_batches(explode_blocks, batch_format="pyarrow")
-                .groupby("block")
-                .map_groups(per_block, batch_format="pandas"))
+    from ..pipelines.reports import bucketed_groups
+    pairs_ds = bucketed_groups(
+        narrow.map_batches(explode_blocks, batch_format="pyarrow"),
+        "block", per_bucket)
     pdf = pairs_ds.to_pandas()
     if pdf.empty:
         return PAIRS_SCHEMA.empty_table()

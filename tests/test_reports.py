@@ -46,6 +46,26 @@ def test_links_with_status(pages_ds, links_ds, t1_oracle):
         assert g == want, r["target_url"]
 
 
+def test_hash_join_paths_equivalent(ray_session, pages_ds, links_ds):
+    """Broadcast and reduce-side hash_join paths return identical rows."""
+    status = reports._add_norm(
+        pages_ds.select_columns(["url", "status_code"]), "url",
+        "norm_target").select_columns(["norm_target", "status_code"])
+    keyed = reports._add_norm(
+        links_ds.select_columns(["source_url", "target_url"]),
+        "target_url", "norm_target")
+    a = reports.hash_join(keyed, status, "norm_target",
+                          how="left_outer").to_pandas()
+    b = reports.hash_join(keyed, status, "norm_target", how="left_outer",
+                          broadcast_threshold=0).to_pandas()
+    key = ["source_url", "target_url", "norm_target"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert a["status_code"].fillna(-1).astype(int).tolist() == \
+        b["status_code"].fillna(-1).astype(int).tolist()
+
+
 def test_broken_link_issues(pages_ds, links_ds, t1_oracle):
     got = reports.broken_link_issues(pages_ds, links_ds).to_pandas()
     broken_norms = {norm_url(p["url"]) for p in t1_oracle.pages
