@@ -57,6 +57,11 @@ def run_bench() -> None:
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     C._docs(sf_dir, ["doc_id"]).count()
+    import glob
+    for f in glob.glob(os.path.join(cdir, "parts", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
 
     # ---- headline: full crawl (fetch+parse+dedup+frontier, checkpointed)
     t0 = time.perf_counter()

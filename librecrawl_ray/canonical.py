@@ -32,17 +32,53 @@ _UUID_RE = re.compile(
 _DIGITS_RE = re.compile(r"\d+")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _base_parts(base: str) -> tuple[str, str]:
+    p = urlsplit(base)
+    return p.scheme, p.netloc
+
+
 def clean_url(href: str, base: str = "") -> str:
-    """Absolutize ``href`` against ``base``, drop fragment, keep query."""
-    absu = urljoin(base, href.strip()) if base else href.strip()
+    """Absolutize ``href`` against ``base``, drop fragment, keep query.
+
+    Fast paths for the dominant href forms (absolute, protocol-relative,
+    root-relative) — urljoin/urlsplit are the crawl's hottest calls; the
+    general form falls back to the reference-equivalent slow path."""
+    h = href.strip()
+    if "#" in h:
+        h = h.split("#", 1)[0]
+    if h.startswith("https://") or h.startswith("http://"):
+        return h
+    if base:
+        if h.startswith("//"):
+            return _base_parts(base)[0] + ":" + h
+        if h.startswith("/"):
+            scheme, netloc = _base_parts(base)
+            return f"{scheme}://{netloc}{h}"
+    absu = urljoin(base, h) if base else h
     parts = urlsplit(absu)
     return urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, ""))
 
 
 def norm_url(url: str) -> str:
     """Comparison-normalized URL: lowercase, no fragment, no trailing slash
-    (except a bare root path). Join key for link-graph passes."""
-    parts = urlsplit(url.strip().lower())
+    (except a bare root path). Join key for link-graph passes.
+
+    Fast path for fragment/query-free absolute URLs; slow path is the
+    reference semantics (issue_detector.py:61-86)."""
+    u = url.strip().lower()
+    if ("#" not in u and "?" not in u and not u.endswith("//")
+            and (u.startswith("https://") or u.startswith("http://"))):
+        sep = u.index("://") + 3
+        if "/" not in u[sep:]:
+            return u + "/"
+        if u.endswith("/") and u.index("/", sep) != len(u) - 1:
+            return u.rstrip("/")
+        return u
+    parts = urlsplit(u)
     path = parts.path
     if path.endswith("/") and path != "/":
         path = path.rstrip("/")
@@ -100,6 +136,11 @@ def url_extension(url: str) -> str:
 def shard_of(sha1_hex: str, num_shards: int) -> int:
     """Seen-filter shard for a url sha1 (north rule: sha1 % K)."""
     return int(sha1_hex[:8], 16) % num_shards
+
+
+def shard_of_u64(sha64: int, num_shards: int) -> int:
+    """Same shard function from the 64-bit key (top 32 bits == hex[:8])."""
+    return (int(sha64) >> 32) % num_shards
 
 
 # ---------------------------------------------------------------- batch forms

@@ -126,7 +126,7 @@ DEFAULT_CONFIG = {
     "max_file_size": 50 * 1024 * 1024,
     "per_host_wave_cap": 0,          # 0 = politeness off (no deferrals)
     "num_shards": 16,                # seen-filter shards
-    "num_parts": 32,                 # corpus hash partitions
+    "num_parts": 128,                # corpus hash partitions (≫ worker pool → balanced greedy assignment)
     "use_sitemap": False,
     "retries": 3,
 }
@@ -669,7 +669,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

@@ -53,13 +53,13 @@ CANDIDATE_SCHEMA = pa.schema([
     ("parent_seq", pa.int64()),
     ("pos", pa.int32()),
     ("host", pa.string()),
-    ("sha1", pa.string()),
+    ("sha64", pa.uint64()),
     ("part", pa.int32()),
     ("shard", pa.int32()),
     ("signature", pa.string()),
 ])
 
-FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "sha1", "part"]
+FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "part"]
 
 
 def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
@@ -78,7 +78,8 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
         sha = url_sha1(u)
         rows.append({
             "url": u, "depth": d, "parent_seq": ps, "pos": po,
-            "host": url_host(u), "sha1": sha,
+            "host": url_host(u),
+            "sha64": int(sha[:16], 16),
             "part": shard_of(sha, num_parts),
             "shard": shard_of(sha, cfg.num_shards),
             "signature": url_signature(u),
@@ -128,6 +129,7 @@ class WaveCrawler:
         self.small_wave_threshold = small_wave_threshold
         self._local_fetcher: CorpusFetcher | None = None
         self._workers: list | None = None
+        self._part_owner: dict[int, int] = {}
         self.next_seq = 0
         self.fetched_total = 0
         self.trap_counts: dict[str, int] = {}
@@ -200,16 +202,19 @@ class WaveCrawler:
                 continue
             self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
             rows.append({"url": u, "depth": 0, "seq": self.next_seq,
-                         "wave": -1, "host": url_host(u), "sha1": sha,
+                         "wave": -1, "host": url_host(u),
+                         "sha64": int(sha[:16], 16),
                          "part": shard_of(sha, self.num_parts),
                          "signature": sig})
             self.next_seq += 1
-        tbl = pa.Table.from_pylist(rows) if rows else None
+        init_schema = pa.schema([
+            ("url", pa.string()), ("depth", pa.int32()),
+            ("seq", pa.int64()), ("wave", pa.int32()),
+            ("host", pa.string()), ("sha64", pa.uint64()),
+            ("part", pa.int32()), ("signature", pa.string())])
+        tbl = pa.Table.from_pylist(rows, schema=init_schema) if rows else None
         if tbl is not None:
             pq.write_table(tbl, self._p("admitted", "init.parquet"))
-            front = tbl.select([c for c in FRONTIER_COLS if c != "wave"]) \
-                       .append_column("wave", pa.array([0] * len(rows), pa.int32()))
-            pq.write_table(front, self._p("frontier", "wave-00000.parquet"))
         self._commit("init", {"next_seq": self.next_seq, "fetched_total": 0,
                               "wave": 0})
 
@@ -246,10 +251,11 @@ class WaveCrawler:
                       self._p("links", f"wave={k}")):
                 shutil.rmtree(d, ignore_errors=True)
             for fpath in (self._p("admitted", f"wave-{k:05d}.parquet"),
-                          self._p("frontier", f"wave-{k + 1:05d}.parquet")):
+                          self._p("frontier", f"deferred-{k + 1:05d}.parquet")):
                 if os.path.exists(fpath):
                     os.remove(fpath)
         # replay admitted keys into shard actors + rebuild trap counts
+        import numpy as np
         admitted_files = [self._p("admitted", "init.parquet")] + [
             self._p("admitted", f"wave-{k:05d}.parquet") for k in range(self.wave)]
         self.trap_counts = {}
@@ -257,12 +263,14 @@ class WaveCrawler:
         for fpath in admitted_files:
             if not os.path.exists(fpath):
                 continue
-            tbl = pq.read_table(fpath, columns=["sha1", "signature"])
-            for sha, sig in zip(tbl.column("sha1").to_pylist(),
-                                tbl.column("signature").to_pylist()):
-                per_shard[shard_of(sha, self.cfg.num_shards)].append(sha)
+            tbl = pq.read_table(fpath, columns=["sha64", "signature"])
+            s64 = tbl.column("sha64").to_numpy()
+            shard_ids = (s64 >> np.uint64(32)) % self.cfg.num_shards
+            for s in np.unique(shard_ids).tolist():
+                per_shard[int(s)].append(s64[shard_ids == s])
+            for sig in tbl.column("signature").to_pylist():
                 self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
-        futs = [self.shards[i].add_bulk.remote(sha1s_to_u64(v))
+        futs = [self.shards[i].add_bulk.remote(np.concatenate(v))
                 for i, v in per_shard.items() if v]
         if futs:
             ray.get(futs)
@@ -270,67 +278,92 @@ class WaveCrawler:
 
     # ------------------------------------------------------------ waves
     def _load_frontier(self, wave: int) -> pa.Table | None:
-        fp = self._p("frontier", f"wave-{wave:05d}.parquet")
-        if not os.path.exists(fp):
+        """Wave k's frontier = admitted rows of wave k-1 (the admitted
+        checkpoint IS the frontier — no duplicate file) plus any politeness
+        deferrals carried from wave k-1."""
+        import numpy as np
+        parts = []
+        dp = self._p("frontier", f"deferred-{wave:05d}.parquet")
+        if os.path.exists(dp):
+            parts.append(pq.read_table(dp).select(FRONTIER_COLS))
+        ap = (self._p("admitted", "init.parquet") if wave == 0
+              else self._p("admitted", f"wave-{wave - 1:05d}.parquet"))
+        if os.path.exists(ap):
+            t = pq.read_table(ap, columns=["url", "depth", "seq",
+                                           "host", "part"])
+            t = t.append_column("wave", pa.array(
+                np.full(t.num_rows, wave, dtype=np.int32)))
+            parts.append(t.select(FRONTIER_COLS))
+        if not parts:
             return None
-        return pq.read_table(fp)
+        return pa.concat_tables(parts)
 
     def run_wave(self) -> dict | None:
         """Execute one wave; returns wave metrics or None when done."""
+        import numpy as np
+
         k = self.wave
         frontier = self._load_frontier(k)
         if frontier is None or frontier.num_rows == 0:
             return None
         t0 = time.perf_counter()
-        rows = frontier.to_pylist()
-        rows.sort(key=lambda r: (r["depth"], r["seq"]))
-        fetchable = [r for r in rows if r["depth"] <= self.cfg.max_depth]
+        frontier = frontier.sort_by([("depth", "ascending"),
+                                     ("seq", "ascending")])
+        fetchable_tbl = frontier.filter(
+            pc.less_equal(frontier.column("depth"), self.cfg.max_depth))
         # politeness gating (T2/T3): per-host wave budget, robots crawl-delay
-        gated, deferred = [], []
+        deferred_tbl = None
         if self.cfg.per_host_wave_cap > 0:
+            gated_rows, deferred_rows = [], []
             used: dict[str, int] = {}
             caps: dict[str, int] = {}
-            for r in fetchable:
+            for r in fetchable_tbl.to_pylist():
                 h = r["host"]
                 if h not in caps:
                     caps[h] = host_cap(h, self.cfg, self.robots)
                 if used.get(h, 0) < caps[h]:
                     used[h] = used.get(h, 0) + 1
-                    gated.append(r)
+                    gated_rows.append(r)
                 else:
-                    deferred.append(r)
+                    deferred_rows.append(r)
+            gated_tbl = (pa.Table.from_pylist(gated_rows,
+                                              schema=fetchable_tbl.schema)
+                         if gated_rows else fetchable_tbl.slice(0, 0))
+            deferred_tbl = (pa.Table.from_pylist(
+                deferred_rows, schema=fetchable_tbl.schema)
+                if deferred_rows else None)
         else:
-            gated = fetchable
+            gated_tbl = fetchable_tbl
         remaining = self.cfg.max_urls - self.fetched_total
         stopped = False
         if remaining <= 0:
             return None
-        if len(gated) > remaining:
-            gated, stopped = gated[:remaining], True
-            deferred = []
-        if not gated:
+        if gated_tbl.num_rows > remaining:
+            gated_tbl, stopped = gated_tbl.slice(0, remaining), True
+            deferred_tbl = None
+        if gated_tbl.num_rows == 0:
             # everything deferred (pathological cap); avoid a livelock by
             # promoting one row
-            if deferred:
-                gated, deferred = deferred[:1], deferred[1:]
+            if deferred_tbl is not None and deferred_tbl.num_rows:
+                gated_tbl = deferred_tbl.slice(0, 1)
+                deferred_tbl = deferred_tbl.slice(1)
             else:
                 return None
-        for r in gated:
-            r["wave"] = k
+        gated_tbl = gated_tbl.set_column(
+            gated_tbl.schema.get_field_index("wave"), "wave",
+            pa.array(np.full(gated_tbl.num_rows, k, dtype=np.int32)))
 
         # --------- fetch + parse + sink + canonicalize: ONE streaming
         # execution per wave. The fetch actors (partition-affine corpus
         # lookup) write pages/links parquet as they go (deterministic batch
         # file names → retry-idempotent) and emit candidate edges; the
-        # canonicalize stage cleans/filters/hashes them. Ray Data fuses the
-        # two map_batches into a single pipelined actor stage.
+        # canonicalize stage cleans/filters/hashes them.
         pages_dir = self._p("pages", f"wave={k}")
         links_dir = self._p("links", f"wave={k}")
         os.makedirs(pages_dir, exist_ok=True)
         os.makedirs(links_dir, exist_ok=True)
-        gated_sorted = sorted(gated, key=lambda r: r["part"])
-        frontier_tbl = pa.Table.from_pylist(gated_sorted)
-        n_gated = len(gated_sorted)
+        frontier_tbl = gated_tbl.sort_by("part")
+        n_gated = frontier_tbl.num_rows
         if n_gated < self.small_wave_threshold:
             # small-wave fast path: identical pure functions, driver-local —
             # skips per-wave executor + actor-pool startup (a few seconds)
@@ -357,17 +390,50 @@ class WaveCrawler:
             # sub-split to fetch_batch_size for pipelining.
             workers = self._fetch_pool()
             futs = []
-            rows_by_part: dict[int, list[int]] = {}
-            for i, r in enumerate(gated_sorted):
-                rows_by_part.setdefault(r["part"], []).append(i)
-            for part, idxs in rows_by_part.items():
-                w = workers[part % len(workers)]
-                for off in range(0, len(idxs), self.fetch_batch_size):
-                    chunk = frontier_tbl.take(
-                        pa.array(idxs[off:off + self.fetch_batch_size]))
-                    futs.append(w.process.remote(chunk, pages_dir,
-                                                 links_dir))
-            blocks = [b for b in ray.get(futs) if b.num_rows]
+            # frontier_tbl is sorted by part → partition runs are contiguous
+            # zero-copy slices. Partition-affine with explicit balance: each
+            # partition goes wholly to one worker (its cache), partitions
+            # assigned greedily largest-first to the least-loaded worker —
+            # num_parts ≫ pool keeps the max skew small (the groupby-host /
+            # skew story of the north rule, applied to the lookup join).
+            # The whole frontier ships once via ray.put; workers slice.
+            parts_np = frontier_tbl.column("part").to_numpy()
+            bounds = np.flatnonzero(np.diff(parts_np)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(parts_np)]))
+            order = np.argsort(-(ends - starts))
+            loads = np.zeros(len(workers), dtype=np.int64)
+            ideal = n_gated / max(1, len(workers))
+            t_p0 = time.perf_counter()
+            frontier_ref = ray.put(frontier_tbl)
+            self._t_put = time.perf_counter() - t_p0
+            for oi in order.tolist():
+                s0, e0 = int(starts[oi]), int(ends[oi])
+                part = int(parts_np[s0])
+                size = e0 - s0
+                # sticky-but-balanced: reuse the partition's cached owner
+                # unless that would push it past ~the balanced load (a
+                # sticky assignment from an earlier, differently-shaped
+                # wave must not become this wave's straggler)
+                w_idx = self._part_owner.get(part)
+                if w_idx is None or loads[w_idx] + size > ideal * 1.1:
+                    w_idx = int(loads.argmin())
+                self._part_owner[part] = w_idx
+                loads[w_idx] += size
+                w = workers[w_idx]
+                for off in range(s0, e0, self.fetch_batch_size):
+                    futs.append(w.process_sliced.remote(
+                        frontier_ref, off,
+                        min(self.fetch_batch_size, e0 - off),
+                        pages_dir, links_dir))
+            t_s0 = time.perf_counter()
+            results = ray.get(futs)
+            self._t_gather = time.perf_counter() - t_s0
+            busy = ray.get([w.busy_reset.remote() for w in workers])
+            self._busy_max = max(busy)
+            self._busy_sum = sum(busy)
+            blocks = [b for b in results if b.num_rows]
+            del frontier_ref
             raw_tbl = (pa.concat_tables(blocks, promote_options="default")
                        if blocks else CANDIDATE_SCHEMA.empty_table())
         t_fetch = time.perf_counter() - t0
@@ -377,93 +443,123 @@ class WaveCrawler:
         # is the single-node instantiation of the same hash-partitioned
         # first-wins aggregate.
         if raw_tbl.num_rows:
-            srt = raw_tbl.sort_by([("sha1", "ascending"),
+            srt = raw_tbl.sort_by([("sha64", "ascending"),
                                    ("parent_seq", "ascending"),
                                    ("pos", "ascending")])
-            sha_arr = srt.column("sha1").combine_chunks()
-            prev = pa.concat_arrays(
-                [pa.array([""], pa.string()),
-                 sha_arr.slice(0, len(sha_arr) - 1)])
-            first_mask = pc.not_equal(sha_arr, prev)
-            cand_tbl = srt.filter(first_mask).sort_by(
+            s64 = srt.column("sha64").to_numpy()
+            first_mask = np.empty(len(s64), dtype=bool)
+            first_mask[0] = True
+            np.not_equal(s64[1:], s64[:-1], out=first_mask[1:])
+            cand_tbl = srt.filter(pa.array(first_mask)).sort_by(
                 [("parent_seq", "ascending"), ("pos", "ascending")])
         else:
             cand_tbl = raw_tbl
         n_candidates = cand_tbl.num_rows
-
-        # admission via shard actors (exactly-once test-and-set), parallel
-        # across shards. Driver only touches frontier-sized data here.
-        cand_rows = cand_tbl.to_pylist()
-        cand_rows.sort(key=lambda r: (r["parent_seq"], r["pos"]))
         t_dedup = time.perf_counter() - t0 - t_fetch
-        # two-phase admission: (1) membership probe against shard actors,
-        # (2) trap gate in discovery order — trap-rejected URLs must NOT
-        # enter the seen set (reference link_manager.py:87-107 checks the
-        # trap before adding) — (3) bulk insert of the survivors. The
-        # driver is the sole writer within a wave, so the phases compose
-        # atomically; replay after a crash re-runs all three idempotently.
-        by_shard: dict[int, list[int]] = {}
-        for i, r in enumerate(cand_rows):
-            by_shard.setdefault(r["shard"], []).append(i)
-        is_new = [False] * len(cand_rows)
-        futs = {s: self.shards[s].contains.remote(
-                    [cand_rows[i]["sha1"] for i in idxs])
-                for s, idxs in by_shard.items()}
-        for s, idxs in by_shard.items():
-            for i, present in zip(idxs, ray.get(futs[s])):
-                is_new[i] = not present
-        # trap gating in discovery order (T4/A5 running signature counts)
-        admitted_rows, trap_rejected = [], 0
-        for i, r in enumerate(cand_rows):
-            if not is_new[i]:
-                continue
-            c = self.trap_counts.get(r["signature"], 0)
-            if c >= self.cfg.trap_threshold:
-                trap_rejected += 1
-                continue
-            self.trap_counts[r["signature"]] = c + 1
-            r["seq"] = self.next_seq
-            self.next_seq += 1
-            admitted_rows.append(r)
-        add_by_shard: dict[int, list[str]] = {}
-        for r in admitted_rows:
-            add_by_shard.setdefault(r["shard"], []).append(r["sha1"])
-        add_futs = [self.shards[s].add_bulk.remote(sha1s_to_u64(v))
-                    for s, v in add_by_shard.items()]
-        if add_futs:
-            ray.get(add_futs)
+
+        # two-phase admission, vectorized: (1) membership probe against
+        # shard actors (u64 key arrays, parallel across shards), (2) trap
+        # gate — bulk numpy for signatures that cannot cross the threshold
+        # this wave, ordered fallback only for the few that can (trap-
+        # rejected URLs must NOT enter the seen set, link_manager.py:87-107),
+        # (3) bulk insert of survivors. The driver is the sole writer
+        # within a wave so the phases compose atomically; replay after a
+        # crash re-runs all three idempotently.
+        n = cand_tbl.num_rows
+        if n:
+            sha64 = cand_tbl.column("sha64").to_numpy()
+            shard_np = cand_tbl.column("shard").to_numpy()
+            is_new = np.zeros(n, dtype=bool)
+            shard_masks = {}
+            futs = {}
+            for s in np.unique(shard_np).tolist():
+                m = shard_np == s
+                shard_masks[s] = m
+                futs[s] = self.shards[s].contains_u64.remote(sha64[m])
+            for s, m in shard_masks.items():
+                is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
+
+            # trap gating (T4/A5 running signature counts)
+            sig_dict = pc.dictionary_encode(
+                cand_tbl.column("signature")).combine_chunks()
+            codes = np.asarray(sig_dict.indices)
+            uniq = sig_dict.dictionary.to_pylist()
+            prior = np.array([self.trap_counts.get(s, 0) for s in uniq],
+                             dtype=np.int64)
+            new_per_sig = np.bincount(codes[is_new], minlength=len(uniq))
+            crossing = (prior + new_per_sig) > self.cfg.trap_threshold
+            admitted_mask = is_new & ~crossing[codes]
+            if crossing.any():
+                running = dict(zip(np.flatnonzero(crossing).tolist(),
+                                   prior[crossing].tolist()))
+                # cand_tbl is in (parent_seq, pos) order — iterate only the
+                # rows of threshold-crossing signatures, in order
+                for i in np.flatnonzero(is_new & crossing[codes]).tolist():
+                    c = codes[i]
+                    if running[c] < self.cfg.trap_threshold:
+                        running[c] += 1
+                        admitted_mask[i] = True
+            adm_per_sig = np.bincount(codes[admitted_mask],
+                                      minlength=len(uniq))
+            for idx in np.flatnonzero(adm_per_sig).tolist():
+                self.trap_counts[uniq[idx]] = int(prior[idx]
+                                                  + adm_per_sig[idx])
+            trap_rejected = int(is_new.sum() - admitted_mask.sum())
+
+            adm_tbl = cand_tbl.filter(pa.array(admitted_mask))
+            n_adm = adm_tbl.num_rows
+            seqs = np.arange(self.next_seq, self.next_seq + n_adm,
+                             dtype=np.int64)
+            self.next_seq += n_adm
+            adm_tbl = adm_tbl.append_column("seq", pa.array(seqs))
+            adm_shards = shard_np[admitted_mask]
+            adm_sha64 = sha64[admitted_mask]
+            add_futs = [self.shards[s].add_bulk.remote(
+                            adm_sha64[adm_shards == s])
+                        for s in np.unique(adm_shards).tolist()]
+        else:
+            adm_tbl = None
+            n_adm = 0
+            trap_rejected = 0
+            add_futs = []
 
         # --------- checkpoint: admitted keys, next frontier, lineage last
-        if admitted_rows:
-            adm_tbl = pa.Table.from_pylist([
-                {"url": r["url"], "depth": r["depth"], "seq": r["seq"],
-                 "wave": k, "host": r["host"], "sha1": r["sha1"],
-                 "part": r["part"], "signature": r["signature"]}
-                for r in admitted_rows])
-            pq.write_table(adm_tbl,
+        if adm_tbl is not None and n_adm:
+            out_adm = adm_tbl.select(["url", "depth", "seq", "host",
+                                      "sha64", "part", "signature"]) \
+                .append_column("wave", pa.array(
+                    np.full(n_adm, k, dtype=np.int32)))
+            pq.write_table(out_adm,
                            self._p("admitted", f"wave-{k:05d}.parquet"))
-        next_rows = ([] if stopped else
-                     deferred + [{c: r.get(c, k + 1) for c in FRONTIER_COLS}
-                                 for r in admitted_rows])
-        for r in next_rows:
-            r["wave"] = k + 1
-        if next_rows and not stopped:
-            nf = pa.Table.from_pylist(next_rows)
-            pq.write_table(nf, self._p("frontier",
-                                       f"wave-{k + 1:05d}.parquet"))
+        n_deferred = deferred_tbl.num_rows if deferred_tbl is not None else 0
+        if not stopped and n_deferred:
+            d = deferred_tbl.set_column(
+                deferred_tbl.schema.get_field_index("wave"), "wave",
+                pa.array(np.full(n_deferred, k + 1, dtype=np.int32)))
+            pq.write_table(d.select(FRONTIER_COLS),
+                           self._p("frontier",
+                                   f"deferred-{k + 1:05d}.parquet"))
+        if add_futs:
+            # shard inserts were launched before the checkpoint writes and
+            # must land before the lineage commit (write/insert overlap)
+            ray.get(add_futs)
         self.fetched_total += n_gated
         elapsed = time.perf_counter() - t0
-        by_part: dict[int, int] = {}
-        for r in gated_sorted:
-            by_part[r["part"]] = by_part.get(r["part"], 0) + 1
+        parts_u, parts_c = np.unique(
+            frontier_tbl.column("part").to_numpy(), return_counts=True)
+        by_part = dict(zip(parts_u.tolist(), parts_c.tolist()))
         metrics = {
             "wave": k, "fetched": n_gated, "candidates": n_candidates,
-            "admitted": len(admitted_rows), "deferred": len(deferred),
+            "admitted": n_adm, "deferred": n_deferred,
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
             "t_admit": round(elapsed - t_fetch - t_dedup, 3),
+            "t_put": round(getattr(self, "_t_put", 0.0), 3),
+            "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
+            "busy_max": round(getattr(self, "_busy_max", 0.0), 3),
+            "busy_sum": round(getattr(self, "_busy_sum", 0.0), 3),
             "next_seq": self.next_seq, "fetched_total": self.fetched_total,
-            "by_part": {str(p): c for p, c in sorted(by_part.items())},
+            "by_part": {str(p): int(c) for p, c in sorted(by_part.items())},
             "stopped": stopped,
         }
         self._commit(k, metrics)

@@ -26,6 +26,10 @@ from ..canonical import norm_url, shard_of, url_sha1
 from ..stages.fetch import FETCHED_SCHEMA, fetch_and_parse
 from ..stages.parse import EDGES_SCHEMA
 
+# the wave path's pages output: FETCHED minus the nested edges column
+PAGES_ONLY_SCHEMA = pa.schema(
+    [f for f in FETCHED_SCHEMA if f.name != "edges"])
+
 
 class CorpusFetcher:
     """Callable class for ``map_batches(CorpusFetcher, concurrency=N, ...)``.
@@ -44,7 +48,7 @@ class CorpusFetcher:
 
     def __init__(self, corpus_dir: str, base_domain: str, num_parts: int,
                  pages_dir: str | None = None, links_dir: str | None = None,
-                 max_cached_parts: int = 64):
+                 max_cached_parts: int = 512):
         self.corpus_dir = corpus_dir
         self.base_domain = base_domain
         self.num_parts = num_parts
@@ -75,35 +79,147 @@ class CorpusFetcher:
         return tbl.slice(idx, 1).to_pylist()[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Fast path: batch lookups grouped per partition (one take per
+        partition), wide corpus columns (spans, headers) passed through
+        zero-copy Arrow — only parsed fields are Python-built. Rows that
+        are missing or start a redirect chain take the row-wise slow path
+        (fetch_and_parse) and are concatenated after."""
+        from ..canonical import strip_www, url_host
+        from ..policy import REDIRECT_STATUSES
+        from ..stages.parse import _PARSE_FIELDS, extract_edges, parse_doc
+
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
         seqs = batch.column("seq").to_pylist()
         waves = batch.column("wave").to_pylist()
-        rows = [
-            fetch_and_parse(u, d, s, w, self.lookup, self.base_domain)
-            for u, d, s, w in zip(urls, depths, seqs, waves)
-        ]
-        if not rows:
+        n = len(urls)
+        keys = [norm_url(u) for u in urls]
+        by_part: dict[int, list[int]] = {}
+        for i, key in enumerate(keys):
+            by_part.setdefault(shard_of(url_sha1(key), self.num_parts),
+                               []).append(i)
+        sub_tables: list[pa.Table] = []
+        fast_pairs: list[tuple[int, int]] = []   # (global sub row, batch i)
+        slow_idx: list[int] = []
+        offset = 0
+        for part, idxs in by_part.items():
+            tbl, index = self._partition(part)
+            present, ids = [], []
+            for i in idxs:
+                rid = index.get(keys[i])
+                if rid is None:
+                    slow_idx.append(i)
+                else:
+                    present.append(i)
+                    ids.append(rid)
+            if not ids:
+                continue
+            sub = tbl.take(pa.array(ids, pa.int64()))
+            status = sub.column("status_code").to_pylist()
+            rto = sub.column("redirect_to").to_pylist()
+            for j, i in enumerate(present):
+                if status[j] in REDIRECT_STATUSES and rto[j]:
+                    slow_idx.append(i)
+                else:
+                    fast_pairs.append((offset + j, i))
+            sub_tables.append(sub)
+            offset += sub.num_rows
+
+        tables: list[pa.Table] = []
+        all_edges: list[list[dict]] = []
+        all_depth: list[int] = []
+        all_seq: list[int] = []
+        if fast_pairs:
+            combined = (pa.concat_tables(sub_tables)
+                        if len(sub_tables) > 1 else sub_tables[0])
+            gsel = pa.array([g for g, _ in fast_pairs], pa.int64())
+            bsel = [i for _, i in fast_pairs]
+            csel = combined.take(gsel)
+            spans_py = csel.column("spans").to_pylist()
+            f_urls = [urls[i] for i in bsel]
+            parsed = [parse_doc(u, sp or [], self.base_domain)
+                      for u, sp in zip(f_urls, spans_py)]
+            edges = [extract_edges(u, sp or [], self.base_domain)
+                     for u, sp in zip(f_urls, spans_py)]
+            nf = len(f_urls)
+            base_core = strip_www(self.base_domain.lower())
+            status_py = csel.column("status_code").to_pylist()
+            cols: dict[str, object] = {
+                "url": pa.array(f_urls, pa.string()),
+                "final_url": pa.array(f_urls, pa.string()),
+                "status_code": csel.column("status_code"),
+                "content_type": csel.column("content_type"),
+                "size": csel.column("size"),
+                "response_time": csel.column("response_time_ms"),
+                "is_internal": pa.array(
+                    [strip_www(url_host(u)) == base_core for u in f_urls],
+                    pa.bool_()),
+                "depth": pa.array([depths[i] for i in bsel], pa.int32()),
+                "seq": pa.array([seqs[i] for i in bsel], pa.int64()),
+                "wave": pa.array([waves[i] for i in bsel], pa.int32()),
+                "response_headers": csel.column("headers"),
+                "x_robots_tag": csel.column("x_robots_tag"),
+                "redirect_chain": pa.array(
+                    [[{"url": u, "status_code": sc, "hop": 0}]
+                     for u, sc in zip(f_urls, status_py)],
+                    FETCHED_SCHEMA.field("redirect_chain").type),
+                "redirects": pa.array([[]] * nf,
+                                      pa.list_(pa.string())),
+                "redirect_count": pa.array([0] * nf, pa.int32()),
+                "has_redirect_loop": pa.array([False] * nf, pa.bool_()),
+                "spans": csel.column("spans"),
+            }
+            if self.pages_dir is None:
+                # parse-pipeline mode keeps the nested edges column; the
+                # wave path skips building it (pages parquet drops it and
+                # links/candidates are built from the python edge lists)
+                cols["edges"] = pa.array(
+                    edges, FETCHED_SCHEMA.field("edges").type)
+            for name, typ in _PARSE_FIELDS:
+                cols[name] = pa.array([p[name] for p in parsed], typ)
+            out_schema = (FETCHED_SCHEMA if self.pages_dir is None
+                          else PAGES_ONLY_SCHEMA)
+            fast_tbl = pa.table({f.name: cols[f.name] for f in out_schema})
+            tables.append(fast_tbl)
+            all_edges.extend(edges)
+            all_depth.extend(depths[i] for i in bsel)
+            all_seq.extend(seqs[i] for i in bsel)
+        if slow_idx:
+            rows = [fetch_and_parse(urls[i], depths[i], seqs[i], waves[i],
+                                    self.lookup, self.base_domain)
+                    for i in slow_idx]
+            all_depth.extend(depths[i] for i in slow_idx)
+            all_seq.extend(seqs[i] for i in slow_idx)
+            if self.pages_dir is not None:
+                all_edges.extend(r.pop("edges") for r in rows)
+                tables.append(pa.Table.from_pylist(
+                    rows, schema=PAGES_ONLY_SCHEMA))
+            else:
+                all_edges.extend(r["edges"] for r in rows)
+                tables.append(pa.Table.from_pylist(
+                    rows, schema=FETCHED_SCHEMA))
+
+        if not tables:
             return (FETCHED_SCHEMA.empty_table() if self.pages_dir is None
                     else CANDIDATES_OUT_SCHEMA.empty_table())
-        fetched = pa.Table.from_pylist(rows, schema=FETCHED_SCHEMA)
+        fetched = (pa.concat_tables(tables) if len(tables) > 1
+                   else tables[0])
         if self.pages_dir is None:
             return fetched
         tag = f"b-{min(seqs):012d}.parquet"
-        pq.write_table(fetched.drop_columns(["edges"]),
-                       os.path.join(self.pages_dir, tag))
-        links_rows = [e for r in rows for e in r["edges"]]
+        pq.write_table(fetched, os.path.join(self.pages_dir, tag))
+        links_rows = [e for es in all_edges for e in es]
         if links_rows:
             pq.write_table(
                 pa.Table.from_pylist(links_rows, schema=EDGES_SCHEMA),
                 os.path.join(self.links_dir, tag))
         # candidate rows for frontier expansion, discovery order preserved
         c_urls, c_depth, c_pseq, c_pos = [], [], [], []
-        for r in rows:
-            for e in r["edges"]:
+        for es, d, s in zip(all_edges, all_depth, all_seq):
+            for e in es:
                 c_urls.append(e["target_url"])
-                c_depth.append(r["depth"] + 1)
-                c_pseq.append(r["seq"])
+                c_depth.append(d + 1)
+                c_pseq.append(s)
                 c_pos.append(e["pos"])
         return pa.table({
             "url": pa.array(c_urls, pa.string()),
@@ -151,3 +267,21 @@ class FetchWorker:
         cand = self.fetcher(frontier_chunk)
         return canonicalize_candidates(cand, self.cfg, self.robots,
                                        self.num_parts)
+
+    def process_sliced(self, frontier_tbl: pa.Table, start: int,
+                       length: int, pages_dir: str,
+                       links_dir: str) -> pa.Table:
+        """Same as process(), but the full wave frontier is shipped ONCE
+        via ray.put (zero-copy plasma read here) and each call slices its
+        chunk — avoids per-chunk pickling on the driver."""
+        import time
+        t0 = time.perf_counter()
+        out = self.process(frontier_tbl.slice(start, length),
+                           pages_dir, links_dir)
+        self._busy = getattr(self, "_busy", 0.0) + time.perf_counter() - t0
+        return out
+
+    def busy_reset(self) -> float:
+        b = getattr(self, "_busy", 0.0)
+        self._busy = 0.0
+        return b

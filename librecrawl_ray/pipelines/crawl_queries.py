@@ -25,7 +25,7 @@ from ..canonical import clean_url, norm_url
 from ..corpus import corpus_dir, write_corpus
 from ..stages.parse import make_edge_extractor, parse_documents_batch
 
-TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench1"}
+TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench2"}
 BASE_DOMAIN = "site.example"
 
 

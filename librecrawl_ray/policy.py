@@ -128,18 +128,21 @@ class FetchOutcome:
     doc: dict | None              # final corpus row (None when unreachable)
 
 
-def resolve_fetch(url: str, lookup) -> FetchOutcome:
+def resolve_fetch(url: str, lookup, doc0: dict | None = None,
+                  have_doc0: bool = False) -> FetchOutcome:
     """Follow the corpus's redirect chain for ``url``.
 
     ``lookup(url) -> dict | None`` resolves a URL to its corpus row by
-    normalized equality. Semantics: 3xx rows with ``redirect_to`` are hops;
-    a revisited normalized URL is a loop (status 0, like the reference's
-    requests.TooManyRedirects → connection-failed row); a missing row is
-    status 0; otherwise the final row's status/content win."""
+    normalized equality; ``doc0`` (with have_doc0=True) short-circuits the
+    first lookup when the caller already batch-fetched the row. Semantics:
+    3xx rows with ``redirect_to`` are hops; a revisited normalized URL is a
+    loop (status 0, like the reference's requests.TooManyRedirects →
+    connection-failed row); a missing row is status 0; otherwise the final
+    row's status/content win."""
     hops: list[dict] = []
     seen_norms = {norm_url(url)}
     cur = url
-    doc = lookup(cur)
+    doc = doc0 if have_doc0 else lookup(cur)
     loop = False
     while (doc is not None and doc["status_code"] in REDIRECT_STATUSES
            and doc.get("redirect_to")):

@@ -23,10 +23,12 @@ FETCHED_SCHEMA = pa.schema(list(PAGES_SCHEMA) + [
 
 
 def fetch_and_parse(url: str, depth: int, seq: int, wave: int,
-                    lookup, base_domain: str) -> dict:
+                    lookup, base_domain: str, doc0: dict | None = None,
+                    have_doc0: bool = False) -> dict:
     """Fetch one frontier URL against the corpus → full pages row dict with
-    nested ``edges``. ``lookup(url) -> row dict | None`` by normalized URL."""
-    out: FetchOutcome = resolve_fetch(url, lookup)
+    nested ``edges``. ``lookup(url) -> row dict | None`` by normalized URL;
+    ``doc0``/``have_doc0`` short-circuit the first lookup (batched fetch)."""
+    out: FetchOutcome = resolve_fetch(url, lookup, doc0, have_doc0)
     doc = out.doc
     spans = (doc.get("spans") or []) if doc else []
     parsed = parse_doc(url, spans, base_domain)

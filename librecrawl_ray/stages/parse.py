@@ -76,6 +76,21 @@ def parse_doc(url: str, spans: list[dict],
     gtm = ""
     if base_domain is None:
         base_domain = url_host(url)
+    base_core = strip_www(base_domain.lower())
+    page_host = strip_www(url_host(url))
+
+    def link_is_internal(mref: str) -> bool:
+        # host-only fast path (counting needs the host, not the full join)
+        if mref.startswith("https://") or mref.startswith("http://"):
+            sep = mref.index("://") + 3
+            end = mref.find("/", sep)
+            host = (mref[sep:] if end < 0 else mref[sep:end]).lower()
+        elif mref.startswith("//"):
+            end = mref.find("/", 2)
+            host = (mref[2:] if end < 0 else mref[2:end]).lower()
+        else:
+            return page_host == base_core
+        return strip_www(host.split("@")[-1].split(":")[0]) == base_core
 
     for s in spans:
         kind = s["kind"]
@@ -101,8 +116,7 @@ def parse_doc(url: str, spans: list[dict],
                 if m:
                     gtm = m.group(0)
         elif kind.startswith("link"):
-            target = clean_url(mref, url)
-            if is_internal(target, base_domain):
+            if link_is_internal(mref):
                 internal_links += 1
             else:
                 external_links += 1

@@ -76,6 +76,15 @@ class SeenShard:
             return [int(k) in self.exact for k in keys]
         return self.bloom.contains_many(keys).tolist()
 
+    def contains_u64(self, keys_u64: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe (bool array aligned to input)."""
+        arr = np.asarray(keys_u64, dtype=np.uint64)
+        if self.exact_mode:
+            exact = self.exact
+            return np.fromiter((int(k) in exact for k in arr),
+                               dtype=bool, count=len(arr))
+        return self.bloom.contains_many(arr)
+
     def stats(self) -> dict:
         return {"shard": self.shard_id,
                 "exact_count": len(self.exact),
