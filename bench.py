@@ -67,7 +67,7 @@ def run_bench() -> None:
     t0 = time.perf_counter()
     eng = WaveCrawler(cdir, out_dir, cfg,
                       fetch_concurrency=max(2, num_cpus - 2),
-                      fetch_batch_size=2048,
+                      fetch_batch_size=768,
                       small_wave_threshold=0)
     summary = eng.run(["https://site.example/"])
     crawl_sec = time.perf_counter() - t0
@@ -75,6 +75,32 @@ def run_bench() -> None:
     fetched = summary["fetched_total"]
     admitted = sum(w["admitted"] for w in summary["waves"])
     candidates = sum(w["candidates"] for w in summary["waves"])
+
+    # sustained throughput: the largest wave (at 10^10 scale the big waves
+    # dominate exponentially; the 1-URL/100-URL BFS ramp is a small-corpus
+    # artifact)
+    big = max(summary["waves"], key=lambda w: w["fetched"])
+    sustained = round(big["fetched"] / big["elapsed_s"], 1)
+
+    crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
+    if crawl_only:
+        result = {
+            "metric": "crawl_wall_seconds", "value": round(crawl_sec, 3),
+            "unit": "sec", "queries": queries, "sf": sf_dir,
+            "num_cpus": num_cpus, "tier": tier, "crawl_pages": fetched,
+            "crawl_pages_per_sec": round(fetched / crawl_sec, 1),
+            "sustained_pages_per_sec": sustained,
+            "sustained_wave_sec": big["elapsed_s"],
+            "sustained_wave_pages": big["fetched"],
+            "frontier_candidates": candidates,
+            "frontier_urls_deduped_per_sec": round(candidates / crawl_sec,
+                                                   1),
+            "frontier_admitted": admitted,
+            "num_waves": summary["num_waves"],
+        }
+        ray.shutdown()
+        print(json.dumps(result))
+        return
 
     # ---- report pipelines over the crawl output
     t0 = time.perf_counter()
@@ -121,6 +147,7 @@ def run_bench() -> None:
         "tier": tier,
         "crawl_pages": fetched,
         "crawl_pages_per_sec": round(fetched / crawl_sec, 1),
+        "sustained_pages_per_sec": sustained,
         "frontier_candidates": candidates,
         "frontier_urls_deduped_per_sec": round(candidates / crawl_sec, 1),
         "frontier_admitted": admitted,
@@ -131,9 +158,14 @@ def run_bench() -> None:
     print(json.dumps(result))
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> None:
+def run_scaling(lo: int = 8, hi: int = 32, repeats: int = 3) -> None:
+    """N→4N protocol: identical crawl at two parallelism levels in fresh
+    processes, interleaved repeats, min-of-N per level (this host shows
+    10–20% run-to-run throughput variance from hypervisor steal; min is
+    the least-interference estimate of each level's capability)."""
     def once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_CRAWL_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
@@ -141,15 +173,29 @@ def run_scaling(lo: int = 8, hi: int = 32) -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     once(hi)                       # untimed warm-up: corpus + page cache
-    r_lo, r_hi = once(lo), once(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(once(lo))
+        hi_runs.append(once(hi))
+    t_lo = min(r["value"] for r in lo_runs)
+    t_hi = min(r["value"] for r in hi_runs)
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (t_lo / t_hi) / (hi / lo)
+    sus_lo = max(r["sustained_pages_per_sec"] for r in lo_runs)
+    sus_hi = max(r["sustained_pages_per_sec"] for r in hi_runs)
+    sus_eff = (sus_hi / sus_lo) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"sec_{lo}_runs": [r["value"] for r in lo_runs],
+        f"sec_{hi}_runs": [r["value"] for r in hi_runs],
         f"pages_per_sec_{lo}": r_lo["crawl_pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["crawl_pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"sustained_pages_per_sec_{lo}": sus_lo,
+        f"sustained_pages_per_sec_{hi}": sus_hi,
+        "sustained_scaling_efficiency": round(sus_eff, 3),
         "lo_cpus": lo, "hi_cpus": hi,
     }))
 

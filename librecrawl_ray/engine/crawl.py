@@ -106,11 +106,45 @@ class Canonicalizer:
                                        self.num_parts)
 
 
+@ray.remote
+def _shard_dedup_task(shard_id: int, chunk_refs: list, shard_actor):
+    """Per-shard dedup + membership probe (north rule: the hash-partitioned
+    groupby-aggregate against the filter shards, as a parallel task).
+
+    Reads every fetch chunk's candidate table from plasma (zero-copy),
+    keeps its shard's rows, takes the first sighting per sha64 by
+    (parent_seq, pos), probes the shard's seen filter, and returns only
+    previously-unseen candidates. All sha64s of a key route to exactly one
+    task, so cross-task dedup is complete by construction."""
+    import numpy as np
+    tables = []
+    for ref in chunk_refs:
+        t = ray.get(ref)
+        if t.num_rows:
+            sel = t.filter(pc.equal(t.column("shard"), shard_id))
+            if sel.num_rows:
+                tables.append(sel)
+    if not tables:
+        return CANDIDATE_SCHEMA.empty_table(), 0
+    tbl = pa.concat_tables(tables)
+    srt = tbl.sort_by([("sha64", "ascending"), ("parent_seq", "ascending"),
+                       ("pos", "ascending")])
+    s64 = srt.column("sha64").to_numpy()
+    first = np.empty(len(s64), dtype=bool)
+    first[0] = True
+    np.not_equal(s64[1:], s64[:-1], out=first[1:])
+    cand = srt.filter(pa.array(first))
+    present = ray.get(shard_actor.contains_u64.remote(
+        cand.column("sha64").to_numpy()))
+    new = cand.filter(pa.array(~np.asarray(present, dtype=bool)))
+    return new, int(tbl.num_rows)
+
+
 class WaveCrawler:
     """Drives the crawl; owns shard actors and the per-wave driver state."""
 
     def __init__(self, corpus_dir: str, out_dir: str, cfg: CrawlConfig,
-                 fetch_concurrency: int = 4, fetch_batch_size: int = 1024,
+                 fetch_concurrency: int = 4, fetch_batch_size: int = 768,
                  exact_seen: bool = True, small_wave_threshold: int = 512):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -127,9 +161,12 @@ class WaveCrawler:
         self._robots_ref = ray.put(self.robots if cfg.respect_robots else None)
         # driver state
         self.small_wave_threshold = small_wave_threshold
+        self.distributed_dedup_threshold = 2_000_000
         self._local_fetcher: CorpusFetcher | None = None
         self._workers: list | None = None
         self._part_owner: dict[int, int] = {}
+        self._pending: tuple | None = None       # (wave, metrics, thread)
+        self._frontier_cache: tuple | None = None  # (wave, table)
         self.next_seq = 0
         self.fetched_total = 0
         self.trap_counts: dict[str, int] = {}
@@ -143,6 +180,13 @@ class WaveCrawler:
                                    self.num_parts, self._cfg_ref,
                                    self._robots_ref)
                 for _ in range(self.fetch_concurrency)]
+            # async partition prefetch: worker i owns parts {p : p % pool
+            # == i} (num_parts ≫ pool keeps hash-uniform loads balanced);
+            # warming overlaps the small early waves
+            pool = len(self._workers)
+            for i, w in enumerate(self._workers):
+                w.prefetch.remote(
+                    [p for p in range(self.num_parts) if p % pool == i])
         return self._workers
 
     def release_workers(self) -> None:
@@ -224,6 +268,17 @@ class WaveCrawler:
             json.dump(payload, f)
         os.replace(tmp, self._lineage_path(tag))
 
+    def _flush_pending(self) -> None:
+        """Join the previous wave's checkpoint-write thread and commit its
+        lineage. Called mid-next-wave so the parquet writes overlap the
+        fetch; crash before commit ⇒ resume replays the wave (idempotent)."""
+        if self._pending is not None:
+            k, metrics, th = self._pending
+            if th is not None:
+                th.join()
+            self._commit(k, metrics)
+            self._pending = None
+
     # ----------------------------------------------------------- resume
     def resume(self) -> int:
         """Restore from the last committed wave; returns the next wave id.
@@ -282,6 +337,12 @@ class WaveCrawler:
         checkpoint IS the frontier — no duplicate file) plus any politeness
         deferrals carried from wave k-1."""
         import numpy as np
+        if self._frontier_cache is not None and \
+                self._frontier_cache[0] == wave:
+            tbl = self._frontier_cache[1]
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return tbl
         parts = []
         dp = self._p("frontier", f"deferred-{wave:05d}.parquet")
         if os.path.exists(dp):
@@ -401,48 +462,87 @@ class WaveCrawler:
             bounds = np.flatnonzero(np.diff(parts_np)) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(parts_np)]))
-            order = np.argsort(-(ends - starts))
-            loads = np.zeros(len(workers), dtype=np.int64)
-            ideal = n_gated / max(1, len(workers))
             t_p0 = time.perf_counter()
             frontier_ref = ray.put(frontier_tbl)
             self._t_put = time.perf_counter() - t_p0
-            for oi in order.tolist():
-                s0, e0 = int(starts[oi]), int(ends[oi])
+            pool = len(workers)
+            # pull-based dispatch with affinity-preferred work stealing:
+            # each worker's queue holds its own partitions' chunks (cache
+            # affinity: part % pool, matching the prefetch); a worker that
+            # drains its queue steals from the longest queue. Static
+            # balancing cannot absorb heterogeneous vCPU throughput (this
+            # host shows a ~1.6× spread under full parallel load) — the
+            # same mechanism that handles straggler nodes on a real
+            # cluster.
+            queues: list[list[tuple[int, int]]] = [[] for _ in range(pool)]
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
                 part = int(parts_np[s0])
-                size = e0 - s0
-                # sticky-but-balanced: reuse the partition's cached owner
-                # unless that would push it past ~the balanced load (a
-                # sticky assignment from an earlier, differently-shaped
-                # wave must not become this wave's straggler)
-                w_idx = self._part_owner.get(part)
-                if w_idx is None or loads[w_idx] + size > ideal * 1.1:
-                    w_idx = int(loads.argmin())
-                self._part_owner[part] = w_idx
-                loads[w_idx] += size
-                w = workers[w_idx]
+                w_idx = part % pool
                 for off in range(s0, e0, self.fetch_batch_size):
-                    futs.append(w.process_sliced.remote(
-                        frontier_ref, off,
-                        min(self.fetch_batch_size, e0 - off),
-                        pages_dir, links_dir))
+                    queues[w_idx].append(
+                        (off, min(self.fetch_batch_size, e0 - off)))
+            inflight: dict = {}
+
+            def submit(w_idx: int) -> None:
+                if queues[w_idx]:
+                    off, ln = queues[w_idx].pop(0)
+                else:
+                    victim = max(range(pool), key=lambda j: len(queues[j]))
+                    if not queues[victim]:
+                        return
+                    off, ln = queues[victim].pop()
+                fut = workers[w_idx].process_sliced.remote(
+                    frontier_ref, off, ln, pages_dir, links_dir)
+                inflight[fut] = w_idx
+
             t_s0 = time.perf_counter()
-            results = ray.get(futs)
+            for w_idx in range(pool):
+                submit(w_idx)   # 1 in flight: a queued chunk on a slow
+                                # core can't be stolen, so don't buffer
+            chunk_refs = []
+            while inflight:
+                done, _ = ray.wait(list(inflight), num_returns=1)
+                w_idx = inflight.pop(done[0])
+                chunk_refs.append(done[0])   # candidates stay in plasma
+                submit(w_idx)
             self._t_gather = time.perf_counter() - t_s0
             busy = ray.get([w.busy_reset.remote() for w in workers])
             self._busy_max = max(busy)
             self._busy_sum = sum(busy)
-            blocks = [b for b in results if b.num_rows]
-            del frontier_ref
-            raw_tbl = (pa.concat_tables(blocks, promote_options="default")
-                       if blocks else CANDIDATE_SCHEMA.empty_table())
+            if n_gated >= self.distributed_dedup_threshold:
+                raw_tbl = None   # dedup distributed below
+            else:
+                blocks = [b for b in ray.get(chunk_refs) if b.num_rows]
+                raw_tbl = (pa.concat_tables(blocks,
+                                            promote_options="default")
+                           if blocks else CANDIDATE_SCHEMA.empty_table())
+                del chunk_refs, frontier_ref
         t_fetch = time.perf_counter() - t0
-        # within-wave dedup, vectorized: first sighting per sha1 by
-        # (parent_seq, pos). At 10^10 scale this becomes the distributed
-        # groupby(sha1)-aggregate of the north rule; driver-side Arrow sort
-        # is the single-node instantiation of the same hash-partitioned
-        # first-wins aggregate.
-        if raw_tbl.num_rows:
+        # previous wave's checkpoint IO overlapped this fetch; seal it now
+        self._flush_pending()
+        # within-wave dedup + membership probe: first sighting per sha64 by
+        # (parent_seq, pos), then the shard filter. Distributed path (used
+        # above the frontier-size threshold, and the only viable shape at
+        # 10^10): one task per seen-filter shard reads the fetch chunks
+        # from plasma — the hash-partitioned groupby-aggregate against the
+        # filter shards of the north rule. Below the threshold a driver-
+        # side Arrow sort is faster (per-task chunk-scan overhead
+        # dominates at small candidate volumes).
+        pre_probed = False
+        if raw_tbl is None:
+            dfuts = [_shard_dedup_task.remote(s, chunk_refs, self.shards[s])
+                     for s in range(self.cfg.num_shards)]
+            results = ray.get(dfuts)
+            del chunk_refs, frontier_ref
+            new_tables = [t for t, _ in results if t.num_rows]
+            n_candidates = sum(c for _, c in results)
+            cand_tbl = (pa.concat_tables(new_tables).sort_by(
+                            [("parent_seq", "ascending"),
+                             ("pos", "ascending")])
+                        if new_tables else CANDIDATE_SCHEMA.empty_table())
+            pre_probed = True
+        elif raw_tbl.num_rows:
+            n_candidates = raw_tbl.num_rows
             srt = raw_tbl.sort_by([("sha64", "ascending"),
                                    ("parent_seq", "ascending"),
                                    ("pos", "ascending")])
@@ -454,7 +554,7 @@ class WaveCrawler:
                 [("parent_seq", "ascending"), ("pos", "ascending")])
         else:
             cand_tbl = raw_tbl
-        n_candidates = cand_tbl.num_rows
+            n_candidates = 0
         t_dedup = time.perf_counter() - t0 - t_fetch
 
         # two-phase admission, vectorized: (1) membership probe against
@@ -469,15 +569,18 @@ class WaveCrawler:
         if n:
             sha64 = cand_tbl.column("sha64").to_numpy()
             shard_np = cand_tbl.column("shard").to_numpy()
-            is_new = np.zeros(n, dtype=bool)
-            shard_masks = {}
-            futs = {}
-            for s in np.unique(shard_np).tolist():
-                m = shard_np == s
-                shard_masks[s] = m
-                futs[s] = self.shards[s].contains_u64.remote(sha64[m])
-            for s, m in shard_masks.items():
-                is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
+            if pre_probed:
+                is_new = np.ones(n, dtype=bool)
+            else:
+                is_new = np.zeros(n, dtype=bool)
+                shard_masks = {}
+                futs = {}
+                for s in np.unique(shard_np).tolist():
+                    m = shard_np == s
+                    shard_masks[s] = m
+                    futs[s] = self.shards[s].contains_u64.remote(sha64[m])
+                for s, m in shard_masks.items():
+                    is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
 
             # trap gating (T4/A5 running signature counts)
             sig_dict = pc.dictionary_encode(
@@ -523,25 +626,52 @@ class WaveCrawler:
             trap_rejected = 0
             add_futs = []
 
-        # --------- checkpoint: admitted keys, next frontier, lineage last
+        # --------- checkpoint: admitted keys + deferred file written by a
+        # background thread; lineage commit deferred to _flush_pending()
+        # (joins the thread first) so the parquet IO overlaps the next
+        # wave's fetch. The in-memory frontier cache hands the next wave
+        # its input without re-reading the file.
+        import threading
+
+        out_adm = None
         if adm_tbl is not None and n_adm:
             out_adm = adm_tbl.select(["url", "depth", "seq", "host",
                                       "sha64", "part", "signature"]) \
                 .append_column("wave", pa.array(
                     np.full(n_adm, k, dtype=np.int32)))
-            pq.write_table(out_adm,
-                           self._p("admitted", f"wave-{k:05d}.parquet"))
         n_deferred = deferred_tbl.num_rows if deferred_tbl is not None else 0
+        d_tbl = None
         if not stopped and n_deferred:
-            d = deferred_tbl.set_column(
+            d_tbl = deferred_tbl.set_column(
                 deferred_tbl.schema.get_field_index("wave"), "wave",
-                pa.array(np.full(n_deferred, k + 1, dtype=np.int32)))
-            pq.write_table(d.select(FRONTIER_COLS),
-                           self._p("frontier",
-                                   f"deferred-{k + 1:05d}.parquet"))
+                pa.array(np.full(n_deferred, k + 1, dtype=np.int32))) \
+                .select(FRONTIER_COLS)
+
+        def _write_checkpoint(adm=out_adm, dt=d_tbl, wave_k=k):
+            if adm is not None:
+                pq.write_table(adm, self._p("admitted",
+                                            f"wave-{wave_k:05d}.parquet"))
+            if dt is not None:
+                pq.write_table(dt, self._p(
+                    "frontier", f"deferred-{wave_k + 1:05d}.parquet"))
+
+        write_thread = threading.Thread(target=_write_checkpoint,
+                                        daemon=True)
+        write_thread.start()
+        # next wave's frontier, in memory
+        if not stopped:
+            nparts = []
+            if d_tbl is not None:
+                nparts.append(d_tbl)
+            if adm_tbl is not None and n_adm:
+                nparts.append(adm_tbl.append_column(
+                    "wave", pa.array(np.full(n_adm, k + 1, dtype=np.int32))
+                ).select(FRONTIER_COLS))
+            self._frontier_cache = (
+                k + 1, pa.concat_tables(nparts) if nparts else None)
         if add_futs:
-            # shard inserts were launched before the checkpoint writes and
-            # must land before the lineage commit (write/insert overlap)
+            # shard inserts must land before this wave's lineage commit —
+            # _flush_pending joins the write thread; inserts land here
             ray.get(add_futs)
         self.fetched_total += n_gated
         elapsed = time.perf_counter() - t0
@@ -558,11 +688,12 @@ class WaveCrawler:
             "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
             "busy_max": round(getattr(self, "_busy_max", 0.0), 3),
             "busy_sum": round(getattr(self, "_busy_sum", 0.0), 3),
+            "busy_all": getattr(self, "_busy_all", []),
             "next_seq": self.next_seq, "fetched_total": self.fetched_total,
             "by_part": {str(p): int(c) for p, c in sorted(by_part.items())},
             "stopped": stopped,
         }
-        self._commit(k, metrics)
+        self._pending = (k, metrics, write_thread)
         self.wave += 1
         if stopped:
             return dict(metrics, done=True)
@@ -585,6 +716,7 @@ class WaveCrawler:
             waves.append(m)
             if m.get("done"):
                 break
+        self._flush_pending()
         self.release_workers()
         return {
             "fetched_total": self.fetched_total,

@@ -252,6 +252,12 @@ class FetchWorker:
                  cfg, robots):
         # cfg/robots arrive as ObjectRefs from the engine; Ray resolves
         # top-level actor args automatically (ship once, not per call)
+        # one Arrow compute thread per worker — the pool parallelizes
+        # across actors; Arrow's default per-process pool (ncpu threads ×
+        # pool size actors) oversubscribes the box and inflates tail
+        # latency
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.fetcher = CorpusFetcher(corpus_dir, base_domain, num_parts)
         self.cfg = cfg
         self.robots = robots
@@ -285,3 +291,10 @@ class FetchWorker:
         b = getattr(self, "_busy", 0.0)
         self._busy = 0.0
         return b
+
+    def prefetch(self, parts: list[int]) -> int:
+        """Warm this worker's partition caches (fired asynchronously at
+        pool creation — overlaps the small early waves)."""
+        for p in parts:
+            self.fetcher._partition(p)
+        return len(parts)
