@@ -119,7 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_inlinks": C.crawl_inlinks,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_host_sizes": C.crawl_host_sizes,
+        "crawl_issue_counts": C.crawl_issue_counts,
+        "crawl_neardup": C.crawl_neardup,
         "crawl_full": C.full_crawl_pages,
+        "crawl_pagerank": C.crawl_pagerank,
     }
 
 
@@ -206,4 +209,5 @@ ORDER BY id_a, id_b
         out["crawl_inlinks"] = C.crawl_inlinks_sql(path)
         out["crawl_status_counts"] = C.crawl_status_counts_sql(path)
         out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
+        out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)
     return out

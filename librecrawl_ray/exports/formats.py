@@ -33,25 +33,36 @@ LINKS_FIELDS = ["source_url", "target_url", "anchor_text", "is_internal",
 ISSUES_FIELDS = ["url", "type", "category", "issue", "details"]
 
 
+def _seq_len(value) -> int:
+    """len() for list / numpy array / None (pandas rows surface Arrow list
+    columns as numpy object arrays, whose truthiness raises)."""
+    if value is None:
+        return 0
+    try:
+        return len(value)
+    except TypeError:
+        return 0
+
+
 def _fmt_page_value(field: str, value) -> str:
     """Reference CSV summarization rules (main.py:315-343)."""
     if value is None:
         return ""
     if field in ("og_tags", "twitter_tags"):
-        n = len(value) if value else 0
+        n = _seq_len(value)
         return f"{n} tags" if n else ""
     if field == "json_ld":
-        n = len(value) if value else 0
+        n = _seq_len(value)
         return f"{n} scripts" if n else ""
     if field == "images":
-        n = len(value) if value else 0
+        n = _seq_len(value)
         return f"{n} images" if n else ""
     if field == "internal_links":
         return f"{int(value)} internal links" if value else "0 internal links"
     if field == "external_links":
         return f"{int(value)} external links" if value else "0 external links"
     if field in ("h2", "h3"):
-        v = list(value or [])
+        v = [str(x) for x in (value if value is not None else [])]
         return ", ".join(v[:3]) + ("..." if len(v) > 3 else "")
     if isinstance(value, (dict, list)):
         return str(value)

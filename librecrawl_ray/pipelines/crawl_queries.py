@@ -9,7 +9,7 @@ DuckDB over the same parquet file via read_parquet('<path>'), so the driver
 verifies Ray vs SQL on identical inputs.
 
 Scale mapping: sf0.001 → t1 (~500 docs), sf0.01 → t2 (~18k), sf0.1 →
-bench1 (~100k).
+bench2 (~549k).
 """
 
 from __future__ import annotations
@@ -214,3 +214,105 @@ def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
     pages = reports.load_pages(
         out_dir, columns=["url", "depth", "seq", "wave", "status_code"])
     return pages.to_pandas().sort_values("seq").reset_index(drop=True)
+
+
+# ------------------------------------------------- issue-layer (I*) queries
+
+_SQL_ISSUE_NAMES = ("Missing OpenGraph Tags", "Missing Viewport Meta Tag",
+                    "Thin Content")
+
+
+def crawl_issue_counts(sf_dir: str) -> pd.DataFrame:
+    """Issue counts for the SQL-expressible per-page rules, computed by the
+    REAL issue detector over the parsed corpus (the others are covered by
+    pytest goldens; this query pins the shared slice to a DuckDB oracle)."""
+    from ..stages.issues import is_excluded, page_issues
+
+    ds = _docs(sf_dir, ["doc_id", "spans", "status_code", "size",
+                        "response_time_ms", "x_robots_tag"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        out: dict[str, int] = {}
+        parsed = parse_documents_batch(
+            batch.select(["doc_id", "spans"]), BASE_DOMAIN).to_pylist()
+        metas = batch.select(["status_code", "size", "response_time_ms",
+                              "x_robots_tag"]).to_pylist()
+        for p, m in zip(parsed, metas):
+            url = p["doc_id"]
+            if is_excluded(url):
+                continue
+            row = {**p, "url": url, "status_code": m["status_code"],
+                   "size": m["size"],
+                   "response_time": m["response_time_ms"],
+                   "x_robots_tag": m["x_robots_tag"],
+                   "is_internal": True, "redirect_count": 0,
+                   "has_redirect_loop": False}
+            for iss in page_issues(row):
+                if iss["issue"] in _SQL_ISSUE_NAMES:
+                    out[iss["issue"]] = out.get(iss["issue"], 0) + 1
+        return pa.table({
+            "issue": pa.array(list(out.keys()), pa.string()),
+            "n": pa.array(list(out.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(detect, batch_format="pyarrow")
+           .groupby("issue").aggregate(Sum("n", alias_name="n_pages"))
+           .to_pandas())
+    return agg.sort_values("issue").reset_index(drop=True)
+
+
+def crawl_issue_counts_sql(path: str) -> str:
+    wc = ("coalesce(list_sum(list_transform(list_filter(spans, "
+          "s -> s.kind = 'text'), "
+          "s -> len(regexp_extract_all(s.text, '\\w+')))), 0)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, spans, status_code, {wc} AS wc
+  FROM read_parquet('{path}')
+  WHERE status_code < 400
+    AND doc_id NOT LIKE '%.txt' AND doc_id NOT LIKE '%.xml')
+SELECT issue, n_pages FROM (
+  SELECT 'Missing OpenGraph Tags' AS issue, count(*) AS n_pages
+  FROM base WHERE len(list_filter(spans, s -> s.kind = 'og')) = 0
+  UNION ALL
+  SELECT 'Missing Viewport Meta Tag', count(*)
+  FROM base WHERE len(list_filter(spans,
+      s -> s.kind = 'meta' AND s.text LIKE 'viewport=%')) = 0
+  UNION ALL
+  SELECT 'Thin Content', count(*)
+  FROM base WHERE wc > 0 AND wc < 300)
+ORDER BY issue
+"""
+
+
+def crawl_neardup(sf_dir: str, sample: int = 2000) -> pd.DataFrame:
+    """D3 near-duplicate pairs over the parsed corpus (blocked mode) —
+    rows-only driver check; blocked==exact equality covered in pytest.
+    Deterministic sample (lexicographically first ``sample`` doc_ids) keeps
+    the gate bounded on template-heavy corpora where the reference's 0.85
+    metric legitimately matches huge page families."""
+    from ..stages.neardup import near_duplicate_pairs
+    ds = _docs(sf_dir, ["doc_id", "spans"]).sort("doc_id").limit(sample)
+    parsed = ds.map_batches(
+        lambda b: parse_documents_batch(b, BASE_DOMAIN),
+        batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "title", "meta_description", "h1",
+                            "word_count"]).rename_columns(
+            ["url", "title", "meta_description", "h1", "word_count"]),
+        batch_format="pyarrow")
+    return near_duplicate_pairs(parsed).to_pandas()
+
+
+def crawl_pagerank(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
+        pd.DataFrame:
+    """PageRank-lite over the crawl output's link graph — top 50 by rank.
+    Iterative (non-SQL-expressible) → rows-only driver check; pytest
+    verifies against an independent power-iteration reference."""
+    full_crawl_pages(sf_dir, out_root)       # idempotent-ish: reruns crawl
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    links = reports.load_links(out_dir)
+    pr = reports.pagerank_lite(pages, links).to_pandas()
+    return (pr.sort_values(["rank", "url"], ascending=[False, True])
+            .head(50).reset_index(drop=True))

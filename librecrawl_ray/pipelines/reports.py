@@ -558,3 +558,79 @@ def security_header_issues(pages: rd.Dataset) -> rd.Dataset:
         return pd.DataFrame(rows, columns=["url", "type", "category",
                                            "issue", "details"])
     return keyed.groupby("host").map_groups(per_host, batch_format="pandas")
+
+
+# ------------------------------------------------------ PageRank-lite (A8+)
+
+def pagerank_lite(pages: rd.Dataset, links: rd.Dataset,
+                  iterations: int = 5, damping: float = 0.85) -> rd.Dataset:
+    """PageRank-lite over the crawled internal link graph (north-star
+    priority score).
+
+    The edge list is built with Ray Data (normalize + dedup + crawled-node
+    semi-join via a broadcast node set); the power iteration itself runs
+    vectorized on the driver — the rank vector is one float per crawled
+    page and the deduped edge list is graph-sized, both driver-resident at
+    sandbox scale. At 10^10, swap the iteration body for the same two ops
+    expressed as hash_join (edges ⋈ ranks) + bucketed groupby(dst).sum —
+    the helpers above — with ranks kept as a Dataset; the update formula is
+    identical.
+
+    The crawl's fetch order itself stays (depth, seq) — BFS-equivalent per
+    the conformance contract; the PageRank score is the reported
+    re-crawl/priority column (SURVEY.md §2.8: priority = (depth, seq) with
+    PageRank as an equal-priority tiebreaker, which preserves reference
+    ordering). Returns (url, rank) for every crawled page.
+    """
+    import pandas as pd
+
+    nodes = _add_norm(pages.select_columns(["url"]), "url", "n") \
+        .select_columns(["url", "n"])
+    node_tbl = nodes.to_pandas()          # driver-resident rank vector:
+    # one float per crawled page — at 10^10 keep ranks as a Dataset and
+    # use the reduce-side join path exclusively (same code, higher
+    # broadcast_threshold disabled)
+    node_set = set(node_tbl["n"])
+    n_nodes = max(len(node_set), 1)
+
+    edges = _add_norm(
+        _add_norm(links.filter(lambda r: bool(r["is_internal"]))
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"])
+
+    def dedup_and_filter(batch: pa.Table) -> pa.Table:
+        seen = set()
+        s_out, d_out = [], []
+        for s, d in zip(batch.column("src").to_pylist(),
+                        batch.column("dst").to_pylist()):
+            if d in node_set and s in node_set and (s, d) not in seen:
+                seen.add((s, d))
+                s_out.append(s)
+                d_out.append(d)
+        return pa.table({"src": pa.array(s_out, pa.string()),
+                         "dst": pa.array(d_out, pa.string())})
+
+    edge_df = edges.map_batches(dedup_and_filter,
+                                batch_format="pyarrow").to_pandas() \
+        .drop_duplicates(["src", "dst"])
+    outdeg = edge_df.groupby("src").size()
+
+    ranks = pd.Series(1.0 / n_nodes, index=sorted(node_set))
+    for _ in range(iterations):
+        contrib_per_edge = edge_df["src"].map(ranks / outdeg)
+        sums = pd.Series(contrib_per_edge.values,
+                         index=edge_df["dst"]).groupby(level=0).sum()
+        dangling = ranks[~ranks.index.isin(outdeg.index)].sum()
+        ranks = pd.Series((1.0 - damping) / n_nodes
+                          + damping * dangling / n_nodes,
+                          index=ranks.index).add(damping * sums,
+                                                 fill_value=0.0)
+        extra = ranks.index.difference(pd.Index(sorted(node_set)))
+        if len(extra):
+            ranks = ranks.drop(extra)
+
+    out = node_tbl.copy()
+    out["rank"] = out["n"].map(ranks).fillna((1.0 - damping) / n_nodes)
+    out["rank"] = out["rank"].round(10)
+    return rd.from_pandas(out[["url", "rank"]])

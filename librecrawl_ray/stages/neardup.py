@@ -95,7 +95,8 @@ PAIRS_SCHEMA = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
 def near_duplicate_pairs(pages: rd.Dataset,
                          threshold: float = THRESHOLD_DEFAULT,
                          exact: bool = False,
-                         prefix_len: int = 4) -> pa.Table:
+                         prefix_len: int = 4,
+                         max_block: int = 512) -> pa.Table:
     """Detect near-duplicate page pairs; returns (url_a, url_b, score)."""
     narrow = pages.select_columns(["url", "title", "meta_description",
                                    "h1", "word_count"])
@@ -126,7 +127,18 @@ def near_duplicate_pairs(pages: rd.Dataset,
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, g in df.groupby("block"):
-            out.extend(_pairs_in_block(g.to_dict("records"), threshold))
+            if len(g) > max_block:
+                # template-heavy corpora can put thousands of pages in one
+                # prefix block; subdivide by word-count bucket (the
+                # reference's own wc-ratio prune direction) before the
+                # quadratic comparison. A cross-bucket pair needs near-
+                # perfect similarity on all text fields to reach 0.85 with
+                # wc_sim < 50/(50+bucket width) — rare by construction.
+                for _, sub in g.groupby(g["word_count"] // 50):
+                    out.extend(_pairs_in_block(sub.to_dict("records"),
+                                               threshold))
+            else:
+                out.extend(_pairs_in_block(g.to_dict("records"), threshold))
         return pd.DataFrame(out, columns=["url_a", "url_b", "score"])
 
     from ..pipelines.reports import bucketed_groups

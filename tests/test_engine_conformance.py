@@ -100,3 +100,33 @@ def test_robots_excluded(crawl_result):
     _, summary = crawl_result
     pages = _read_pages(summary["out_dir"])
     assert not any("/private/" in u for u in pages.column("url").to_pylist())
+
+
+def test_t2_scale_conformance(ray_session, tmp_path_factory):
+    """Engine == oracle at t2 scale (~17.8k pages, 26-way fanout): crawl
+    order, seen set and trap accounting hold beyond the smoke corpus."""
+    from librecrawl_ray.corpus import generate_corpus, write_corpus
+    from librecrawl_ray.oracle import simulate
+    from librecrawl_ray.policy import CrawlConfig
+
+    fix = generate_corpus("t2")
+    cdir = write_corpus("t2")
+    cfg = CrawlConfig.from_fixture(fix["config"], "site.example")
+    oracle = simulate(fix["documents"], fix["robots"], SEEDS, cfg)
+    out = str(tmp_path_factory.mktemp("crawl_t2"))
+    eng = WaveCrawler(cdir, out, cfg, fetch_concurrency=4,
+                      small_wave_threshold=256)
+    summary = eng.run(SEEDS)
+    assert summary["fetched_total"] == len(oracle.crawl_order)
+    pages = _read_pages(summary["out_dir"])
+    got = sorted(
+        zip(pages.column("url").to_pylist(), pages.column("depth").to_pylist(),
+            pages.column("seq").to_pylist(), pages.column("wave").to_pylist()),
+        key=lambda r: (r[3], r[1], r[2]))
+    want = [(c["url"], c["depth"], c["seq"], c["wave"])
+            for c in oracle.crawl_order]
+    assert got == want
+    from librecrawl_ray.canonical import url_sha1
+    from librecrawl_ray.state.filters import sha1_to_u64
+    assert eng.seen_sha1s() == \
+        {sha1_to_u64(url_sha1(u)) for u in oracle.seen}

@@ -1,0 +1,99 @@
+"""PageRank-lite correctness, bloom-mode crawl, exports over engine output."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from librecrawl_ray.canonical import norm_url
+from librecrawl_ray.pipelines import reports
+
+
+def _reference_pagerank(nodes, edges, iterations=5, damping=0.85):
+    """Independent dict-based power iteration (the spec)."""
+    nodes = sorted(set(nodes))
+    n = len(nodes)
+    out_edges = defaultdict(list)
+    for s, d in edges:
+        out_edges[s].append(d)
+    ranks = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        sums = defaultdict(float)
+        dangling = 0.0
+        for u in nodes:
+            targets = out_edges.get(u)
+            if not targets:
+                dangling += ranks[u]
+                continue
+            share = ranks[u] / len(targets)
+            for t in targets:
+                sums[t] += share
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = {u: base + damping * sums.get(u, 0.0) for u in nodes}
+    return ranks
+
+
+def test_pagerank_lite_matches_reference(ray_session, t1_crawl, t1_oracle):
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"])
+    links = reports.load_links(summary["out_dir"])
+    got = reports.pagerank_lite(pages, links).to_pandas()
+    got_map = dict(zip(got["url"], got["rank"]))
+
+    node_norms = {norm_url(p["url"]) for p in t1_oracle.pages}
+    edges = set()
+    for e in t1_oracle.links:
+        if not e["is_internal"]:
+            continue
+        s, d = norm_url(e["source_url"]), norm_url(e["target_url"])
+        if s in node_norms and d in node_norms:
+            edges.add((s, d))
+    want = _reference_pagerank(node_norms, edges)
+    assert len(got_map) == len(t1_oracle.pages)
+    for p in t1_oracle.pages:
+        assert abs(got_map[p["url"]] - want[norm_url(p["url"])]) < 1e-9, \
+            p["url"]
+    # the homepage out-ranks a leaf page
+    leaf = max(t1_oracle.pages, key=lambda p: p["depth"])
+    assert got_map["https://site.example/"] > got_map[leaf["url"]]
+
+
+def test_bloom_only_crawl(ray_session, t1_corpus_dir, t1_cfg, t1_oracle,
+                          tmp_path):
+    """exact_seen=False: shards run on the bloom filter alone (the 10^10
+    memory representation). At fixture scale the FP probability is ~0, so
+    results still match the oracle exactly."""
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    eng = WaveCrawler(t1_corpus_dir, str(tmp_path / "out"), t1_cfg,
+                      fetch_concurrency=2, exact_seen=False)
+    s = eng.run(["https://site.example/"])
+    assert s["fetched_total"] == len(t1_oracle.crawl_order)
+    import glob
+    import os
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    files = sorted(glob.glob(os.path.join(s["out_dir"], "pages",
+                                          "wave=*", "*.parquet")))
+    pages = pa.concat_tables([pq.read_table(f, columns=["url", "seq"])
+                              for f in files], promote_options="default")
+    got = sorted(zip(pages.column("url").to_pylist(),
+                     pages.column("seq").to_pylist()))
+    want = sorted((c["url"], c["seq"]) for c in t1_oracle.crawl_order)
+    assert got == want
+
+
+def test_exports_over_engine_output(ray_session, t1_crawl):
+    from librecrawl_ray.exports.formats import export_pages_ds
+    _, summary = t1_crawl
+    pages = reports.load_pages(
+        summary["out_dir"],
+        columns=["url", "status_code", "title", "meta_description", "h1",
+                 "word_count", "depth", "seq", "wave", "internal_links",
+                 "external_links", "canonical_url", "response_time",
+                 "size", "og_tags", "twitter_tags", "json_ld", "images",
+                 "h2", "h3"])
+    csv_text = export_pages_ds(pages, "csv")
+    lines = csv_text.strip().splitlines()
+    assert len(lines) == summary["fetched_total"] + 1
+    assert lines[1].startswith("https://site.example/,200,")
