@@ -53,9 +53,9 @@ def clean_url(href: str, base: str = "") -> str:
     if h.startswith("https://") or h.startswith("http://"):
         return h
     if base:
-        if h.startswith("//"):
+        if h.startswith("//") and len(h) > 2:
             return _base_parts(base)[0] + ":" + h
-        if h.startswith("/"):
+        if h.startswith("/") and not h.startswith("//"):
             scheme, netloc = _base_parts(base)
             return f"{scheme}://{netloc}{h}"
     absu = urljoin(base, h) if base else h

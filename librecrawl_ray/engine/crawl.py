@@ -5,21 +5,28 @@ a BFS level-synchronous dataflow that preserves the FIFO-BFS ordering
 contract exactly (priority = (depth, discovery seq); politeness deferrals
 carry seq forward):
 
-    frontier_wave_k  ──sort by corpus part──▶ map_batches(CorpusFetcher)
-      ├─ pages rows  → write parquet pages/wave=k  (+ per-part lineage)
-      ├─ edges       → write parquet links/wave=k
-      └─ candidates  → map_batches(Canonicalizer: clean/sha1/robots filter)
-           → groupby(sha1).map_groups(first by (parent_seq, pos))   # shuffle
-           → SeenShard.admit() per hash partition (exactly-once test-and-set)
-           → trap gating (signature running counts, threshold reject)
-           → seq assignment → frontier_wave_{k+1}
+    frontier_wave_k (parquet/in-memory, one ray.put per wave)
+      → PolitenessScheduler gating (per-host crawl-delay token budgets)
+      → persistent FetchWorker pool: partition-affine corpus lookup join,
+        pull-based dispatch with work stealing (absorbs heterogeneous
+        core/node throughput); each chunk fetches, parses (zero-copy span
+        passthrough), writes pages/links parquet (deterministic file names
+        → retry-idempotent), canonicalizes + SHA-1s candidates
+      → within-wave dedup + seen-filter probe: first sighting per sha64 by
+        (parent_seq, pos); driver-side Arrow sort below the candidate
+        threshold, per-shard parallel tasks above it (the hash-partitioned
+        groupby-aggregate against the filter shards of the north rule)
+      → trap gating (vectorized signature counts, ordered fallback only
+        for threshold-crossing signatures) → seq assignment (arange)
+      → SeenShard.add_bulk + admitted checkpoint → frontier_wave_{k+1}
 
-Every wave commits atomically: outputs + admitted-keys file + frontier file
-are written first, the lineage record last (tmp+rename). Resume replays
-committed waves' admitted files into the shard actors and continues from the
-last committed frontier — the URL-seen set after kill+resume is identical to
-an uninterrupted run (north rule; unlike the reference's lossy 1,000-entry
-checkpoint queue, crawler.py:695).
+Every wave commits atomically: outputs + admitted-keys file written first
+(on a background thread, overlapping the next wave's fetch), the lineage
+record last (tmp+rename, sealed by _flush_pending). Resume replays committed
+waves' admitted files into the shard actors and continues from the last
+committed frontier — the URL-seen set after kill+resume is identical to an
+uninterrupted run (north rule; unlike the reference's lossy 1,000-entry
+checkpoint queue, crawler.py:695). Uncommitted waves replay idempotently.
 
 Driver-held state is O(frontier-wave + signature cardinality) only: the seen
 set lives in the shard actors, pages/links stream to parquet. Scale notes
@@ -37,13 +44,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
-import ray.data as rd
 
 from ..canonical import (norm_url, shard_of, url_host, url_sha1,
                          url_signature)
-from ..policy import CrawlConfig, host_cap, should_crawl
+from ..policy import CrawlConfig, should_crawl
 from ..sources.robots import RobotsRules, robots_map
-from ..state.filters import sha1s_to_u64
 from ..state.seen_filter import make_shards
 from .fetch_actor import CorpusFetcher
 
@@ -157,6 +162,8 @@ class WaveCrawler:
         robots_tbl = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
         self.robots = robots_map(robots_tbl.to_pylist())
         self.shards = make_shards(cfg.num_shards, exact=exact_seen)
+        from ..state.politeness import PolitenessScheduler
+        self.politeness = PolitenessScheduler(cfg, self.robots)
         self._cfg_ref = ray.put(cfg)
         self._robots_ref = ray.put(self.robots if cfg.respect_robots else None)
         # driver state
@@ -375,18 +382,8 @@ class WaveCrawler:
         # politeness gating (T2/T3): per-host wave budget, robots crawl-delay
         deferred_tbl = None
         if self.cfg.per_host_wave_cap > 0:
-            gated_rows, deferred_rows = [], []
-            used: dict[str, int] = {}
-            caps: dict[str, int] = {}
-            for r in fetchable_tbl.to_pylist():
-                h = r["host"]
-                if h not in caps:
-                    caps[h] = host_cap(h, self.cfg, self.robots)
-                if used.get(h, 0) < caps[h]:
-                    used[h] = used.get(h, 0) + 1
-                    gated_rows.append(r)
-                else:
-                    deferred_rows.append(r)
+            gated_rows, deferred_rows = self.politeness.gate(
+                fetchable_tbl.to_pylist())
             gated_tbl = (pa.Table.from_pylist(gated_rows,
                                               schema=fetchable_tbl.schema)
                          if gated_rows else fetchable_tbl.slice(0, 0))

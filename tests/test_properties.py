@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the URL canonicalization fast
+paths and the filter/sketch primitives."""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from librecrawl_ray.canonical import clean_url, norm_url, url_sha1
+from librecrawl_ray.state.filters import BloomFilter
+
+_scheme = st.sampled_from(["http", "https"])
+_host = st.from_regex(r"[a-z0-9-]{1,12}(\.[a-z0-9-]{1,8}){1,2}",
+                      fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,10}){0,4}/?", fullmatch=True)
+_query = st.one_of(st.just(""),
+                   st.from_regex(r"\?[a-z]=[a-z0-9]{0,6}(&[a-z]=[a-z0-9]{0,6}){0,2}",
+                                 fullmatch=True))
+_frag = st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9-]{0,8}",
+                                             fullmatch=True))
+
+
+@st.composite
+def urls(draw):
+    return (f"{draw(_scheme)}://{draw(_host)}{draw(_path)}"
+            f"{draw(_query)}{draw(_frag)}")
+
+
+def slow_norm(url: str) -> str:
+    parts = urlsplit(url.strip().lower())
+    path = parts.path
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+    if path == "":
+        path = "/"
+    return urlunsplit((parts.scheme, parts.netloc, path, parts.query, ""))
+
+
+def slow_clean(href: str, base: str) -> str:
+    absu = urljoin(base, href.strip())
+    p = urlsplit(absu)
+    return urlunsplit((p.scheme, p.netloc, p.path, p.query, ""))
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_norm_url_matches_reference(u):
+    assert norm_url(u) == slow_norm(u)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(urls(), _path, st.from_regex(r"//[a-z]{1,8}\.[a-z]{2,4}/[a-z]{0,6}",
+                                              fullmatch=True)),
+       urls())
+def test_clean_url_matches_reference(href, base):
+    assert clean_url(href, base) == slow_clean(href, base)
+
+
+@settings(max_examples=100, deadline=None)
+@given(urls())
+def test_norm_idempotent(u):
+    assert norm_url(norm_url(u)) == norm_url(u)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200, unique=True))
+def test_bloom_no_false_negatives(keys):
+    bf = BloomFilter(capacity=1000, fp_rate=0.01)
+    arr = np.array(keys, dtype=np.uint64)
+    bf.add_many(arr)
+    assert bf.contains_many(arr).all()
+
+
+def test_bloom_fp_rate_in_range():
+    rng = np.random.RandomState(3)
+    bf = BloomFilter(capacity=50_000, fp_rate=0.01)
+    members = rng.randint(0, 2**63, size=50_000).astype(np.uint64)
+    bf.add_many(members)
+    probe = rng.randint(0, 2**63, size=100_000).astype(np.uint64)
+    fp = bf.contains_many(probe).mean()
+    assert fp < 0.03, fp
+
+
+def test_sha1_stability():
+    assert url_sha1("https://Site.Example/a/") == \
+        url_sha1("https://site.example/a")
