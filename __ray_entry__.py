@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash(sf_dir):
         return D.simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
 
+    def q_top_similar_pairs(sf_dir):
+        return S.top_similar_pairs(_emb(sf_dir), k=20).to_pandas()
+
     def q_top_keywords(sf_dir):
         from librecrawl_ray.functions.keywords import top_keywords
         return top_keywords(_docs(sf_dir), k=20)
@@ -112,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "ivf_topk": q_ivf_topk,
+        "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
@@ -171,6 +175,15 @@ SELECT vec_id,
          AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 """
+    top_similar_pairs_sql = """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6)
+           AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+ORDER BY cosine DESC, id_a, id_b LIMIT 20
+"""
     embedding_neardup_sql = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
@@ -197,6 +210,7 @@ ORDER BY id_a, id_b
         "exact_dedup": exact_dedup_sql,
         "knn_bruteforce": knn_sql,
         "embedding_neardup": embedding_neardup_sql,
+        "top_similar_pairs": top_similar_pairs_sql,
         "top_keywords": __import__(
             "librecrawl_ray.functions.keywords",
             fromlist=["top_keywords_sql"]).top_keywords_sql(20),

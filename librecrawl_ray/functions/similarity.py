@@ -132,3 +132,33 @@ def ivf_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
                               ascending=[False, True]).head(k)
     return pa.Table.from_pandas(parts.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def top_similar_pairs(ds: rd.Dataset, k: int = 20,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      block_col: str = "label") -> pa.Table:
+    """Global top-k most-similar same-block pairs by cosine: per-block
+    matmul inside map_groups emits each block's top-k partials, driver
+    merges (top-k of top-ks is exact because blocks partition the pairs)."""
+    import pandas as pd
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        m = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        vals = sims[ia, ib]
+        take = min(k, len(vals))
+        idx = np.argpartition(-vals, take - 1)[:take]
+        return pd.DataFrame({"id_a": ids[ia[idx]], "id_b": ids[ib[idx]],
+                             "cosine": np.round(vals[idx], 6)})
+
+    parts = ds.groupby(block_col).map_groups(
+        per_block, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["cosine", "id_a", "id_b"],
+                              ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)
