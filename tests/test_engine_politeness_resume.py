@@ -95,3 +95,38 @@ def test_kill_resume_identical(ray_session, t1_fixture, t1_corpus_dir,
     from librecrawl_ray.state.filters import sha1_to_u64
     assert eng2.seen_sha1s() == \
         {sha1_to_u64(url_sha1(u)) for u in t1_oracle.seen}
+
+
+def test_t2_kill_resume(ray_session, tmp_path_factory):
+    """Kill+resume at t2 scale (~17.8k pages), including a kill BETWEEN
+    the checkpoint write and the (deferred) lineage commit — the replayed
+    wave must be idempotent."""
+    from librecrawl_ray.corpus import generate_corpus, write_corpus
+    from librecrawl_ray.policy import CrawlConfig
+
+    cdir = write_corpus("t2")
+    cfg = CrawlConfig.from_fixture(generate_corpus("t2")["config"],
+                                   "site.example")
+    out = str(tmp_path_factory.mktemp("t2_resume"))
+    eng1 = WaveCrawler(cdir, out, cfg, fetch_concurrency=4,
+                       small_wave_threshold=256)
+    eng1.start(SEEDS)
+    eng1.run_wave()
+    eng1.run_wave()
+    eng1.run_wave()          # wave 2's lineage commit is still pending here
+    # abandon eng1 without flushing — simulates a crash after the wave's
+    # data writes started but before its commit sealed
+    eng2 = WaveCrawler(cdir, out, cfg, fetch_concurrency=4,
+                       small_wave_threshold=256)
+    s = eng2.run(resume=True)
+    ref_out = str(tmp_path_factory.mktemp("t2_ref"))
+    eng3 = WaveCrawler(cdir, ref_out, cfg, fetch_concurrency=4,
+                       small_wave_threshold=256)
+    s3 = eng3.run(SEEDS)
+    assert eng2.fetched_total == eng3.fetched_total
+    a = _pages(out).to_pylist()
+    b = _pages(ref_out).to_pylist()
+    ka = sorted((r["url"], r["depth"], r["seq"]) for r in a)
+    kb = sorted((r["url"], r["depth"], r["seq"]) for r in b)
+    assert ka == kb
+    assert eng2.seen_sha1s() == eng3.seen_sha1s()
