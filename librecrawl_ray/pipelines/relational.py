@@ -340,3 +340,35 @@ SELECT p_brand, count(*) AS n_parts,
        max(p_size) AS max_size
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def events_asof_prev(sf_dir: str) -> pd.DataFrame:
+    """As-of join shape: each event joined to the same user's most recent
+    PRIOR event (value + gap). groupby(key).map_groups with an in-group
+    sort + shift — the partitioned merge_asof pattern for time-ordered
+    joins (sort both sides within key buckets, pandas asof/shift inside)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"]).copy()
+        df["prev_value"] = df["value"].shift(1)
+        df["gap_seconds"] = df["ts"].diff().dt.total_seconds().round(3)
+        df["value"] = df["value"].round(4)
+        df["prev_value"] = df["prev_value"].round(4)
+        return df[["event_id", "user_id", "ts", "value", "prev_value",
+                   "gap_seconds"]]
+
+    out = ds.groupby("user_id").map_groups(asof,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, ts, round(value, 4) AS value,
+       round(lag(value) OVER w, 4) AS prev_value,
+       round(epoch(ts) - epoch(lag(ts) OVER w), 3) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
