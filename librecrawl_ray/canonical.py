@@ -53,7 +53,7 @@ def clean_url(href: str, base: str = "") -> str:
     if h.startswith("https://") or h.startswith("http://"):
         return h
     if base:
-        if h.startswith("//") and len(h) > 2:
+        if h.startswith("//") and len(h) > 2 and h[2] != "/":
             return _base_parts(base)[0] + ":" + h
         if h.startswith("/") and not h.startswith("//"):
             scheme, netloc = _base_parts(base)
