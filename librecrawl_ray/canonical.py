@@ -52,7 +52,7 @@ def clean_url(href: str, base: str = "") -> str:
         h = h.split("#", 1)[0]
     if h.startswith("https://") or h.startswith("http://"):
         return h
-    if base:
+    if base and "/." not in h:    # dot segments need urljoin normalization
         if h.startswith("//") and len(h) > 2 and h[2] != "/":
             return _base_parts(base)[0] + ":" + h
         if h.startswith("/") and not h.startswith("//"):
