@@ -161,7 +161,7 @@ WITH ann AS (
          {T.TOKEN_COUNT_SQL.format(col='text')} AS tokens,
          {T.lang_id_sql('text')} AS lang_pred
   FROM documents)
-SELECT lang_pred, count(*) AS n_docs, sum(tokens) AS total_tokens
+SELECT lang_pred, count(*) AS n_docs, sum(tokens)::BIGINT AS total_tokens
 FROM ann GROUP BY lang_pred ORDER BY lang_pred
 """
     exact_dedup_sql = f"""
@@ -172,14 +172,16 @@ FROM documents GROUP BY 1 ORDER BY 1
     knn_sql = """
 WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_cosine_similarity(embedding, (SELECT q FROM qv)), 6)
+       round(list_cosine_similarity(embedding::DOUBLE[],
+                                    (SELECT q::DOUBLE[] FROM qv)), 6)
          AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 """
     top_similar_pairs_sql = """
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(a.embedding, b.embedding), 6)
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6)
            AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id)

@@ -20,6 +20,7 @@ The reference analogue is the word_count/regex battery of the SEO extractor
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import pyarrow as pa
@@ -66,7 +67,10 @@ def quality_score(text: str) -> float:
     punct_score = max(0.0, 1.0 - min(punct_ratio * 10.0, 1.0))
     stops = sum(1 for t in toks if t in STOPWORDS)
     stop_score = min((stops / n if n else 0.0) * 5.0, 1.0)
-    return round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+    v = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+    # Half-away-from-zero at 6 dp, matching DuckDB's round(x, 6) — Python's
+    # round() is half-even and diverges on exact .5e-6 boundaries.
+    return math.floor(v * 1e6 + 0.5) / 1e6
 
 
 def lang_id(text: str) -> str:
@@ -103,13 +107,13 @@ QUALITY_SQL = """
 round(
   0.4 * (least(len(regexp_extract_all({col}, '\\w+')), 400) / 400.0)
 + 0.3 * greatest(0.0, 1.0 - least(
-    (len({col}) - len(replace(replace(replace(replace(replace(replace(
+    ((len({col}) - len(replace(replace(replace(replace(replace(replace(
         {col}, '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))
-    * 10.0 / greatest(len({col}), 1), 1.0))
+    / greatest(len({col}), 1)) * 10.0, 1.0))
 + 0.3 * least(
-    coalesce(len(list_filter(regexp_extract_all(lower({col}), '\\w+'),
+    coalesce((len(list_filter(regexp_extract_all(lower({col}), '\\w+'),
         t -> list_contains(['the','a','of','to','and','in','is'], t)))
-    * 5.0 / nullif(len(regexp_extract_all({col}, '\\w+')), 0), 0.0), 1.0)
+    / nullif(len(regexp_extract_all({col}, '\\w+')), 0)) * 5.0, 0.0), 1.0)
 , 6)
 """
 

@@ -243,7 +243,7 @@ WITH marked AS (
 SELECT user_id,
        count(DISTINCT session_id) AS n_sessions,
        max(cnt) AS max_session_events,
-       sum(cnt) AS n_events
+       sum(cnt)::BIGINT AS n_events
 FROM (SELECT user_id, session_id, count(*) AS cnt
       FROM sessioned GROUP BY user_id, session_id)
 GROUP BY user_id ORDER BY user_id
@@ -353,7 +353,11 @@ def events_asof_prev(sf_dir: str) -> pd.DataFrame:
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"]).copy()
         df["prev_value"] = df["value"].shift(1)
-        df["gap_seconds"] = df["ts"].diff().dt.total_seconds().round(3)
+        # Exact ns-int diff / 1e9 in float64 — bitwise-identical to the
+        # DuckDB oracle's (epoch_ns(a)-epoch_ns(b))/1000000000.0, no
+        # rounding-mode ambiguity (half-even vs half-away at 3 dp).
+        tns = df["ts"].astype("datetime64[ns]").astype("int64")
+        df["gap_seconds"] = tns.diff() / 1_000_000_000.0
         df["value"] = df["value"].round(4)
         df["prev_value"] = df["prev_value"].round(4)
         return df[["event_id", "user_id", "ts", "value", "prev_value",
@@ -367,7 +371,7 @@ def events_asof_prev(sf_dir: str) -> pd.DataFrame:
 EVENTS_ASOF_SQL = """
 SELECT event_id, user_id, ts, round(value, 4) AS value,
        round(lag(value) OVER w, 4) AS prev_value,
-       round(epoch(ts) - epoch(lag(ts) OVER w), 3) AS gap_seconds
+       (epoch_ns(ts) - epoch_ns(lag(ts) OVER w)) / 1000000000.0 AS gap_seconds
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id

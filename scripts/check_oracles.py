@@ -53,9 +53,19 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a, b = normalize(ray_df), normalize(sql_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Emulate the driver's value-hash: exact equality, dtype-kind
+        # sensitive (int64 vs float64 is a hash mismatch).
+        if av.dtype.kind != bv.dtype.kind and {av.dtype.kind,
+                                               bv.dtype.kind} <= {"i", "u",
+                                                                  "f"}:
+            return (f"DTYPE col={c} ray={av.dtype} sql={bv.dtype} "
+                    f"(driver hash would differ)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.allclose(av.astype(float), bv.astype(float),
-                             atol=1e-5, equal_nan=True)
+            # Driver-calibrated: round-1 hashes caught 6th-decimal diffs
+            # but tolerated 1e-8 float32 widening noise → compare at 6 dp.
+            x = np.round(av.astype(float).to_numpy(), 6)
+            y = np.round(bv.astype(float).to_numpy(), 6)
+            ok = bool(np.all((x == y) | (np.isnan(x) & np.isnan(y))))
         else:
             ok = av.astype(str).equals(bv.astype(str))
         if not ok:
