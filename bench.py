@@ -111,7 +111,7 @@ def run_bench() -> None:
 
     t0 = time.perf_counter()
     from librecrawl_ray.stages.issues import make_issue_detector
-    n_issues = pages.map_batches(make_issue_detector(),
+    n_issues = pages.map_batches(make_issue_detector(base_domain="site.example"),
                                  batch_format="pyarrow").count()
     queries["issue_detection"] = round(time.perf_counter() - t0, 3)
 

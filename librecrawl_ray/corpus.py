@@ -234,6 +234,10 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
     home.link("/deep/" + "x" * 110, "A very long URL page")
     home.link("/under_scored_path/page", "Underscored")
     home.link("/search?q=widgets&page=2", "Search results")
+    home.link("/products/widget?color=blue", "Blue widget")
+    home.link("mailto:info@site.example", "Email us")       # skipped scheme
+    home.link("tel:+15551234567", "Call us")                # skipped scheme
+    home.link("javascript:void(0)", "JS no-op")             # skipped scheme
     home.link("/soft404/gone", "Maybe gone")
     home.link("/missing/front", "Broken front link")
     home.link("/big", "Huge page")
@@ -526,6 +530,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
     for u in (f"{BASE}/deep/" + "x" * 110,
               f"{BASE}/under_scored_path/page",
               f"{BASE}/search?q=widgets&page=2",
+              f"{BASE}/products/widget?color=blue",
               f"{BASE}/seg/seg/seg/page"):
         sd = Doc(u)
         sd.add("title", f"Shape test {u[-12:]} page with regular title")
@@ -669,7 +674,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 5
+FIXTURE_VERSION = 6
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

@@ -430,7 +430,8 @@ class WaveCrawler:
             if self._local_fetcher is None:
                 self._local_fetcher = CorpusFetcher(
                     self.corpus_dir, self.cfg.base_domain, self.num_parts,
-                    pages_dir, links_dir)
+                    pages_dir, links_dir,
+                    max_file_size=self.cfg.max_file_size)
             else:
                 self._local_fetcher.pages_dir = pages_dir
                 self._local_fetcher.links_dir = links_dir

@@ -48,13 +48,19 @@ class CorpusFetcher:
 
     def __init__(self, corpus_dir: str, base_domain: str, num_parts: int,
                  pages_dir: str | None = None, links_dir: str | None = None,
-                 max_cached_parts: int = 512):
+                 max_cached_parts: int = 512,
+                 max_file_size: int | None = None):
         self.corpus_dir = corpus_dir
         self.base_domain = base_domain
         self.num_parts = num_parts
         self.pages_dir = pages_dir
         self.links_dir = links_dir
         self.max_cached = max_cached_parts
+        # S2 size precheck (reference crawler.py:917-931 HEAD content-length
+        # skip): oversized docs are dropped entirely — no pages row, no
+        # edges, no frontier candidates. None disables the check.
+        self.max_file_size = max_file_size
+        self.skipped_oversize = 0
         self._parts: dict[int, tuple[pa.Table, dict[str, int]]] = {}
 
     def _partition(self, part: int) -> tuple[pa.Table, dict[str, int]]:
@@ -117,8 +123,12 @@ class CorpusFetcher:
             sub = tbl.take(pa.array(ids, pa.int64()))
             status = sub.column("status_code").to_pylist()
             rto = sub.column("redirect_to").to_pylist()
+            sizes = sub.column("size").to_pylist()
+            limit = self.max_file_size
             for j, i in enumerate(present):
-                if status[j] in REDIRECT_STATUSES and rto[j]:
+                if limit is not None and (sizes[j] or 0) > limit:
+                    self.skipped_oversize += 1
+                elif status[j] in REDIRECT_STATUSES and rto[j]:
                     slow_idx.append(i)
                 else:
                     fast_pairs.append((offset + j, i))
@@ -188,6 +198,12 @@ class CorpusFetcher:
             rows = [fetch_and_parse(urls[i], depths[i], seqs[i], waves[i],
                                     self.lookup, self.base_domain)
                     for i in slow_idx]
+            if self.max_file_size is not None:
+                kept = [(r, i) for r, i in zip(rows, slow_idx)
+                        if (r.get("size") or 0) <= self.max_file_size]
+                self.skipped_oversize += len(rows) - len(kept)
+                rows = [r for r, _ in kept]
+                slow_idx = [i for _, i in kept]
             all_depth.extend(depths[i] for i in slow_idx)
             all_seq.extend(seqs[i] for i in slow_idx)
             if self.pages_dir is not None:
@@ -258,7 +274,9 @@ class FetchWorker:
         # latency
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
-        self.fetcher = CorpusFetcher(corpus_dir, base_domain, num_parts)
+        self.fetcher = CorpusFetcher(
+            corpus_dir, base_domain, num_parts,
+            max_file_size=getattr(cfg, "max_file_size", None))
         self.cfg = cfg
         self.robots = robots
         self.num_parts = num_parts

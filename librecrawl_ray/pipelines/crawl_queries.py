@@ -75,12 +75,16 @@ SELECT doc_id,
       s -> len(regexp_extract_all(s.text, '\\w+')))), 0)::BIGINT
       AS word_count,
   coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
+      s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND
+      s.media_ref NOT LIKE 'javascript:%' AND
       (CASE WHEN s.media_ref LIKE 'http%'
             THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
             ELSE host END)
       IN ('site.example', 'www.site.example'))), 0)::BIGINT
       AS internal_links,
   coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
+      s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND
+      s.media_ref NOT LIKE 'javascript:%' AND
       (CASE WHEN s.media_ref LIKE 'http%'
             THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
             ELSE host END)
@@ -120,7 +124,7 @@ def crawl_edges_sql(path: str) -> str:
 SELECT DISTINCT doc_id AS source_url,
        {_edge_sql_target()} AS target_url
 FROM (SELECT doc_id, host,
-             unnest(list_filter(spans, s -> s.kind LIKE 'link%')) AS u
+             unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND s.media_ref NOT LIKE 'javascript:%')) AS u
       FROM read_parquet('{path}'))
 ORDER BY source_url, target_url
 """
@@ -156,7 +160,7 @@ WITH edges AS (
   SELECT doc_id, {_edge_sql_target()} AS tgt,
          row_number() OVER (PARTITION BY doc_id, {_edge_sql_target()}) AS rn
   FROM (SELECT doc_id, host,
-               unnest(list_filter(spans, s -> s.kind LIKE 'link%')) AS u
+               unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND s.media_ref NOT LIKE 'javascript:%')) AS u
         FROM read_parquet('{path}')))
 SELECT {norm} AS norm_target, count(*) AS inlinks
 FROM edges WHERE rn = 1
@@ -219,7 +223,8 @@ def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
 # ------------------------------------------------- issue-layer (I*) queries
 
 _SQL_ISSUE_NAMES = ("Missing OpenGraph Tags", "Missing Viewport Meta Tag",
-                    "Thin Content")
+                    "Thin Content",
+                    "Links: Internal Outlinks With No Anchor Text")
 
 
 def crawl_issue_counts(sf_dir: str) -> pd.DataFrame:
@@ -247,7 +252,7 @@ def crawl_issue_counts(sf_dir: str) -> pd.DataFrame:
                    "x_robots_tag": m["x_robots_tag"],
                    "is_internal": True, "redirect_count": 0,
                    "has_redirect_loop": False}
-            for iss in page_issues(row):
+            for iss in page_issues(row, BASE_DOMAIN):
                 if iss["issue"] in _SQL_ISSUE_NAMES:
                     out[iss["issue"]] = out.get(iss["issue"], 0) + 1
         return pa.table({
@@ -267,10 +272,27 @@ def crawl_issue_counts_sql(path: str) -> str:
           "s -> len(regexp_extract_all(s.text, '\\w+')))), 0)")
     return f"""
 WITH base AS (
-  SELECT doc_id, spans, status_code, {wc} AS wc
+  SELECT doc_id, host, spans, status_code, {wc} AS wc
   FROM read_parquet('{path}')
   WHERE status_code < 400
-    AND doc_id NOT LIKE '%.txt' AND doc_id NOT LIKE '%.xml')
+    -- M22 exclusion families that fire on this corpus (parity asserted in
+    -- tests/test_reports.py::test_exclusion_sql_parity)
+    AND doc_id NOT LIKE '%.txt' AND doc_id NOT LIKE '%.xml'
+    AND doc_id NOT LIKE 'https://site.example/login%'
+    AND doc_id NOT LIKE 'https://site.example/private/%'
+    AND doc_id NOT LIKE 'https://site.example/search%'),
+kept_links AS (
+  SELECT doc_id, anchor FROM (
+    SELECT doc_id, {_edge_sql_target()} AS tgt, u.text AS anchor,
+           row_number() OVER (PARTITION BY doc_id, {_edge_sql_target()}
+                              ORDER BY u."offset") AS rn
+    FROM (SELECT doc_id, host,
+                 unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND
+                     s.media_ref NOT LIKE 'mailto:%' AND
+                     s.media_ref NOT LIKE 'tel:%' AND
+                     s.media_ref NOT LIKE 'javascript:%')) AS u
+          FROM base))
+  WHERE rn = 1)
 SELECT issue, n_pages FROM (
   SELECT 'Missing OpenGraph Tags' AS issue, count(*) AS n_pages
   FROM base WHERE len(list_filter(spans, s -> s.kind = 'og')) = 0
@@ -280,7 +302,11 @@ SELECT issue, n_pages FROM (
       s -> s.kind = 'meta' AND s.text LIKE 'viewport=%')) = 0
   UNION ALL
   SELECT 'Thin Content', count(*)
-  FROM base WHERE wc > 0 AND wc < 300)
+  FROM base WHERE wc > 0 AND wc < 300
+  UNION ALL
+  SELECT 'Links: Internal Outlinks With No Anchor Text',
+         count(DISTINCT doc_id)
+  FROM kept_links WHERE trim(anchor) = '')
 ORDER BY issue
 """
 

@@ -24,7 +24,7 @@ from urllib.parse import urlsplit
 
 import pyarrow as pa
 
-from ..canonical import norm_url
+from ..canonical import norm_url, url_host
 from ..schema import ISSUES_SCHEMA
 
 _ARCHIVE_SUBSTR = (
@@ -50,12 +50,32 @@ _H2_BOILERPLATE = {
     "comments", "leave a reply", "related posts", "share this",
     "recent posts", "categories", "archives", "tags", "navigation",
 }
+# AI-ready schema catalog (issue_detector.py:682-701): type → display name
+# and the rich-result surface it unlocks.
 _AI_READY_SCHEMAS = {
-    "FAQPage", "HowTo", "Article", "NewsArticle", "BlogPosting", "Recipe",
-    "Product", "Review", "Event", "Organization", "LocalBusiness", "Person",
-    "WebSite", "BreadcrumbList", "VideoObject", "ImageObject", "Dataset",
-    "QAPage",
+    "FAQPage": ("FAQ", "FAQ Accordion"),
+    "HowTo": ("How-To", "Step-by-step Guide"),
+    "Recipe": ("Recipe", "Recipe Card"),
+    "Product": ("Product", "Product Snippet"),
+    "Review": ("Review", "Review Stars"),
+    "AggregateRating": ("Rating", "Star Rating"),
+    "LocalBusiness": ("Local Business", "Knowledge Panel"),
+    "Organization": ("Organization", "Knowledge Panel"),
+    "Person": ("Person", "Knowledge Panel"),
+    "Article": ("Article", "Article Preview"),
+    "NewsArticle": ("News Article", "News Carousel"),
+    "BlogPosting": ("Blog Post", "Article Preview"),
+    "Event": ("Event", "Event Listing"),
+    "JobPosting": ("Job Posting", "Job Listing"),
+    "Course": ("Course", "Course Card"),
+    "SoftwareApplication": ("Software App", "App Info"),
+    "VideoObject": ("Video", "Video Preview"),
+    "BreadcrumbList": ("Breadcrumbs", "Breadcrumb Trail"),
 }
+_ORG_SCHEMAS = ("Organization", "LocalBusiness", "Corporation")
+# generic anchor texts (issue_detector.py:1102)
+GENERIC_ANCHORS = ("click here", "read more", "more", "here", "link",
+                   "this", "go")
 
 
 def classify_page_type(url: str) -> str:
@@ -113,8 +133,74 @@ def _extract_schema_types(obj, depth=0, out=None):
     return out
 
 
-def page_issues(row: dict) -> list[dict]:
-    """All per-page issue rows for one pages-table row."""
+def _count_faq_questions(obj, depth=0) -> int:
+    """Questions under FAQPage mainEntity: @type == 'Question' with a
+    non-empty name (issue_detector.py:739-748), recursive like the
+    reference's extract_type walk."""
+    if depth > 10:
+        return 0
+    n = 0
+    if isinstance(obj, dict):
+        t = obj.get("@type")
+        if t == "FAQPage" or (isinstance(t, list) and "FAQPage" in t):
+            main = obj.get("mainEntity", [])
+            if isinstance(main, list):
+                n += sum(1 for it in main
+                         if isinstance(it, dict)
+                         and it.get("@type") == "Question" and it.get("name"))
+        for v in obj.values():
+            if isinstance(v, (dict, list)):
+                n += _count_faq_questions(v, depth + 1)
+    elif isinstance(obj, list):
+        for v in obj:
+            n += _count_faq_questions(v, depth + 1)
+    return n
+
+
+def analyze_structured_data(json_ld_blobs) -> dict:
+    """I12 schema analysis (issue_detector.py:675-847): detected @types in
+    first-appearance order (deterministic, unlike the reference's
+    list(set)), FAQ Question count, Organization/WebSite/Breadcrumb
+    presence, AI-ready catalog hits, Article completeness."""
+    types: list[str] = []
+    seen: set[str] = set()
+    faq_questions = 0
+    article_complete = False
+    for blob in json_ld_blobs or []:
+        try:
+            obj = json.loads(blob)
+        except (ValueError, TypeError):
+            continue
+        for t in _extract_schema_types(obj):
+            if t not in seen:
+                seen.add(t)
+                types.append(t)
+        faq_questions += _count_faq_questions(obj)
+        # top-level Article completeness — the reference checks only the
+        # top-level json_ld objects (:836-841); passes if ANY is complete
+        if isinstance(obj, dict) and obj.get("@type") in (
+                "Article", "NewsArticle", "BlogPosting") \
+                and obj.get("headline") and obj.get("datePublished"):
+            article_complete = True
+    return {
+        "types": types,
+        "faq_questions": faq_questions,
+        "has_organization": any(t in _ORG_SCHEMAS for t in types),
+        "has_website": "WebSite" in types,
+        "has_breadcrumbs": "BreadcrumbList" in types,
+        "article_present": any(t in ("Article", "NewsArticle", "BlogPosting")
+                               for t in types),
+        "article_complete": article_complete,
+        "ai_ready": [{"name": _AI_READY_SCHEMAS[t][0],
+                      "rich_result": _AI_READY_SCHEMAS[t][1]}
+                     for t in types if t in _AI_READY_SCHEMAS],
+    }
+
+
+def page_issues(row: dict, base_domain: str | None = None) -> list[dict]:
+    """All per-page issue rows for one pages-table row. ``base_domain``
+    scopes the I16 link-hygiene internal/external split; defaults to the
+    page's own host (standalone parsing)."""
     url = row["url"]
     issues: list[dict] = []
     status = row["status_code"] or 0
@@ -341,46 +427,37 @@ def page_issues(row: dict) -> list[dict]:
         issues.append(_iss(url, "info", "Social", "Missing Twitter Card Tags",
                            "Page has no twitter: meta tags"))
 
-    # I12 — structured data
+    # I12 — structured data (issue_detector.py:675-847)
     json_ld = row.get("json_ld") or []
-    types: list[str] = []
-    faq_questions = 0
-    article_ok = True
-    has_article = False
-    for blob in json_ld:
-        try:
-            obj = json.loads(blob)
-        except (ValueError, TypeError):
-            continue
-        ts = _extract_schema_types(obj)
-        types.extend(ts)
-        if "FAQPage" in ts:
-            main = obj.get("mainEntity") if isinstance(obj, dict) else None
-            faq_questions = len(main) if isinstance(main, list) else 0
-        if any(t in ("Article", "NewsArticle", "BlogPosting") for t in ts):
-            has_article = True
-            if isinstance(obj, dict) and not (obj.get("headline")
-                                              and obj.get("datePublished")):
-                article_ok = False
+    sd = analyze_structured_data(json_ld)
     if not json_ld:
-        issues.append(_iss(url, "info", "Structured Data",
+        issues.append(_iss(url, "warning", "Structured Data",
                            "No Structured Data",
-                           "Page has no JSON-LD structured data"))
+                           "Page has no JSON-LD or Schema.org markup"))
     else:
-        if "FAQPage" in types:
-            if faq_questions == 0:
+        if (ptype == "important" and not sd["has_organization"]
+                and not sd["has_website"]
+                and not any(t in ("Article", "BlogPosting", "Product")
+                            for t in sd["types"])):
+            issues.append(_iss(url, "info", "Structured Data",
+                               "Schema: Missing Organization/WebSite",
+                               "Consider adding Organization or WebSite "
+                               "schema for brand visibility"))
+        if "FAQPage" in sd["types"]:
+            if sd["faq_questions"] == 0:
                 issues.append(_iss(url, "warning", "Structured Data",
                                    "Schema: FAQPage has no questions",
-                                   "FAQPage schema with empty mainEntity"))
-            elif faq_questions < 3:
+                                   "FAQPage schema found but no Question "
+                                   "items detected"))
+            elif sd["faq_questions"] < 3:
                 issues.append(_iss(url, "info", "Structured Data",
                                    "Schema: FAQPage has few questions",
-                                   f"FAQPage has only {faq_questions} "
-                                   "questions"))
-        if has_article and not article_ok:
+                                   f"Only {sd['faq_questions']} FAQ items "
+                                   "found (3+ recommended)"))
+        if sd["article_present"] and not sd["article_complete"]:
             issues.append(_iss(url, "warning", "Structured Data",
                                "Schema: Article missing required fields",
-                               "Article schema missing headline and/or "
+                               "Article schema should have headline and "
                                "datePublished"))
 
     # I13 — performance
@@ -420,7 +497,45 @@ def page_issues(row: dict) -> list[dict]:
         issues.append(_iss(url, "info", "URL", "URL: Repetitive Path",
                            "URL path contains duplicate segments"))
 
+    # I16 — per-page link hygiene (issue_detector.py:1081-1184), computed
+    # over the page's deduped edge rows (the links-table contract; the
+    # site-wide unsafe-cross-origin half lives in pipelines/reports.py)
+    spans = row.get("spans")
+    if spans is not None:
+        from .parse import extract_edges
+        edges = extract_edges(url, spans or [],
+                              base_domain or url_host(url))
+        n_external = sum(1 for e in edges if e["scope"] == "external")
+        if n_external > 50:
+            issues.append(_iss(url, "info", "Links",
+                               "Links: Pages With High External Outlinks",
+                               f"Page has {n_external} external links"))
+        nofollow_int = sum(1 for e in edges
+                           if e["is_internal"] and e["nofollow"])
+        if nofollow_int:
+            issues.append(_iss(url, "info", "Links",
+                               "Links: Internal Nofollow Outlinks",
+                               f"{nofollow_int} internal links are marked "
+                               "nofollow"))
+        # the reference counts empty anchors over ALL links despite the
+        # issue name (issue_detector.py:1115-1117)
+        empty_anchor = sum(1 for e in edges if not e["anchor_text"].strip())
+        if empty_anchor:
+            issues.append(_iss(url, "warning", "Links",
+                               "Links: Internal Outlinks With No Anchor "
+                               "Text",
+                               f"{empty_anchor} links have no anchor text"))
+        generic = sum(1 for e in edges if e["is_internal"]
+                      and e["anchor_text"].lower().strip()
+                      in GENERIC_ANCHORS)
+        if generic:
+            issues.append(_iss(url, "warning", "Links",
+                               "Links: Non-Descriptive Anchor Text",
+                               f"{generic} links use generic text like "
+                               '"click here"'))
+
     # I17 (per-page halves) — mixed content / protocol-relative resources
+    # on https pages (issue_detector.py:1251-1297)
     if url.startswith("https://"):
         mixed = [im["src"] for im in images
                  if (im.get("src") or "").startswith("http://")]
@@ -429,34 +544,108 @@ def page_issues(row: dict) -> list[dict]:
                                "Security: Mixed Content",
                                f"{len(mixed)} http:// assets on https page: "
                                f"{', '.join(mixed[:5])}"))
-    proto_rel = [im["src"] for im in (row.get("images") or [])
-                 if (im.get("src") or "").startswith("https://")
-                 and False]  # absolutized already; detect via raw spans below
-    del proto_rel
+        if spans is not None:
+            proto_rel = sum(
+                1 for s in spans or []
+                if (s["kind"] == "image" or s["kind"].startswith("link"))
+                and (s["media_ref"] or "").startswith("//"))
+            if proto_rel:
+                issues.append(_iss(
+                    url, "warning", "Security",
+                    "Security: Protocol-Relative Resource Links",
+                    f"{proto_rel} resources use protocol-relative URLs "
+                    "(//). Use explicit HTTPS instead."))
 
     return issues
 
 
-# excluded-by-default URL patterns for issue emission (M22; the reference
-# ships 70+ fnmatch globs, crawler.py:151-223 — a representative subset)
+# excluded-by-default URL patterns for issue emission (M22) — the full
+# reference default list, crawler.py:151-223.
 DEFAULT_ISSUE_EXCLUSIONS = (
-    "/wp-admin/*", "/wp-login*", "/xmlrpc.php*", "/feed/*", "*/feed/",
-    "/cdn-cgi/*", "/wp-json/*", "*.xml", "*.txt",
+    # WordPress admin & system paths
+    "/wp-admin/*", "/wp-content/plugins/*", "/wp-content/themes/*",
+    "/wp-content/uploads/*", "/wp-includes/*", "/wp-login.php",
+    "/wp-cron.php", "/xmlrpc.php", "/wp-json/*", "/wp-activate.php",
+    "/wp-signup.php", "/wp-trackback.php",
+    # Auth & user management pages
+    "/login*", "/signin*", "/sign-in*", "/log-in*", "/auth/*",
+    "/authenticate/*", "/register*", "/signup*", "/sign-up*",
+    "/registration/*", "/logout*", "/signout*", "/sign-out*", "/log-out*",
+    "/forgot-password*", "/reset-password*", "/password-reset*",
+    "/recover-password*", "/change-password*", "/account/password/*",
+    "/user/password/*", "/activate/*", "/verification/*", "/verify/*",
+    "/confirm/*",
+    # Admin panels & dashboards
+    "/admin/*", "/administrator/*", "/_admin/*", "/backend/*",
+    "/dashboard/*", "/cpanel/*", "/phpmyadmin/*", "/pma/*", "/webmail/*",
+    "/plesk/*", "/control-panel/*", "/manage/*", "/manager/*",
+    # E-commerce checkout & cart
+    "/checkout/*", "/cart/*", "/basket/*", "/payment/*", "/billing/*",
+    "/order/*", "/orders/*", "/purchase/*",
+    # User account pages
+    "/account/*", "/profile/*", "/settings/*", "/preferences/*",
+    "/my-account/*", "/user/*", "/member/*", "/members/*",
+    # CGI & server scripts
+    "/cgi-bin/*", "/cgi/*", "/fcgi-bin/*",
+    # Version control & config
+    "/.git/*", "/.svn/*", "/.hg/*", "/.bzr/*", "/.cvs/*",
+    "/.env", "/.env.*", "/.htaccess", "/.htpasswd",
+    "/web.config", "/app.config", "/composer.json", "/package.json",
+    # Development & build artifacts
+    "/node_modules/*", "/vendor/*", "/bower_components/*",
+    "/jspm_packages/*", "/includes/*", "/lib/*", "/libs/*", "/src/*",
+    "/dist/*", "/build/*", "/builds/*", "/_next/*", "/.next/*", "/out/*",
+    "/_nuxt/*", "/.nuxt/*",
+    # Testing & development
+    "/test/*", "/tests/*", "/spec/*", "/specs/*", "/__tests__/*",
+    "/debug/*", "/dev/*", "/development/*", "/staging/*",
+    # API internal endpoints
+    "/api/internal/*", "/api/admin/*", "/api/private/*",
+    # System & internal
+    "/private/*", "/system/*", "/core/*", "/internal/*",
+    "/tmp/*", "/temp/*", "/cache/*", "/logs/*", "/log/*",
+    "/backup/*", "/backups/*", "/old/*", "/archive/*", "/archives/*",
+    "/config/*", "/configs/*", "/configuration/*",
+    # Media upload forms
+    "/upload/*", "/uploads/*", "/uploader/*", "/file-upload/*",
+    # Search & filtering (often noisy for SEO)
+    "/search*", "*/search/*", "?s=*", "?search=*",
+    "*/filter/*", "?filter=*", "*/sort/*", "?sort=*",
+    # Printer-friendly & special views
+    "/print/*", "?print=*", "/preview/*", "?preview=*",
+    "/embed/*", "?embed=*", "/amp/*", "/amp",
+    # Feed URLs
+    "/feed/*", "/feeds/*", "/rss/*", "*.rss", "/atom/*", "*.atom",
+    # Common file types to exclude from issues
+    "*.json", "*.xml", "*.yaml", "*.yml", "*.toml", "*.ini", "*.conf",
+    "*.log", "*.txt", "*.csv", "*.sql", "*.db",
+    "*.bak", "*.backup", "*.old", "*.orig", "*.tmp", "*.swp",
+    "*.map", "*.min.js", "*.min.css",
 )
 
 
 def is_excluded(url: str,
                 exclusions: tuple = DEFAULT_ISSUE_EXCLUSIONS) -> bool:
-    """M22 issue-exclusion filter (fnmatch globs over path and full URL,
-    issue_detector.py:1457-1469)."""
+    """M22 issue-exclusion filter, reference-exact matching semantics
+    (issue_detector.py:1457-1469): '*'-patterns fnmatch against the PATH
+    only (query-string patterns like '?s=*' therefore never fire — a
+    reference quirk kept for parity); patterns without '*' match by path
+    equality or prefix."""
     import fnmatch
     path = urlsplit(url).path
-    return any(fnmatch.fnmatch(path, pat) or fnmatch.fnmatch(url, pat)
-               for pat in exclusions)
+    for pat in exclusions:
+        if "*" in pat:
+            if fnmatch.fnmatch(path, pat):
+                return True
+        elif path == pat or path.startswith(pat.rstrip("*")):
+            return True
+    return False
 
 
-def make_issue_detector(exclusions: tuple = DEFAULT_ISSUE_EXCLUSIONS):
-    """Returns a map_batches body: pages batch → issues table (I1–I15)."""
+def make_issue_detector(exclusions: tuple = DEFAULT_ISSUE_EXCLUSIONS,
+                        base_domain: str | None = None):
+    """Returns a map_batches body: pages batch → issues table (I1–I17
+    per-page rules)."""
 
     def excluded(url: str) -> bool:
         return is_excluded(url, exclusions)
@@ -467,7 +656,7 @@ def make_issue_detector(exclusions: tuple = DEFAULT_ISSUE_EXCLUSIONS):
         for r in rows:
             if excluded(r["url"]):
                 continue
-            out.extend(page_issues(r))
+            out.extend(page_issues(r, base_domain))
         if not out:
             return ISSUES_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=ISSUES_SCHEMA)

@@ -116,7 +116,11 @@ def parse_doc(url: str, spans: list[dict],
                 if m:
                     gtm = m.group(0)
         elif kind.startswith("link"):
-            if link_is_internal(mref):
+            # non-http(s) schemes are not links in the reference's
+            # link_manager — they count neither side
+            if mref.startswith(("mailto:", "tel:", "javascript:")):
+                pass
+            elif link_is_internal(mref):
                 internal_links += 1
             else:
                 external_links += 1
@@ -246,22 +250,30 @@ def extract_edges(url: str, spans: list[dict], base_domain: str,
             continue
         flags = kind.split("|")
         target = clean_url(s["media_ref"], url)
+        # Reference (link_manager.py collect_all_links) skips non-http(s)
+        # targets (mailto:, tel:, javascript:) at discovery time.
+        if not target.startswith(("http://", "https://")):
+            continue
         key = (url, target)
         if key in seen:
             continue
         seen.add(key)
+        scope = classify_scope(target, base_domain)
         out.append({
             "source_url": url,
             "target_url": target,
             "anchor_text": s["text"][:100],
-            "is_internal": is_internal(target, base_domain),
+            # Reference sets link is_internal from scope (root OR
+            # subdomain) — link_manager.py collect_all_links; the pages-row
+            # is_internal stays root-only (issue_detector.py semantics).
+            "is_internal": scope in ("root", "sub"),
             "target_domain": strip_www(url_host(target)),
             "target_status": None,
             "placement": flags[1] if len(flags) > 1 else "body",
             "nofollow": "nofollow" in flags,
             "blank": "blank" in flags,
             "noopener": "noopener" in flags,
-            "scope": classify_scope(target, base_domain),
+            "scope": scope,
             "pos": pos,
         })
     return out

@@ -69,3 +69,55 @@ def test_signature_and_scope():
     assert is_internal("https://www.site.example/x", "site.example")
     assert url_extension("https://x.example/a/logo.PNG") == ".png"
     assert url_extension("https://x.example/a/page") == ""
+
+
+def test_extract_edges_scope_and_scheme_filter():
+    """ADVICE r1: edge is_internal is scope-based (root OR sub, matching
+    reference link_manager collect_all_links); non-http(s) targets are
+    skipped at discovery."""
+    from librecrawl_ray.stages.parse import extract_edges
+    spans = [
+        {"kind": "link", "text": "root", "media_ref": "/a", "offset": 0},
+        {"kind": "link", "text": "sub",
+         "media_ref": "https://blog.site.example/p", "offset": 1},
+        {"kind": "link", "text": "ext",
+         "media_ref": "https://other.example/x", "offset": 2},
+        {"kind": "link", "text": "mail", "media_ref": "mailto:a@b.c",
+         "offset": 3},
+        {"kind": "link", "text": "tel", "media_ref": "tel:+123", "offset": 4},
+        {"kind": "link", "text": "js", "media_ref": "javascript:void(0)",
+         "offset": 5},
+    ]
+    edges = extract_edges("https://site.example/", spans, "site.example")
+    by_text = {e["anchor_text"]: e for e in edges}
+    assert set(by_text) == {"root", "sub", "ext"}
+    assert by_text["root"]["is_internal"] and by_text["root"]["scope"] == "root"
+    assert by_text["sub"]["is_internal"] and by_text["sub"]["scope"] == "sub"
+    assert not by_text["ext"]["is_internal"]
+    assert by_text["ext"]["scope"] == "external"
+
+
+def test_max_file_size_skips_oversized(ray_session, t1_fixture, tmp_path):
+    """S2 size precheck: with a tiny limit every corpus doc is skipped —
+    no pages rows, no candidates; with the default limit rows flow."""
+    import pyarrow as pa
+    from librecrawl_ray.corpus import write_corpus
+    from librecrawl_ray.engine.fetch_actor import CorpusFetcher
+    cdir = write_corpus("t1")
+    import json
+    meta = json.load(open(f"{cdir}/config.json"))
+    frontier = pa.table({
+        "url": pa.array(["https://site.example/"], pa.string()),
+        "depth": pa.array([0], pa.int32()),
+        "seq": pa.array([0], pa.int64()),
+        "wave": pa.array([0], pa.int32()),
+        "part": pa.array([0], pa.int32()),
+    })
+    f_small = CorpusFetcher(cdir, "site.example", meta["num_parts"],
+                            max_file_size=1)
+    out = f_small(frontier)
+    assert out.num_rows == 0
+    assert f_small.skipped_oversize == 1
+    f_none = CorpusFetcher(cdir, "site.example", meta["num_parts"])
+    out2 = f_none(frontier)
+    assert out2.num_rows >= 1

@@ -188,3 +188,23 @@ def test_neardup_exact_and_blocked(pages_ds, t1_oracle):
     assert s is not None and abs(s - 1.0) < 1e-9
     issues = duplication_issues(near_duplicate_pairs(pages_ds, exact=True))
     assert issues.num_rows == 2 * len(exact)
+
+
+def test_exclusion_sql_parity(t1_fixture):
+    """The M22 exclusion families modeled in crawl_issue_counts_sql must
+    exactly reproduce is_excluded() over the corpus doc population —
+    catches drift when the corpus generator or the glob list changes."""
+    import duckdb
+    from librecrawl_ray.stages.issues import is_excluded
+    docs = t1_fixture["documents"]
+    want = {u for u in docs.column("doc_id").to_pylist() if is_excluded(u)}
+    con = duckdb.connect()
+    con.register("docs", docs.select(["doc_id"]))
+    got = {r[0] for r in con.sql("""
+        SELECT doc_id FROM docs
+        WHERE doc_id LIKE '%.txt' OR doc_id LIKE '%.xml'
+           OR doc_id LIKE 'https://site.example/login%'
+           OR doc_id LIKE 'https://site.example/private/%'
+           OR doc_id LIKE 'https://site.example/search%'
+        """).fetchall()}
+    assert got == want
