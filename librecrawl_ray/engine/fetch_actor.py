@@ -92,6 +92,7 @@ class CorpusFetcher:
         (fetch_and_parse) and are concatenated after."""
         from ..canonical import strip_www, url_host
         from ..policy import REDIRECT_STATUSES
+        from ..stages.issues import soft404_hit
         from ..stages.parse import _PARSE_FIELDS, extract_edges, parse_doc
 
         urls = batch.column("url").to_pylist()
@@ -177,6 +178,13 @@ class CorpusFetcher:
                                       pa.list_(pa.string())),
                 "redirect_count": pa.array([0] * nf, pa.int32()),
                 "has_redirect_loop": pa.array([False] * nf, pa.bool_()),
+                "is_soft_404": pa.array(
+                    [st == 200 and (soft404_hit(p["title"])
+                                    or soft404_hit(p["h1"]))
+                     for st, p in zip(status_py, parsed)], pa.bool_()),
+                # fast path rows have redirect_count 0 by construction
+                "has_long_redirect_chain": pa.array([False] * nf,
+                                                    pa.bool_()),
                 "spans": csel.column("spans"),
             }
             if self.pages_dir is None:

@@ -25,7 +25,8 @@ DEFAULT_PAGE_FIELDS = [
     "url", "status_code", "title", "meta_description", "h1", "word_count",
     "depth", "internal_links", "external_links", "canonical_url",
     "response_time", "size", "og_tags", "twitter_tags", "json_ld",
-    "images", "h2", "h3",
+    "images", "h2", "h3", "schema_types", "ai_ready_schemas",
+    "is_soft_404", "has_long_redirect_chain",
 ]
 
 LINKS_FIELDS = ["source_url", "target_url", "anchor_text", "is_internal",
@@ -61,6 +62,14 @@ def _fmt_page_value(field: str, value) -> str:
         return f"{int(value)} internal links" if value else "0 internal links"
     if field == "external_links":
         return f"{int(value)} external links" if value else "0 external links"
+    if field == "schema_types":
+        v = [str(x) for x in (value if value is not None else [])]
+        return ", ".join(v)
+    if field == "ai_ready_schemas":
+        n = _seq_len(value)
+        return f"{n} AI-ready" if n else ""
+    if field in ("is_soft_404", "has_long_redirect_chain"):
+        return "Yes" if value else "No"
     if field in ("h2", "h3"):
         v = [str(x) for x in (value if value is not None else [])]
         return ", ".join(v[:3]) + ("..." if len(v) > 3 else "")

@@ -67,6 +67,9 @@ REDIRECT_HOP_STRUCT = pa.struct(
     [("url", pa.string()), ("status_code", pa.int32()), ("hop", pa.int32())]
 )
 
+AI_READY_STRUCT = pa.struct([("name", pa.string()),
+                             ("rich_result", pa.string())])
+
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -106,6 +109,10 @@ PAGES_SCHEMA = pa.schema(
         ("internal_links", pa.int64()),
         ("external_links", pa.int64()),
         ("json_ld", pa.list_(pa.string())),
+        ("schema_types", pa.list_(pa.string())),
+        ("ai_ready_schemas", pa.list_(AI_READY_STRUCT)),
+        ("is_soft_404", pa.bool_()),
+        ("has_long_redirect_chain", pa.bool_()),
         ("redirect_chain", pa.list_(REDIRECT_HOP_STRUCT)),
         ("redirects", pa.list_(pa.string())),
         ("redirect_count", pa.int32()),

@@ -13,6 +13,7 @@ import pyarrow as pa
 from ..canonical import strip_www, url_host
 from ..policy import FetchOutcome, resolve_fetch
 from ..schema import PAGES_SCHEMA
+from .issues import soft404_hit
 from .parse import EDGES_SCHEMA, extract_edges, parse_doc
 
 # nested edges column carried on fetched rows until the links explode stage
@@ -46,6 +47,10 @@ def fetch_and_parse(url: str, depth: int, seq: int, wave: int,
         "redirects": out.redirects,
         "redirect_count": out.redirect_count,
         "has_redirect_loop": out.has_redirect_loop,
+        # issue-flag write-backs (reference issue_detector.py:451,:493)
+        "is_soft_404": out.status_code == 200 and (
+            soft404_hit(parsed["title"]) or soft404_hit(parsed["h1"])),
+        "has_long_redirect_chain": out.redirect_count > 3,
         "response_headers": (list(doc.get("headers") or []) if doc else []),
         "x_robots_tag": (doc.get("x_robots_tag") if doc else "") or "",
         "spans": spans,

@@ -108,6 +108,13 @@ def is_archive_or_utility(url: str) -> bool:
             or any(p in path for p in _UTILITY_SUBSTR))
 
 
+def soft404_hit(text: str) -> bool:
+    """True if a title/H1 matches the soft-404 phrase battery (I6; shared
+    with the pages-row ``is_soft_404`` write-back)."""
+    tl = (text or "").lower()
+    return any(p in tl for p in _SOFT404_PATTERNS)
+
+
 def _iss(url, typ, category, issue, details=""):
     return {"url": url, "type": typ, "category": category,
             "issue": issue, "details": details}
@@ -247,9 +254,8 @@ def page_issues(row: dict, base_domain: str | None = None) -> list[dict]:
     word_count = row.get("word_count") or 0
 
     # I6 — soft 404 (before other content checks; sets severity by signals)
-    tl, hl = title.lower(), h1.lower()
-    err_t = any(p in tl for p in _SOFT404_PATTERNS)
-    err_h = any(p in hl for p in _SOFT404_PATTERNS)
+    err_t = soft404_hit(title)
+    err_h = soft404_hit(h1)
     if status == 200 and (err_t or err_h):
         if err_t and err_h:
             sev, det = "error", (f'Title: "{title[:50]}" and H1: "{h1[:50]}" '

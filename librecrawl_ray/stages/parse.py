@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from ..canonical import (classify_scope, clean_url, is_internal, strip_www,
                          url_host)
+from .issues import analyze_structured_data
 
 _WORD_RE = re.compile(r"\w+")
 _GA4_RE = re.compile(r"\bG-[A-Z0-9]{10}\b")
@@ -189,6 +190,10 @@ def parse_doc(url: str, spans: list[dict],
         "internal_links": internal_links,
         "external_links": external_links,
         "json_ld": json_ld,
+        # I12 write-back columns (reference issue_detector.py:788-799 stores
+        # schema_types / ai_ready_schemas on the result row for exports)
+        "schema_types": (sd := analyze_structured_data(json_ld))["types"],
+        "ai_ready_schemas": sd["ai_ready"],
         "analytics_ga4_id": ga4,
         "analytics_gtm_id": gtm,
     }
@@ -215,6 +220,10 @@ _PARSE_FIELDS = [
                          ("width", pa.string()), ("height", pa.string())]))),
     ("internal_links", pa.int64()), ("external_links", pa.int64()),
     ("json_ld", pa.list_(pa.string())),
+    ("schema_types", pa.list_(pa.string())),
+    ("ai_ready_schemas",
+     pa.list_(pa.struct([("name", pa.string()),
+                         ("rich_result", pa.string())]))),
     ("analytics_ga4_id", pa.string()), ("analytics_gtm_id", pa.string()),
 ]
 PARSE_SCHEMA = pa.schema(_PARSE_FIELDS)

@@ -217,3 +217,18 @@ def test_keywords(docs_ds):
                  "bucket": "medium", "intent": "transactional"}
     d = dedup_keywords(["Foo Bar", "foo  bar", "baz"])
     assert [x["keyword"] for x in d] == ["foo bar", "baz"]
+
+
+def test_pages_row_writeback_columns(t1_oracle):
+    """I12/I6 write-backs: schema_types / ai_ready_schemas / is_soft_404 /
+    has_long_redirect_chain are materialized on pages rows."""
+    pages = t1_oracle.pages
+    soft = [p for p in pages if p["is_soft_404"]]
+    assert soft and all(p["status_code"] == 200 for p in soft)
+    typed = [p for p in pages if p["schema_types"]]
+    assert typed, "fixture has FAQ/Article JSON-LD pages"
+    faq = [p for p in typed if "FAQPage" in p["schema_types"]]
+    assert faq and all(
+        any(a["name"] == "FAQ" for a in p["ai_ready_schemas"]) for p in faq)
+    longr = [p for p in pages if p["has_long_redirect_chain"]]
+    assert all(p["redirect_count"] > 3 for p in longr)
