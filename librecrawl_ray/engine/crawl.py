@@ -380,18 +380,7 @@ class WaveCrawler:
         fetchable_tbl = frontier.filter(
             pc.less_equal(frontier.column("depth"), self.cfg.max_depth))
         # politeness gating (T2/T3): per-host wave budget, robots crawl-delay
-        deferred_tbl = None
-        if self.cfg.per_host_wave_cap > 0:
-            gated_rows, deferred_rows = self.politeness.gate(
-                fetchable_tbl.to_pylist())
-            gated_tbl = (pa.Table.from_pylist(gated_rows,
-                                              schema=fetchable_tbl.schema)
-                         if gated_rows else fetchable_tbl.slice(0, 0))
-            deferred_tbl = (pa.Table.from_pylist(
-                deferred_rows, schema=fetchable_tbl.schema)
-                if deferred_rows else None)
-        else:
-            gated_tbl = fetchable_tbl
+        gated_tbl, deferred_tbl = self.politeness.gate_table(fetchable_tbl)
         remaining = self.cfg.max_urls - self.fetched_total
         stopped = False
         if remaining <= 0:
@@ -716,6 +705,13 @@ class WaveCrawler:
                 break
         self._flush_pending()
         self.release_workers()
+        # terminal lineage marker: lets report pipelines reuse a completed
+        # crawl instead of re-running it (VERDICT r1 #9)
+        self._commit("final", {
+            "fetched_total": self.fetched_total,
+            "num_waves": len(waves),
+            "corpus_dir": self.corpus_dir,
+        })
         return {
             "fetched_total": self.fetched_total,
             "waves": waves,

@@ -135,16 +135,10 @@ def crawl_inlinks(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "spans"])
     extractor = make_edge_extractor(BASE_DOMAIN)
 
-    def norm_target(batch: pa.Table) -> pa.Table:
-        vals = [norm_url(u)
-                for u in batch.column("target_url").to_pylist()]
-        return pa.table({"norm_target": pa.array(vals, pa.string())})
-
-    out = (ds.map_batches(extractor, batch_format="pyarrow")
-           .map_batches(norm_target, batch_format="pyarrow")
-           .groupby("norm_target")
-           .aggregate(Count(alias_name="inlinks"))
-           .to_pandas())
+    from .reports import bucketed_url_counts
+    out = bucketed_url_counts(
+        ds.map_batches(extractor, batch_format="pyarrow"),
+        "target_url", "norm_target", count_col="inlinks").to_pandas()
     return out.sort_values("norm_target").reset_index(drop=True)
 
 
@@ -212,8 +206,14 @@ def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
     with open(os.path.join(cdir, "config.json")) as f:
         cfg = CrawlConfig.from_fixture(json.load(f), BASE_DOMAIN)
     out_dir = os.path.join(out_root, tier_for(sf_dir))
-    eng = WaveCrawler(cdir, out_dir, cfg, fetch_concurrency=4)
-    eng.run(["https://site.example/"])
+    final = os.path.join(out_dir, "lineage", "wave-final.json")
+    complete = False
+    if os.path.exists(final):
+        with open(final) as f:
+            complete = json.load(f).get("corpus_dir") == cdir
+    if not complete:
+        eng = WaveCrawler(cdir, out_dir, cfg, fetch_concurrency=4)
+        eng.run(["https://site.example/"])
     from . import reports
     pages = reports.load_pages(
         out_dir, columns=["url", "depth", "seq", "wave", "status_code"])
@@ -334,7 +334,7 @@ def crawl_pagerank(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
     """PageRank-lite over the crawl output's link graph — top 50 by rank.
     Iterative (non-SQL-expressible) → rows-only driver check; pytest
     verifies against an independent power-iteration reference."""
-    full_crawl_pages(sf_dir, out_root)       # idempotent-ish: reruns crawl
+    full_crawl_pages(sf_dir, out_root)   # no-op if lineage says complete
     from . import reports
     out_dir = os.path.join(out_root, tier_for(sf_dir))
     pages = reports.load_pages(out_dir, columns=["url"])

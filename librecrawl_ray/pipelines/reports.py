@@ -185,17 +185,46 @@ def bucketed_groups(ds: rd.Dataset, key_col: str, per_bucket,
 
 # ------------------------------------------------------- J1 / A8 link graph
 
+def bucketed_url_counts(ds: rd.Dataset, url_col: str, out_col: str,
+                        count_col: str = "count()",
+                        buckets: int = 64) -> rd.Dataset:
+    """Count rows per normalized URL: per-batch Counter partials (shuffle
+    rows = distinct keys per block, not raw rows), then a bucketed-int
+    shuffle + one vectorized pandas sum per bucket. Ray Data's string-key
+    sort-aggregate is ~5× slower than this int-bucket shape at 10^6 keys
+    (measured on bench2 links; VERDICT r1 #6)."""
+    import zlib
+    from collections import Counter
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(norm_url(u) for u in batch.column(url_col).to_pylist())
+        keys = list(c.keys())
+        return pa.table({
+            out_col: pa.array(keys, pa.string()),
+            count_col: pa.array(list(c.values()), pa.int64()),
+            "__bucket": pa.array(
+                [zlib.crc32(k.encode()) % buckets for k in keys],
+                pa.int32())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(out_col, sort=False)[count_col]
+                .sum().reset_index())
+
+    return (ds.select_columns([url_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: per_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas"))
+
+
 def inlink_counts(links: rd.Dataset) -> rd.Dataset:
-    """A8: inlinks per normalized target URL (groupby-count shuffle)."""
-    return (_add_norm(links.select_columns(["target_url"]),
-                      "target_url", "norm_target")
-            .groupby("norm_target").count())
+    """A8: inlinks per normalized target URL."""
+    return bucketed_url_counts(links, "target_url", "norm_target")
 
 
 def outlink_counts(links: rd.Dataset) -> rd.Dataset:
-    return (_add_norm(links.select_columns(["source_url"]),
-                      "source_url", "norm_source")
-            .groupby("norm_source").count())
+    return bucketed_url_counts(links, "source_url", "norm_source")
 
 
 def linked_from(pages: rd.Dataset, links: rd.Dataset,
@@ -557,13 +586,22 @@ def security_header_issues(pages: rd.Dataset) -> rd.Dataset:
                                         f"pages without {hdr}"})
         return pd.DataFrame(rows, columns=["url", "type", "category",
                                            "issue", "details"])
-    return keyed.groupby("host").map_groups(per_host, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_host(g) for _, g in df.groupby("host", sort=True)]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame(columns=["url", "type", "category",
+                                           "issue", "details"]))
+    # bucketed: one task per hash bucket of hosts, not one group per host —
+    # per-key map_groups collapses at web-scale host cardinality
+    return bucketed_groups(keyed, "host", per_bucket, buckets=16)
 
 
 # ------------------------------------------------------ PageRank-lite (A8+)
 
 def pagerank_lite(pages: rd.Dataset, links: rd.Dataset,
-                  iterations: int = 5, damping: float = 0.85) -> rd.Dataset:
+                  iterations: int = 5, damping: float = 0.85,
+                  distributed_threshold: int = 2_000_000) -> rd.Dataset:
     """PageRank-lite over the crawled internal link graph (north-star
     priority score).
 
@@ -583,6 +621,10 @@ def pagerank_lite(pages: rd.Dataset, links: rd.Dataset,
     ordering). Returns (url, rank) for every crawled page.
     """
     import pandas as pd
+
+    if distributed_threshold and pages.count() > distributed_threshold:
+        # scale path: no graph-sized driver state
+        return pagerank_distributed(pages, links, iterations, damping)
 
     nodes = _add_norm(pages.select_columns(["url"]), "url", "n") \
         .select_columns(["url", "n"])
@@ -634,3 +676,97 @@ def pagerank_lite(pages: rd.Dataset, links: rd.Dataset,
     out["rank"] = out["n"].map(ranks).fillna((1.0 - damping) / n_nodes)
     out["rank"] = out["rank"].round(10)
     return rd.from_pandas(out[["url", "rank"]])
+
+
+def pagerank_distributed(pages: rd.Dataset, links: rd.Dataset,
+                         iterations: int = 5,
+                         damping: float = 0.85) -> rd.Dataset:
+    """The scale path for ``pagerank_lite``: edge list and rank vector stay
+    Datasets end-to-end — no graph-sized driver state (VERDICT r1 #6).
+
+    Same update formula as the pandas path; each iteration is
+    hash_join(edges ⋈ ranks ⋈ outdeg) → per-batch partial sums →
+    groupby(dst).Sum, plus a scalar dangling-mass aggregate. Ranks
+    (node-sized) are materialized per iteration; edges are materialized
+    once after dedup+semi-join and reused by every iteration.
+    """
+    from ray.data.aggregate import Sum
+
+    nodes = _add_norm(pages.select_columns(["url"]), "url", "n") \
+        .select_columns(["url", "n"]).materialize()
+    n_nodes = max(nodes.count(), 1)
+
+    raw = _add_norm(
+        _add_norm(links.filter(lambda r: bool(r["is_internal"]))
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"])
+
+    def bucket_dedup(df):
+        return df.drop_duplicates(["src", "dst"])
+
+    node_keys = bucketed_groups(
+        nodes.select_columns(["n"]),
+        "n", lambda df: df.drop_duplicates(["n"]), buckets=16).materialize()
+    edges = bucketed_groups(raw, "src", bucket_dedup, buckets=32)
+    # semi-join both endpoints against the crawled node set
+    edges = hash_join(edges, node_keys, key="src", right_key="n")
+    edges = hash_join(edges, node_keys, key="dst", right_key="n") \
+        .materialize()
+
+    def partial_src_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter(batch.column("src").to_pylist())
+        return pa.table({"src": pa.array(list(c.keys()), pa.string()),
+                         "outdeg": pa.array(list(c.values()), pa.int64())})
+
+    outdeg = edges.map_batches(partial_src_counts, batch_format="pyarrow") \
+        .groupby("src").aggregate(Sum("outdeg", alias_name="outdeg")) \
+        .materialize()
+
+    r0 = 1.0 / n_nodes
+    ranks = node_keys.map_batches(
+        lambda b: b.append_column("rank",
+                                  pa.array([r0] * b.num_rows, pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        # dangling mass: rank of nodes with no outgoing edges
+        with_deg = hash_join(ranks, outdeg, key="n", right_key="src",
+                             how="left")
+        import pandas as pd
+
+        def dangling_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"d": [df.loc[df["outdeg"].isna(), "rank"].sum()]})
+        dang_parts = with_deg.map_batches(dangling_partial,
+                                          batch_format="pandas").to_pandas()
+        dangling = float(dang_parts["d"].sum())
+
+        contrib = hash_join(
+            hash_join(edges, ranks, key="src", right_key="n"),
+            outdeg, key="src")
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            c = (df["rank"] / df["outdeg"]).groupby(df["dst"]).sum()
+            return c.rename("s").reset_index()
+        sums = contrib.map_batches(partial_sums, batch_format="pandas") \
+            .groupby("dst").aggregate(Sum("s", alias_name="s"))
+
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            df["rank"] = base + damping * df["s"].fillna(0.0)
+            return df[["n", "rank"]]
+        ranks = hash_join(node_keys, sums, key="n", right_key="dst",
+                          how="left") \
+            .map_batches(update, batch_format="pandas").materialize()
+
+    out = hash_join(nodes, ranks, key="n", how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "url": batch.column("url"),
+            "rank": _pc.round(batch.column("rank"), ndigits=10)})
+    return out.map_batches(finish, batch_format="pyarrow")

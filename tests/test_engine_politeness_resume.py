@@ -130,3 +130,34 @@ def test_t2_kill_resume(ray_session, tmp_path_factory):
     kb = sorted((r["url"], r["depth"], r["seq"]) for r in b)
     assert ka == kb
     assert eng2.seen_sha1s() == eng3.seen_sha1s()
+
+
+def test_gate_table_equals_gate(t1_cfg):
+    """Vectorized politeness gate == sequential row-loop spec on a skewed
+    synthetic frontier (many hosts, hot keys, interleaved order)."""
+    import pyarrow as pa
+    from librecrawl_ray.state.politeness import PolitenessScheduler
+    rows = []
+    seq = 0
+    for d in range(3):
+        for i in range(400):
+            host = ["hot.example", "warm.example",
+                    f"cold-{i % 37}.example"][i % 3]
+            rows.append({"url": f"https://{host}/p{seq}", "depth": d,
+                         "seq": seq, "wave": 0, "host": host,
+                         "sha64": seq, "part": 0, "signature": ""})
+            seq += 1
+    schema = pa.schema([("url", pa.string()), ("depth", pa.int32()),
+                        ("seq", pa.int64()), ("wave", pa.int32()),
+                        ("host", pa.string()), ("sha64", pa.uint64()),
+                        ("part", pa.int32()), ("signature", pa.string())])
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    a = PolitenessScheduler(t1_cfg, None)
+    b = PolitenessScheduler(t1_cfg, None)
+    g_rows, d_rows = a.gate(rows)
+    g_tbl, d_tbl = b.gate_table(tbl)
+    assert [r["url"] for r in g_rows] == g_tbl.column("url").to_pylist()
+    want_def = [r["url"] for r in d_rows]
+    got_def = d_tbl.column("url").to_pylist() if d_tbl is not None else []
+    assert want_def == got_def
+    assert a.deferred_total == b.deferred_total

@@ -97,3 +97,18 @@ def test_exports_over_engine_output(ray_session, t1_crawl):
     lines = csv_text.strip().splitlines()
     assert len(lines) == summary["fetched_total"] + 1
     assert lines[1].startswith("https://site.example/,200,")
+
+
+def test_pagerank_distributed_equals_pandas(ray_session, t1_crawl):
+    """The scale path (Datasets end-to-end) matches the driver-resident
+    pandas path on the t1 crawl graph."""
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"], columns=["url"])
+    links = reports.load_links(summary["out_dir"])
+    a = (reports.pagerank_lite(pages, links, distributed_threshold=0)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    b = (reports.pagerank_distributed(pages, links)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert a["url"].tolist() == b["url"].tolist()
+    import numpy as np
+    assert np.allclose(a["rank"], b["rank"], atol=1e-11)
