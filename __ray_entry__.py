@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
+        "crawl_jsdiff": C.crawl_jsdiff,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_issue_counts": C.crawl_issue_counts,
@@ -189,10 +190,42 @@ ORDER BY cosine DESC, id_a, id_b LIMIT 20
 """
     embedding_neardup_sql = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.9
+ORDER BY id_a, id_b
+"""
+    # exact n-gram-Jaccard SQL twin of the engine shingle pipeline: token
+    # 3-gram shingle sets via generate_series, |A∩B|/|A∪B|. A full-equality
+    # oracle for the LSH path: on these fixtures every >=0.5 pair is
+    # near-identical, where 32x4 minhash banding has recall ~1 (verified
+    # empirically: engine==SQL at sf0.01 and sf0.001); pytest additionally
+    # pins recall vs brute force.
+    _TOKS = "regexp_extract_all(lower(text), '\\w+')"
+    minhash_sql = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len({_TOKS}) = 0 THEN []
+         WHEN len({_TOKS}) < 3
+         THEN [array_to_string({_TOKS}, ' ')]
+         ELSE list_distinct(list_transform(
+            generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
+    END AS s
+  FROM documents),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+         WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+         ELSE len(list_intersect(a.s, b.s))::DOUBLE /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    END AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM j WHERE jac >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -215,16 +248,23 @@ ORDER BY id_a, id_b
         "knn_bruteforce": knn_sql,
         "embedding_neardup": embedding_neardup_sql,
         "top_similar_pairs": top_similar_pairs_sql,
+        "minhash_lsh_pairs": minhash_sql,
+        # ivf_topk runs exhaustive at the driver's config (nprobe == all
+        # centroids) → exact top-k, same contract as knn_bruteforce
+        "ivf_topk": knn_sql,
         "top_keywords": __import__(
             "librecrawl_ray.functions.keywords",
             fromlist=["top_keywords_sql"]).top_keywords_sql(20),
-        # minhash_lsh_pairs / simhash_pairs / ivf_topk / crawl_full:
-        # non-SQL-expressible (sketches, IVF, stateful BFS) → rows-only
+        # simhash_pairs / crawl_neardup / crawl_full / crawl_pagerank:
+        # non-SQL-expressible (bitwise simhash, staged scoring, stateful
+        # BFS, iterative PR) → rows-only; pytest pins them to independent
+        # python references
     }
     if path:
         out["crawl_parse"] = C.crawl_parse_sql(path)
         out["crawl_edges"] = C.crawl_edges_sql(path)
         out["crawl_inlinks"] = C.crawl_inlinks_sql(path)
+        out["crawl_jsdiff"] = C.crawl_jsdiff_sql(path)
         out["crawl_status_counts"] = C.crawl_status_counts_sql(path)
         out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)

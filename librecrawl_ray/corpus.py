@@ -33,6 +33,7 @@ whole tree within max_depth=3.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import zlib
@@ -142,6 +143,8 @@ class Doc:
     response_time_ms: float = 0.0
     headers: dict[str, str] = field(default_factory=dict)
     x_robots_tag: str = ""
+    # S4: ("same"|"changed", growth_factor) — None = no JS-rendered variant
+    rendered: tuple | None = None
 
     def add(self, kind: str, text: str = "", media_ref: str = "") -> None:
         self.spans.append((kind, text, media_ref))
@@ -335,6 +338,14 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
             d.link(_page_url((i + 1) % n), "internal nofollow", nofollow=True)
         d.link("/about", "About", placement="footer")
         d.response_time_ms = 40.0 + (i * 17) % 240
+        # S4 JS-diff fixtures: changed+grown (requires_js), changed but
+        # under the 10% growth bar, and rendered-identical
+        if i % 23 == 7:
+            d.rendered = ("changed", 1.25)
+        elif i % 23 == 15:
+            d.rendered = ("changed", 1.04)
+        elif i % 23 == 3:
+            d.rendered = ("same", 1.0)
         docs.append(d)
 
     # ----------------------------------------------------- special families
@@ -612,6 +623,16 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
         size = sum(len(s["text"]) + len(s["media_ref"]) for s in spans) + 512
         if d.url.endswith("/big"):
             size = big_size
+        raw_hash = hashlib.md5(f"{d.url}|{size}".encode()).hexdigest()
+        if d.rendered is not None:
+            mode, factor = d.rendered
+            rendered_hash = (raw_hash if mode == "same" else
+                             hashlib.md5(f"{d.url}|{size}|js".encode())
+                             .hexdigest())
+            rendered_size = int(size * factor)
+        else:
+            rendered_hash = None
+            rendered_size = None
         rows.append({
             "doc_id": d.url,
             "spans": spans,
@@ -623,6 +644,9 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
             "headers": list(d.headers.items()),
             "host": d.url.split("/")[2].lower(),
             "x_robots_tag": d.x_robots_tag,
+            "raw_content_hash": raw_hash,
+            "rendered_content_hash": rendered_hash,
+            "rendered_size": rendered_size,
         })
     documents = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
@@ -674,7 +698,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

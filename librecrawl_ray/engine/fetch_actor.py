@@ -92,6 +92,7 @@ class CorpusFetcher:
         (fetch_and_parse) and are concatenated after."""
         from ..canonical import strip_www, url_host
         from ..policy import REDIRECT_STATUSES
+        from ..stages.fetch import requires_js as _requires_js
         from ..stages.issues import soft404_hit
         from ..stages.parse import _PARSE_FIELDS, extract_edges, parse_doc
 
@@ -147,6 +148,9 @@ class CorpusFetcher:
             bsel = [i for _, i in fast_pairs]
             csel = combined.take(gsel)
             spans_py = csel.column("spans").to_pylist()
+            rjs_docs = csel.select(["size", "raw_content_hash",
+                                    "rendered_content_hash",
+                                    "rendered_size"]).to_pylist()
             f_urls = [urls[i] for i in bsel]
             parsed = [parse_doc(u, sp or [], self.base_domain)
                       for u, sp in zip(f_urls, spans_py)]
@@ -178,6 +182,8 @@ class CorpusFetcher:
                                       pa.list_(pa.string())),
                 "redirect_count": pa.array([0] * nf, pa.int32()),
                 "has_redirect_loop": pa.array([False] * nf, pa.bool_()),
+                "requires_js": pa.array(
+                    [_requires_js(dd) for dd in rjs_docs], pa.bool_()),
                 "is_soft_404": pa.array(
                     [st == 200 and (soft404_hit(p["title"])
                                     or soft404_hit(p["h1"]))

@@ -26,7 +26,7 @@ DEFAULT_PAGE_FIELDS = [
     "depth", "internal_links", "external_links", "canonical_url",
     "response_time", "size", "og_tags", "twitter_tags", "json_ld",
     "images", "h2", "h3", "schema_types", "ai_ready_schemas",
-    "is_soft_404", "has_long_redirect_chain",
+    "is_soft_404", "has_long_redirect_chain", "requires_js",
 ]
 
 LINKS_FIELDS = ["source_url", "target_url", "anchor_text", "is_internal",
@@ -68,7 +68,8 @@ def _fmt_page_value(field: str, value) -> str:
     if field == "ai_ready_schemas":
         n = _seq_len(value)
         return f"{n} AI-ready" if n else ""
-    if field in ("is_soft_404", "has_long_redirect_chain"):
+    if field in ("is_soft_404", "has_long_redirect_chain",
+                 "requires_js"):
         return "Yes" if value else "No"
     if field in ("h2", "h3"):
         v = [str(x) for x in (value if value is not None else [])]

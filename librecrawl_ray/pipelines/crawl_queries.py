@@ -162,6 +162,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def crawl_jsdiff(sf_dir: str) -> pd.DataFrame:
+    """S4 JS-diff detector over the corpus variant columns: requires_js per
+    doc (reference crawler.py:1142-1188 raw-vs-rendered hash + >10% growth
+    rule), plus the summary-friendly rendered flag."""
+    from ..stages.fetch import requires_js as _rjs
+    ds = _docs(sf_dir, ["doc_id", "size", "raw_content_hash",
+                        "rendered_content_hash", "rendered_size"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "requires_js": pa.array([_rjs(r) for r in rows], pa.bool_())})
+
+    out = ds.map_batches(detect, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def crawl_jsdiff_sql(path: str) -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN rendered_content_hash IS NULL THEN FALSE
+       WHEN rendered_content_hash = raw_content_hash THEN FALSE
+       WHEN size = 0 THEN TRUE
+       ELSE rendered_size / size > 1.1 END AS requires_js
+FROM read_parquet('{path}')
+ORDER BY doc_id
+"""
+
+
 def crawl_status_counts(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["status_code"])
     out = (ds.groupby("status_code").aggregate(Count(alias_name="n_docs"))

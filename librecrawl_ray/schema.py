@@ -39,6 +39,12 @@ DOCUMENTS_SCHEMA = pa.schema(
         ("headers", pa.map_(pa.string(), pa.string())),
         ("host", pa.string()),
         ("x_robots_tag", pa.string()),
+        # S4 JS-diff fixture columns (reference crawler.py:1142-1188): the
+        # corpus carries the raw-fetch hash and, for docs with a JS-rendered
+        # variant, the rendered hash + size (null = no variant)
+        ("raw_content_hash", pa.string()),
+        ("rendered_content_hash", pa.string()),
+        ("rendered_size", pa.int64()),
     ]
 )
 
@@ -119,6 +125,7 @@ PAGES_SCHEMA = pa.schema(
         ("has_redirect_loop", pa.bool_()),
         ("analytics_ga4_id", pa.string()),
         ("analytics_gtm_id", pa.string()),
+        ("requires_js", pa.bool_()),
         ("spans", SPANS_TYPE),
     ]
 )

@@ -23,6 +23,20 @@ FETCHED_SCHEMA = pa.schema(list(PAGES_SCHEMA) + [
 ])
 
 
+def requires_js(doc: dict | None) -> bool:
+    """S4 JS-diff rule (reference crawler.py:1175-1186): hashes differ AND
+    (raw empty OR rendered more than 10% larger)."""
+    if not doc:
+        return False
+    rh = doc.get("rendered_content_hash")
+    if not rh or rh == doc.get("raw_content_hash"):
+        return False
+    raw_s = doc.get("size") or 0
+    if raw_s == 0:
+        return True
+    return (doc.get("rendered_size") or 0) / raw_s > 1.1
+
+
 def fetch_and_parse(url: str, depth: int, seq: int, wave: int,
                     lookup, base_domain: str, doc0: dict | None = None,
                     have_doc0: bool = False) -> dict:
@@ -48,6 +62,7 @@ def fetch_and_parse(url: str, depth: int, seq: int, wave: int,
         "redirect_count": out.redirect_count,
         "has_redirect_loop": out.has_redirect_loop,
         # issue-flag write-backs (reference issue_detector.py:451,:493)
+        "requires_js": requires_js(doc),
         "is_soft_404": out.status_code == 200 and (
             soft404_hit(parsed["title"]) or soft404_hit(parsed["h1"])),
         "has_long_redirect_chain": out.redirect_count > 3,

@@ -232,3 +232,23 @@ def test_pages_row_writeback_columns(t1_oracle):
         any(a["name"] == "FAQ" for a in p["ai_ready_schemas"]) for p in faq)
     longr = [p for p in pages if p["has_long_redirect_chain"]]
     assert all(p["redirect_count"] > 3 for p in longr)
+
+
+def test_requires_js_writeback(t1_oracle):
+    """S4: requires_js set from the corpus raw/rendered variant columns —
+    changed+grown => True; same-hash or <=10% growth => False."""
+    pages = {p["url"]: p for p in t1_oracle.pages}
+    trues = [u for u, p in pages.items() if p["requires_js"]]
+    assert trues, "fixture has changed+grown JS variants"
+    from librecrawl_ray.corpus import generate_corpus
+    docs = {r["doc_id"]: r
+            for r in generate_corpus("t1")["documents"].to_pylist()}
+    for u, p in pages.items():
+        d = docs.get(u)
+        if d is None or d["rendered_content_hash"] is None:
+            assert not p["requires_js"], u
+        elif d["rendered_content_hash"] == d["raw_content_hash"]:
+            assert not p["requires_js"], u
+        else:
+            grown = d["size"] == 0 or d["rendered_size"] / d["size"] > 1.1
+            assert p["requires_js"] == grown, u
