@@ -169,6 +169,16 @@ class WaveCrawler:
         # driver state
         self.small_wave_threshold = small_wave_threshold
         self.distributed_dedup_threshold = 2_000_000
+        # big corpora make the driver-local small-wave path pay full
+        # partition loads (~the whole corpus through the driver for a
+        # 100-URL wave) — route ALL waves through the actor pool instead,
+        # and create the pool eagerly so partition prefetch overlaps the
+        # small early waves
+        try:
+            self._big_corpus = os.path.getsize(os.path.join(
+                corpus_dir, "documents.parquet")) > 32 * 1024 * 1024
+        except OSError:
+            self._big_corpus = False
         self._local_fetcher: CorpusFetcher | None = None
         self._workers: list | None = None
         self._part_owner: dict[int, int] = {}
@@ -192,8 +202,13 @@ class WaveCrawler:
             # warming overlaps the small early waves
             pool = len(self._workers)
             for i, w in enumerate(self._workers):
-                w.prefetch.remote(
-                    [p for p in range(self.num_parts) if p % pool == i])
+                own = [p for p in range(self.num_parts) if p % pool == i]
+                # chunked prefetch: actor tasks run FIFO, so one monolithic
+                # prefetch would make an early small wave's lookup wait for
+                # the worker's ENTIRE partition set to load; 2-part chunks
+                # bound that head-of-line latency to one chunk
+                for j in range(0, len(own), 2):
+                    w.prefetch.remote(own[j:j + 2])
         return self._workers
 
     def release_workers(self) -> None:
@@ -411,7 +426,7 @@ class WaveCrawler:
         os.makedirs(links_dir, exist_ok=True)
         frontier_tbl = gated_tbl.sort_by("part")
         n_gated = frontier_tbl.num_rows
-        if n_gated < self.small_wave_threshold:
+        if n_gated < self.small_wave_threshold and not self._big_corpus:
             # small-wave fast path: identical pure functions, driver-local —
             # skips per-wave executor + actor-pool startup (a few seconds)
             # that would dominate a wave of a few hundred lookups. Large
