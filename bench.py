@@ -65,8 +65,12 @@ def run_bench() -> None:
 
     # ---- headline: full crawl (fetch+parse+dedup+frontier, checkpointed)
     t0 = time.perf_counter()
+    # workers = 3/4 of cpus: the driver admission/checkpoint path and the
+    # object store need headroom; at full cpus-2 subscription wave-3 busy
+    # totals inflate ~25% from contention (measured: 312s vs 268s)
     eng = WaveCrawler(cdir, out_dir, cfg,
-                      fetch_concurrency=max(2, num_cpus - 2),
+                      fetch_concurrency=max(2, num_cpus
+                                            - max(2, num_cpus // 4)),
                       fetch_batch_size=768,
                       small_wave_threshold=0)
     summary = eng.run(["https://site.example/"])

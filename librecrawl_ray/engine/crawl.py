@@ -76,22 +76,33 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
     depths = batch.column("depth").to_pylist()
     pseqs = batch.column("parent_seq").to_pylist()
     poss = batch.column("pos").to_pylist()
-    rows = []
+    # columnar build (no per-row dicts): the stringy URL work (urlsplit /
+    # sha1 / signature regex) has no Arrow kernel, but the output arrays
+    # are built column-wise and the batch runs inside the distributed
+    # fetch workers
+    c_url, c_depth, c_pseq, c_pos = [], [], [], []
+    c_host, c_sha64, c_part, c_shard, c_sig = [], [], [], [], []
     for u, d, ps, po in zip(urls, depths, pseqs, poss):
         if not should_crawl(u, cfg, robots):
             continue
         sha = url_sha1(u)
-        rows.append({
-            "url": u, "depth": d, "parent_seq": ps, "pos": po,
-            "host": url_host(u),
-            "sha64": int(sha[:16], 16),
-            "part": shard_of(sha, num_parts),
-            "shard": shard_of(sha, cfg.num_shards),
-            "signature": url_signature(u),
-        })
-    if not rows:
+        c_url.append(u)
+        c_depth.append(d)
+        c_pseq.append(ps)
+        c_pos.append(po)
+        c_host.append(url_host(u))
+        c_sha64.append(int(sha[:16], 16))
+        c_part.append(shard_of(sha, num_parts))
+        c_shard.append(shard_of(sha, cfg.num_shards))
+        c_sig.append(url_signature(u))
+    if not c_url:
         return CANDIDATE_SCHEMA.empty_table()
-    return pa.Table.from_pylist(rows, schema=CANDIDATE_SCHEMA)
+    return pa.Table.from_arrays([
+        pa.array(c_url, pa.string()), pa.array(c_depth, pa.int32()),
+        pa.array(c_pseq, pa.int64()), pa.array(c_pos, pa.int32()),
+        pa.array(c_host, pa.string()), pa.array(c_sha64, pa.uint64()),
+        pa.array(c_part, pa.int32()), pa.array(c_shard, pa.int32()),
+        pa.array(c_sig, pa.string())], schema=CANDIDATE_SCHEMA)
 
 
 class Canonicalizer:

@@ -208,3 +208,22 @@ def test_exclusion_sql_parity(t1_fixture):
            OR doc_id LIKE 'https://site.example/search%'
         """).fetchall()}
     assert got == want
+
+
+def test_crawl_status_and_list(t1_crawl):
+    """Crawl metadata surface (reference crawl_db crawls table / list view)
+    derived from lineage alone."""
+    import os
+    from librecrawl_ray.pipelines.meta import crawl_status, list_crawls
+    _, summary = t1_crawl
+    st = crawl_status(summary["out_dir"])
+    assert st["status"] == "complete"
+    assert st["urls_crawled"] == summary["fetched_total"]
+    assert st["urls_discovered"] >= st["urls_crawled"]
+    assert st["max_depth_reached"] >= 3
+    assert st["num_waves_committed"] == summary["num_waves"]
+    root = os.path.dirname(summary["out_dir"])
+    lst = list_crawls(root)
+    assert any(e["out_dir"] == summary["out_dir"] for e in lst)
+    assert all(e["config_snapshot"] is None for e in lst)
+    assert list_crawls(root, status_filter="nope") == []
