@@ -556,15 +556,21 @@ class WaveCrawler:
             pre_probed = True
         elif raw_tbl.num_rows:
             n_candidates = raw_tbl.num_rows
-            srt = raw_tbl.sort_by([("sha64", "ascending"),
-                                   ("parent_seq", "ascending"),
-                                   ("pos", "ascending")])
-            s64 = srt.column("sha64").to_numpy()
-            first_mask = np.empty(len(s64), dtype=bool)
+            # first sighting per sha64 by (parent_seq, pos) via ONE numpy
+            # lexsort + one take of the kept rows — replaces two full Arrow
+            # table sorts of the candidate set (serial driver time hurts
+            # the N→4N scaling ratio twice)
+            s64 = raw_tbl.column("sha64").to_numpy()
+            ps_np = raw_tbl.column("parent_seq").to_numpy()
+            pos_np = raw_tbl.column("pos").to_numpy()
+            order = np.lexsort((pos_np, ps_np, s64))
+            s_sorted = s64[order]
+            first_mask = np.empty(len(s_sorted), dtype=bool)
             first_mask[0] = True
-            np.not_equal(s64[1:], s64[:-1], out=first_mask[1:])
-            cand_tbl = srt.filter(pa.array(first_mask)).sort_by(
-                [("parent_seq", "ascending"), ("pos", "ascending")])
+            np.not_equal(s_sorted[1:], s_sorted[:-1], out=first_mask[1:])
+            keep = order[first_mask]
+            keep = keep[np.lexsort((pos_np[keep], ps_np[keep]))]
+            cand_tbl = raw_tbl.take(pa.array(keep))
         else:
             cand_tbl = raw_tbl
             n_candidates = 0
