@@ -114,8 +114,10 @@ def run_bench() -> None:
     queries["inlink_counts"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    from librecrawl_ray.stages.issues import make_issue_detector
-    n_issues = pages.map_batches(make_issue_detector(base_domain="site.example"),
+    from librecrawl_ray.stages.issues import (ISSUE_INPUT_COLUMNS,
+                                               make_issue_detector)
+    pages_proj = reports.load_pages(out_dir, columns=ISSUE_INPUT_COLUMNS)
+    n_issues = pages_proj.map_batches(make_issue_detector(base_domain="site.example"),
                                  batch_format="pyarrow").count()
     queries["issue_detection"] = round(time.perf_counter() - t0, 3)
 

@@ -648,6 +648,18 @@ def is_excluded(url: str,
     return False
 
 
+# the pages columns page_issues actually reads — callers can project to
+# these before the detect stage so the batch→python conversion doesn't pay
+# for the wide unused columns (headers, redirect chains, meta maps)
+ISSUE_INPUT_COLUMNS = [
+    "url", "status_code", "is_internal", "redirect_count",
+    "has_redirect_loop", "title", "meta_description", "h1", "h1_list",
+    "word_count", "headings_structure", "canonical_url", "robots",
+    "x_robots_tag", "viewport", "lang", "images", "og_tags",
+    "twitter_tags", "json_ld", "response_time", "size", "spans",
+]
+
+
 def make_issue_detector(exclusions: tuple = DEFAULT_ISSUE_EXCLUSIONS,
                         base_domain: str | None = None):
     """Returns a map_batches body: pages batch → issues table (I1–I17
