@@ -256,11 +256,17 @@ def embedding_neardup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
                              "cosine": np.round(sims[ia, ib][mask], 6)})
 
-    grouped = ds.groupby(block_col) if block_col else None
-    if grouped is None:
-        pdf = per_block(ds.to_pandas())
-    else:
-        pdf = grouped.map_groups(per_block, batch_format="pandas").to_pandas()
+    if block_col is None:
+        # unlabeled corpus: default to LSH hyperplane buckets (the scale
+        # path) rather than a driver-resident all-pairs matmul. At the
+        # default 8 planes near-identical vectors (cosine ≥ 0.95) land in
+        # the same bucket with high probability; raise num_planes for
+        # smaller buckets at larger N.
+        from .similarity import hyperplane_buckets
+        ds = hyperplane_buckets(ds, vec_col=vec_col)
+        block_col = "bucket"
+    pdf = (ds.groupby(block_col)
+           .map_groups(per_block, batch_format="pandas").to_pandas())
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("cosine", pa.float64())])
     if pdf.empty:

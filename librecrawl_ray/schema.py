@@ -117,6 +117,10 @@ PAGES_SCHEMA = pa.schema(
         ("json_ld", pa.list_(pa.string())),
         ("schema_types", pa.list_(pa.string())),
         ("ai_ready_schemas", pa.list_(AI_READY_STRUCT)),
+        ("schema_has_organization", pa.bool_()),
+        ("schema_has_website", pa.bool_()),
+        ("schema_has_breadcrumbs", pa.bool_()),
+        ("schema_faq_count", pa.int64()),
         ("is_soft_404", pa.bool_()),
         ("has_long_redirect_chain", pa.bool_()),
         ("redirect_chain", pa.list_(REDIRECT_HOP_STRUCT)),

