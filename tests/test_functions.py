@@ -280,3 +280,43 @@ def test_embedding_neardup_unlabeled_lsh_path(emb_ds):
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     want = {(2 * i, 2 * i + 1) for i in range(6)}
     assert want <= pairs
+
+
+def test_simhash_pairs_complete_vs_bruteforce(ray_session, t1_fixture):
+    """4×16-bit pigeonhole bucketing has recall 1 for hamming ≤ 3, so the
+    distributed pair set must EQUAL the O(n²) brute-force scan."""
+    import itertools
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import simhash64, simhash_pairs
+    docs = t1_fixture["documents"].to_pylist()
+    rows = []
+    for i, d in enumerate(docs):
+        text = " ".join(s["text"] for s in d["spans"]
+                        if s["kind"] == "text")
+        rows.append({"doc_id": i, "text": text})
+    import pandas as pd
+    got = simhash_pairs(rd.from_pandas(pd.DataFrame(rows)),
+                        max_hamming=3).to_pylist()
+    got_pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    sims = [simhash64(r["text"]) for r in rows]
+    want = {}
+    for a, b in itertools.combinations(range(len(rows)), 2):
+        d = (sims[a] ^ sims[b]).bit_count()
+        if d <= 3:
+            want[(a, b)] = d
+    assert got_pairs == want and len(want) > 0
+
+
+def test_quality_rounding_matches_duckdb():
+    """Engine half-away-from-zero 6dp rounding == DuckDB round(x, 6),
+    including exact .5e-6 boundaries (the round-1 hash-failure class)."""
+    import duckdb
+    import math
+    vals = [0.4343125, 0.1234565, 0.9999995, 0.0000005, 0.5, 0.2500015,
+            1.0, 0.0] + [i / 7777.0 for i in range(500)]
+    eng = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+    con = duckdb.connect()
+    sql = [r[0] for r in con.execute(
+        "SELECT round(x, 6) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [vals]).fetchall()]
+    assert eng == sql
