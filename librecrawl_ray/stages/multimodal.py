@@ -65,10 +65,16 @@ class ImageDecoder:
     __init__. strict=True raises NotImplementedError at the decode point;
     fake mode derives deterministic dimensions from the payload bytes."""
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, decode_fn=None):
+        # decode_fn: payload-bytes -> (width, height, pixels_hash); the
+        # injection point for a real decoder (PIL/libvips), constructed
+        # once per actor
         self.strict = strict
+        self.decode_fn = decode_fn
 
     def _decode(self, payload: bytes) -> tuple[int, int, str]:
+        if self.decode_fn is not None:
+            return self.decode_fn(payload)
         if self.strict:
             raise NotImplementedError(
                 "image decode requires PIL/libvips, not present in this "

@@ -161,6 +161,12 @@ def test_multimodal_plumbing(ray_session, t1_fixture):
     # strict mode surfaces the stub boundary
     with pytest.raises(NotImplementedError):
         ImageDecoder(strict=True)(media.slice(0, 1))
+    # the real-decoder injection point
+    injected = ImageDecoder(
+        decode_fn=lambda payload: (7, 9, "h" + str(len(payload))))(
+        media.slice(0, 2))
+    assert injected.column("width").to_pylist() == [7, 7]
+    assert injected.column("height").to_pylist() == [9, 9]
     frames = FrameSampler()(media.slice(0, 8))
     assert frames.num_rows >= 8
 
