@@ -40,37 +40,50 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(batch["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0),
-                                             batch["l_discount"]))
-        t = batch.append_column("disc_price", disc_price)
-        df = t.to_pandas()
+        # exact integer-cents arithmetic: money columns are 2dp-exact, so
+        # summing int64 cents makes the distributed sum ORDER-INDEPENDENT
+        # and bit-identical to DuckDB's sequential sum (float accumulation
+        # order diverges ~1e-4 at sf0.1 magnitudes and leaks through 4dp
+        # rounding)
+        df = batch.to_pandas()
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_pct = (df["l_discount"] * 100).round().astype("int64")
+        df["ext_cents"] = cents
+        df["disc_units"] = cents * (100 - disc_pct)
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            ext_cents=("ext_cents", "sum"),
+            disc_units=("disc_units", "sum"),
             count_order=("l_quantity", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                      Sum("sum_base_price", alias_name="sum_base_price"),
-                      Sum("sum_disc_price", alias_name="sum_disc_price"),
+                      Sum("ext_cents", alias_name="ext_cents"),
+                      Sum("disc_units", alias_name="disc_units"),
                       Sum("count_order", alias_name="count_order"))
            .to_pandas())
+    out["sum_base_price"] = out["ext_cents"] / 100.0
+    out["sum_disc_price"] = out["disc_units"] / 10000.0
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
         out[c] = out[c].round(4)
-    return out.sort_values(["l_returnflag", "l_linestatus"]) \
-              .reset_index(drop=True)
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "count_order",
+                "avg_qty"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
 
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                          AS sum_qty,
-       round(sum(l_extendedprice), 4)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 4)
+                                                          AS sum_base_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 4)
+                                                          AS sum_disc_price,
        count(*)                                           AS count_order,
        round(sum(l_quantity) / count(*), 4)               AS avg_qty
 FROM lineitem
