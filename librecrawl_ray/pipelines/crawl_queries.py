@@ -254,7 +254,8 @@ def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
 
 _SQL_ISSUE_NAMES = ("Missing OpenGraph Tags", "Missing Viewport Meta Tag",
                     "Thin Content",
-                    "Links: Internal Outlinks With No Anchor Text")
+                    "Links: Internal Outlinks With No Anchor Text",
+                    "Links: Internal Nofollow Outlinks")
 
 
 def crawl_issue_counts(sf_dir: str) -> pd.DataFrame:
@@ -312,8 +313,9 @@ WITH base AS (
     AND doc_id NOT LIKE 'https://site.example/private/%'
     AND doc_id NOT LIKE 'https://site.example/search%'),
 kept_links AS (
-  SELECT doc_id, anchor FROM (
+  SELECT doc_id, anchor, kind, tgt FROM (
     SELECT doc_id, {_edge_sql_target()} AS tgt, u.text AS anchor,
+           u.kind AS kind,
            row_number() OVER (PARTITION BY doc_id, {_edge_sql_target()}
                               ORDER BY u."offset") AS rn
     FROM (SELECT doc_id, host,
@@ -336,7 +338,15 @@ SELECT issue, n_pages FROM (
   UNION ALL
   SELECT 'Links: Internal Outlinks With No Anchor Text',
          count(DISTINCT doc_id)
-  FROM kept_links WHERE trim(anchor) = '')
+  FROM kept_links WHERE trim(anchor) = ''
+  UNION ALL
+  SELECT 'Links: Internal Nofollow Outlinks', count(DISTINCT doc_id)
+  FROM kept_links
+  WHERE kind LIKE '%|nofollow%'
+    AND (split_part(split_part(tgt, '://', 2), '/', 1)
+           IN ('site.example', 'www.site.example')
+         OR split_part(split_part(tgt, '://', 2), '/', 1)
+           LIKE '%.site.example'))
 ORDER BY issue
 """
 
