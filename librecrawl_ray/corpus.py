@@ -698,7 +698,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:
@@ -707,8 +707,9 @@ def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:
 
 def write_corpus(tier: str = "t1", root: str = "/tmp/graft_corpus",
                  num_parts: int | None = None, force: bool = False) -> str:
-    """Write the fixture to ``root/tier``: documents.parquet (single file, for
-    SQL oracles), hash-partitioned parts/part-NNN.parquet sorted by norm url
+    """Write the fixture to ``root/tier``: documents/ (16k-row parquet
+    files — one Ray read task each; DuckDB oracles read the same files via
+    glob), hash-partitioned parts/part-NNN.parquet sorted by norm url
     (the fetch-lookup layout — at 10^10 scale these are the Lance fragments
     the partition-affine fetch stage reads with row-group pruning), plus
     robots/sitemaps/seeds parquet and config.json. Idempotent via a _DONE
@@ -722,11 +723,16 @@ def write_corpus(tier: str = "t1", root: str = "/tmp/graft_corpus",
     tmp = out + ".tmp"
     os.makedirs(os.path.join(tmp, "parts"), exist_ok=True)
     docs: pa.Table = fix["documents"]
-    # 16k-row groups: a single-row-group file serializes the parquet read
-    # into ONE task — multi-group layout lets Ray Data parallelize the scan
-    # (measured 1.8x on bench2 parse)
-    pq.write_table(docs, os.path.join(tmp, "documents.parquet"),
-                   row_group_size=16384)
+    # multi-FILE documents dir: Ray Data assigns one read task per file, so
+    # a single 549k-row file serializes the scan (SplitBlocks only splits
+    # AFTER the read); 16k-row files parallelize both Ray and DuckDB
+    # (read_parquet glob) scans
+    ddir = os.path.join(tmp, "documents")
+    os.makedirs(ddir, exist_ok=True)
+    chunk = 16384
+    for fi, off in enumerate(range(0, docs.num_rows, chunk)):
+        pq.write_table(docs.slice(off, chunk),
+                       os.path.join(ddir, f"part-{fi:04d}.parquet"))
     norm_ids = [norm_url(u) for u in docs.column("doc_id").to_pylist()]
     sha1s = [url_sha1(u) for u in norm_ids]
     parts = [shard_of(s, nparts) for s in sha1s]

@@ -186,8 +186,10 @@ class WaveCrawler:
         # and create the pool eagerly so partition prefetch overlaps the
         # small early waves
         try:
-            self._big_corpus = os.path.getsize(os.path.join(
-                corpus_dir, "documents.parquet")) > 32 * 1024 * 1024
+            ddir = os.path.join(corpus_dir, "documents")
+            size = sum(os.path.getsize(os.path.join(ddir, f))
+                       for f in os.listdir(ddir))
+            self._big_corpus = size > 32 * 1024 * 1024
         except OSError:
             self._big_corpus = False
         self._local_fetcher: CorpusFetcher | None = None

@@ -38,11 +38,14 @@ def ensure_corpus(sf_dir: str) -> str:
 
 
 def corpus_parquet(sf_dir: str) -> str:
-    return os.path.join(corpus_dir(tier_for(sf_dir)), "documents.parquet")
+    """Glob over the multi-file documents dir — valid for both DuckDB
+    read_parquet() and ray.data.read_parquet."""
+    return os.path.join(corpus_dir(tier_for(sf_dir)),
+                        "documents", "*.parquet")
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    path = os.path.join(ensure_corpus(sf_dir), "documents.parquet")
+    path = os.path.join(ensure_corpus(sf_dir), "documents")
     return rd.read_parquet(path, columns=columns)
 
 
