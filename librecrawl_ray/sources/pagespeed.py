@@ -32,3 +32,60 @@ def fetch_pagespeed(url: str, strategy: str = "mobile") -> dict:
     raise NotImplementedError(
         "PageSpeed requires the external Google PSI API — not available "
         "in this environment. Row schema: " + ", ".join(PSI_ROW_FIELDS))
+
+
+import pyarrow as pa
+
+PSI_SCHEMA = pa.schema([
+    ("url", pa.string()), ("strategy", pa.string()),
+    ("performance_score", pa.float64()), ("fcp_ms", pa.float64()),
+    ("lcp_ms", pa.float64()), ("cls", pa.float64()),
+    ("tbt_ms", pa.float64()), ("speed_index", pa.float64()),
+    ("crux_lcp_ms", pa.float64()), ("crux_inp_ms", pa.float64()),
+    ("crux_cls", pa.float64()),
+])
+
+
+class PageSpeedAuditor:
+    """Actor-pool map_batches stage: (url) batch → PSI metric rows for both
+    strategies (reference crawler.py:1608-1869 runs mobile+desktop per
+    selected page).
+
+    ``client(url, strategy) -> dict`` is the injection point for a real
+    PSI client — constructed once per actor (API session/key setup belongs
+    in __init__); without one the stage raises at the call point, keeping
+    the no-network boundary explicit.
+    """
+
+    def __init__(self, client=None, strategies: tuple = ("mobile",
+                                                         "desktop")):
+        self.client = client or fetch_pagespeed
+        self.strategies = strategies
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for u in batch.column("url").to_pylist():
+            for strat in self.strategies:
+                m = self.client(u, strat)
+                rows.append({f: m.get(f) for f in PSI_ROW_FIELDS}
+                            | {"url": u, "strategy": strat})
+        if not rows:
+            return PSI_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=PSI_SCHEMA)
+
+
+def pagespeed_report(pages_ds, client=None, max_pages: int = 5,
+                     concurrency: int = 2):
+    """Select audit pages (reference heuristic) and run the PSI stage as a
+    small actor pool — API quotas cap useful concurrency, not CPUs."""
+    urls = [r["url"] for r in
+            pages_ds.select_columns(["url"]).take_all()]
+    chosen = select_pagespeed_pages(urls, max_pages)
+    import ray.data as rd
+    if not chosen:
+        return rd.from_arrow(PSI_SCHEMA.empty_table())
+    ds = rd.from_items([{"url": u} for u in chosen])
+    return ds.map_batches(PageSpeedAuditor, batch_format="pyarrow",
+                          concurrency=min(concurrency, len(chosen)),
+                          batch_size=4,
+                          fn_constructor_kwargs={"client": client})

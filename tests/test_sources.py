@@ -74,3 +74,31 @@ def test_sitemap_seeded_crawl(ray_session, t1_fixture, t1_corpus_dir,
     want = [(c["url"], c["depth"], c["seq"], c["wave"])
             for c in oracle.crawl_order]
     assert got == want
+
+
+def test_pagespeed_stage_with_fake_client(ray_session, t1_crawl):
+    """S8 plumbing: selection heuristic + actor-pool PSI stage with an
+    injected client; strict (no client) raises at the call point."""
+    import pytest
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.sources.pagespeed import (PageSpeedAuditor,
+                                                  pagespeed_report,
+                                                  select_pagespeed_pages)
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"], columns=["url"])
+
+    def fake_client(url, strategy):
+        return {"performance_score": 0.5 if strategy == "mobile" else 0.7,
+                "lcp_ms": float(len(url))}
+
+    out = pagespeed_report(pages, client=fake_client,
+                           max_pages=3).to_pandas()
+    assert len(out) == 6                       # 3 pages x 2 strategies
+    assert set(out["strategy"]) == {"mobile", "desktop"}
+    assert (out["lcp_ms"] == out["url"].str.len()).all()
+    # homepage-first selection
+    assert "https://site.example/" in set(out["url"])
+    assert select_pagespeed_pages([]) == []
+    import pyarrow as pa
+    with pytest.raises(NotImplementedError):
+        PageSpeedAuditor()(pa.table({"url": ["https://x.example/"]}))
