@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash(sf_dir):
         return D.simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
 
+    def q_winnow_neardup(sf_dir):
+        return D.winnow_neardup_pairs(_docs(sf_dir),
+                                      min_shared=12).to_pandas()
+
     def q_top_similar_pairs(sf_dir):
         return S.top_similar_pairs(_emb(sf_dir), k=20).to_pandas()
 
@@ -115,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
+        "winnow_neardup": q_winnow_neardup,
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
@@ -177,6 +182,14 @@ SELECT vec_id,
                                     (SELECT q::DOUBLE[] FROM qv)), 6)
          AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+    from librecrawl_ray.functions.text import winnow_fps_cte
+    winnow_sql = f"""
+WITH fps AS ({winnow_fps_cte('documents', prefix=512)}),
+flat AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM flat a JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 12 ORDER BY 1, 2
 """
     top_similar_pairs_sql = """
 SELECT id_a, id_b, cosine FROM (
@@ -249,6 +262,7 @@ ORDER BY id_a, id_b
         "embedding_neardup": embedding_neardup_sql,
         "top_similar_pairs": top_similar_pairs_sql,
         "minhash_lsh_pairs": minhash_sql,
+        "winnow_neardup": winnow_sql,
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce
         "ivf_topk": knn_sql,

@@ -273,3 +273,73 @@ def embedding_neardup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
         return schema.empty_table()
     pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+
+
+# ------------------------------------------------------ winnowing near-dup
+
+def winnow_neardup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", min_shared: int = 12,
+                         prefix: int | None = 512) -> pa.Table:
+    """Near-duplicate pairs by shared winnowing fingerprints (rolling-hash
+    document sketches): docs sharing ≥ ``min_shared`` window-minima.
+
+    Pipeline: map_batches (per-doc fingerprint set) → flat (doc, fp) rows
+    → bucketed groupby(fp) emitting in-bucket pairs → groupby(pair) count →
+    threshold. The fp groupby is the only data-sized shuffle; hot
+    fingerprints (boilerplate) bound bucket fan-out because winnowing
+    emits distinct minima per doc.
+    """
+    from .text import winnow_fingerprints
+
+    def to_fps(batch: pa.Table) -> pa.Table:
+        out_id, out_f = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for f in winnow_fingerprints(t, prefix=prefix):
+                out_id.append(i)
+                out_f.append(f)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "f": pa.array(out_f, pa.string())})
+
+    import pandas as pd
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, g in df.groupby("f", sort=False):
+            ids = sorted(set(g["id"]))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    rows_a.append(ids[x])
+                    rows_b.append(ids[y])
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
+
+    from ..pipelines.reports import bucketed_groups
+    flat = ds.select_columns([id_col, text_col]) \
+             .map_batches(to_fps, batch_format="pyarrow")
+    pairs = bucketed_groups(flat, "f", per_bucket, buckets=32)
+
+    # pair-count via int-bucketed shuffle — Ray Data's multi-key groupby
+    # aggregate is pathologically slow (~82s for 189k rows measured)
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        bk = ((a * np.int64(2654435761) + b) % 32).astype("int32")
+        return batch.append_column("__bucket", pa.array(bk))
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["id_a", "id_b"], sort=False)
+             .size().reset_index(name="shared"))
+        return g[g["shared"] >= min_shared]
+
+    counted = (pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(lambda df: count_bucket(
+                   df.drop(columns="__bucket")), batch_format="pandas")
+               .to_pandas())
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("shared", pa.int64())])
+    if counted.empty:
+        return schema.empty_table()
+    counted = counted.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(counted, schema=schema,
+                                preserve_index=False)

@@ -141,3 +141,69 @@ CASE
   WHEN {scores['de']} >= {scores['es']} AND {scores['de']} > 0 THEN 'de'
   ELSE 'es'
 END"""
+
+
+# ---------------------------------------------------- winnowing fingerprints
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 16,
+                        prefix: int | None = None) -> list:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram of the whitespace-normalized
+    text, keep the minimum of each sliding window of ``window`` hashes,
+    return the distinct minima sorted.
+
+    Hashes are the first 8 hex chars of md5(k-gram) compared
+    LEXICOGRAPHICALLY — identical semantics in Python and ANSI SQL
+    (min over substr(md5(...),1,8)), which makes the operator fully
+    DuckDB-oracle-able. A production deployment swaps in a true rolling
+    Rabin–Karp hash; the window-minima selection is unchanged.
+    """
+    s = _WS_RE.sub(" ", (text or "").lower()).strip()
+    if prefix is not None:
+        s = s[:prefix]
+    if not s:
+        return []
+    if len(s) < k:
+        return [hashlib.md5(s.encode()).hexdigest()[:8]]
+    hs = [hashlib.md5(s[i:i + k].encode()).hexdigest()[:8]
+          for i in range(len(s) - k + 1)]
+    if len(hs) <= window:
+        return [min(hs)]
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    # fixed-width lowercase hex → uint64 preserves lexicographic order, so
+    # the vectorized integer window-min equals the SQL string list_min
+    ints = np.array([int(h, 16) for h in hs], dtype=np.uint64)
+    minima = sliding_window_view(ints, window).min(axis=1)
+    return [f"{v:08x}" for v in sorted(set(minima.tolist()))]
+
+
+def winnow_fps_cte(table_expr: str, col: str = "text", k: int = 8,
+                   window: int = 16, prefix: int | None = None) -> str:
+    """Staged-CTE SQL twin of ``winnow_fingerprints``: SELECT doc_id, fp.
+
+    MUST be staged (norm → grams → fps) so the k-gram hash list
+    materializes once per doc — inlining it into the window lambda makes
+    DuckDB recompute every md5 per window position (O(n·w) md5 calls
+    become O(n²))."""
+    pre = (f"substr(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), "
+           f"1, {prefix})" if prefix is not None else
+           f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))")
+    return f"""
+WITH __norm AS (
+  SELECT doc_id, {pre} AS s FROM {table_expr}),
+__grams AS (
+  SELECT doc_id, s,
+         CASE WHEN len(s) >= {k}
+              THEN list_transform(generate_series(1, len(s) - {k - 1}),
+                                  i -> substr(md5(substr(s, i, {k})), 1, 8))
+              ELSE [] END AS hs
+  FROM __norm)
+SELECT doc_id,
+  CASE WHEN len(s) = 0 THEN []
+       WHEN len(s) < {k} THEN [substr(md5(s), 1, 8)]
+       ELSE list_sort(list_distinct(list_transform(
+          generate_series(1, greatest(len(hs) - {window - 1}, 1)),
+          i -> list_min(hs[i:i + {window - 1}]))))
+  END AS fp
+FROM __grams"""

@@ -326,3 +326,42 @@ def test_quality_rounding_matches_duckdb():
         "SELECT round(x, 6) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
         [vals]).fetchall()]
     assert eng == sql
+
+
+def test_winnow_fingerprints_and_pairs(ray_session):
+    """Winnowing: near-identical docs share most fingerprints; unrelated
+    docs share few; python/SQL parity on edge cases."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import winnow_neardup_pairs
+    from librecrawl_ray.functions.text import (winnow_fingerprints,
+                                               winnow_fps_cte)
+    base = ("the quick brown fox jumps over the lazy dog and then some "
+            "more filler text to give the fingerprints room to breathe "
+            "across several windows of rolling hashes in this document")
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different material about astrophysics and "
+             "spectral lines measured across distant galaxies with "
+             "redshift estimates and luminosity functions for surveys")
+    fp_a, fp_b = set(winnow_fingerprints(base)), \
+        set(winnow_fingerprints(near))
+    assert len(fp_a & fp_b) / len(fp_a | fp_b) > 0.5
+    assert not (fp_a & set(winnow_fingerprints(other)))
+    # whitespace-normalization invariance
+    assert winnow_fingerprints("  the   QUICK\n brown ") == \
+        winnow_fingerprints("the quick brown")
+    # end-to-end pair op
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": near},
+         {"doc_id": 2, "text": other}]))
+    pairs = winnow_neardup_pairs(ds, min_shared=4, prefix=None).to_pylist()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    # python == SQL on the same three docs
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate((base, near, other)):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    sql_fps = dict(con.sql(winnow_fps_cte("documents")).fetchall())
+    for i, t in enumerate((base, near, other)):
+        assert sql_fps[i] == winnow_fingerprints(t), i
