@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash(sf_dir):
         return D.simhash_pairs(_docs(sf_dir), max_hamming=3).to_pandas()
 
+    def q_token_stats(sf_dir):
+        out = _docs(sf_dir).map_batches(
+            T.token_stats_batch, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_winnow_neardup(sf_dir):
         return D.winnow_neardup_pairs(_docs(sf_dir),
                                       min_shared=12).to_pandas()
@@ -114,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
+        "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_neardup": q_embedding_neardup,
@@ -169,6 +175,13 @@ WITH ann AS (
   FROM documents)
 SELECT lang_pred, count(*) AS n_docs, sum(tokens)::BIGINT AS total_tokens
 FROM ann GROUP BY lang_pred ORDER BY lang_pred
+"""
+    token_stats_sql = f"""
+SELECT doc_id,
+       {T.WS_TOKEN_SQL.format(col='text')} AS ws_tokens,
+       {T.TOKEN_COUNT_SQL.format(col='text')} AS word_tokens,
+       {T.BPE_TOKEN_SQL.format(col='text')} AS bpe_tokens
+FROM documents ORDER BY doc_id
 """
     exact_dedup_sql = f"""
 SELECT {T.FINGERPRINT_SQL.format(col='text')} AS fingerprint,
@@ -258,6 +271,7 @@ ORDER BY id_a, id_b
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,
+        "token_stats": token_stats_sql,
         "knn_bruteforce": knn_sql,
         "embedding_neardup": embedding_neardup_sql,
         "top_similar_pairs": top_similar_pairs_sql,

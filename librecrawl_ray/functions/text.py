@@ -143,6 +143,41 @@ CASE
 END"""
 
 
+# BPE-ish subword splitter: letter runs / digit runs / punctuation runs,
+# each optionally preceded by one space (the GPT-2 pattern family, reduced
+# to RE2-safe syntax so DuckDB's regexp_extract_all matches re.findall
+# exactly — no lookaheads, no unicode property classes)
+_BPE_RE = re.compile(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+")
+BPE_TOKEN_SQL = ("len(regexp_extract_all(lower({col}), "
+                 "' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))")
+WS_TOKEN_SQL = "len(regexp_extract_all({col}, '\S+'))"
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish token count (subword-run splitter over lowercased text)."""
+    return len(_BPE_RE.findall((text or "").lower()))
+
+
+def ws_token_count(text: str) -> int:
+    """Plain whitespace token count."""
+    return len(_WS_TOKEN_RE.findall(text or ""))
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches body: doc_id + the three token-count columns."""
+    texts = batch.column(text_col).to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "ws_tokens": pa.array([ws_token_count(t) for t in texts],
+                              pa.int64()),
+        "word_tokens": pa.array([token_count(t) for t in texts],
+                                pa.int64()),
+        "bpe_tokens": pa.array([bpe_token_count(t) for t in texts],
+                               pa.int64()),
+    })
+
+
 # ---------------------------------------------------- winnowing fingerprints
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 16,
