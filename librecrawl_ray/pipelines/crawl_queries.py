@@ -354,7 +354,7 @@ ORDER BY issue
 """
 
 
-def crawl_neardup(sf_dir: str, sample: int = 2000) -> pd.DataFrame:
+def crawl_neardup(sf_dir: str, sample: int = 1200) -> pd.DataFrame:
     """D3 near-duplicate pairs over the parsed corpus (blocked mode) —
     rows-only driver check; blocked==exact equality covered in pytest.
     Deterministic sample (lexicographically first ``sample`` doc_ids) keeps

@@ -59,6 +59,10 @@ def pair_score(d1: dict, d2: dict, threshold: float) -> float | None:
             m = SequenceMatcher(None, d1[field], d2[field])
             if m.real_quick_ratio() * w + (max_potential - w) < threshold:
                 return None
+            # quick_ratio (char-multiset bound, no LCS) is also an upper
+            # bound on ratio — exactness-preserving prune
+            if m.quick_ratio() * w + (max_potential - w) < threshold:
+                return None
             sim = m.ratio()
         else:
             sim = 0
