@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": R.events_daily,
         "events_sessionize": R.events_sessionize,
         "events_asof_prev": R.events_asof_prev,
+        "events_rolling_7d": R.events_rolling_7d,
         "top_users_by_value": R.top_users_by_value,
         "lineitem_top100": R.lineitem_top100,
         "distinct_segments": R.distinct_segments,
@@ -263,6 +264,7 @@ ORDER BY id_a, id_b
         "events_daily": R.EVENTS_DAILY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "events_asof_prev": R.EVENTS_ASOF_SQL,
+        "events_rolling_7d": R.EVENTS_ROLLING_SQL,
         "top_users_by_value": R.TOP_USERS_SQL,
         "lineitem_top100": R.LINEITEM_TOP100_SQL,
         "distinct_segments": R.DISTINCT_SEGMENTS_SQL,

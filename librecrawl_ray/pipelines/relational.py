@@ -389,3 +389,65 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
+
+
+def events_rolling_7d(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing 7-day window aggregate per user (the streaming
+    windowed-aggregate operator class): rolling sum of value + event count
+    over [ts − 7d, ts].
+
+    RANGE-frame semantics (all peers with equal ts included, exactly like
+    the SQL window) via searchsorted bounds over per-user sorted int64-ns
+    timestamps and integer ten-thousandths prefix sums — order-independent
+    and bit-identical to DuckDB at any scale. Users are processed through
+    a hash-bucketed shuffle (the per-key map_groups shape collapses at
+    web-scale user cardinality).
+    """
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    week_ns = 7 * 24 * 3600 * 10**9
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        tns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        v4 = np.round(df["value"].to_numpy() * 10000).astype("int64")
+        prefix = np.concatenate(([0], np.cumsum(v4)))
+        hi = np.searchsorted(tns, tns, side="right")
+        lo = np.searchsorted(tns, tns - week_ns, side="left")
+        df["rolling_value_7d"] = (prefix[hi] - prefix[lo]) / 10000.0
+        df["rolling_events_7d"] = (hi - lo).astype("int64")
+        return df[["event_id", "user_id", "ts", "rolling_value_7d",
+                   "rolling_events_7d"]]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_user(g) for _, g in df.groupby("user_id", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    from .reports import bucketed_groups
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        import numpy as _np
+        bk = ((u * _np.int64(2654435761)) % 16).astype("int32")
+        return batch.append_column("__bucket", pa.array(bk))
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda df: per_bucket(df.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       (sum(round(value * 10000)::BIGINT) OVER w)::BIGINT / 10000.0
+         AS rolling_value_7d,
+       count(*) OVER w AS rolling_events_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
