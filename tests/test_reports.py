@@ -227,3 +227,32 @@ def test_crawl_status_and_list(t1_crawl):
     assert any(e["out_dir"] == summary["out_dir"] for e in lst)
     assert all(e["config_snapshot"] is None for e in lst)
     assert list_crawls(root, status_filter="nope") == []
+
+
+def test_is_excluded_equals_naive_fnmatch(t1_fixture):
+    """Compiled alternation == per-pattern fnmatch loop (reference-exact
+    semantics) over corpus URLs + handpicked pattern-shape probes."""
+    import fnmatch
+    from urllib.parse import urlsplit
+    from librecrawl_ray.stages.issues import (DEFAULT_ISSUE_EXCLUSIONS,
+                                              is_excluded)
+
+    def naive(url):
+        path = urlsplit(url).path
+        for pat in DEFAULT_ISSUE_EXCLUSIONS:
+            if "*" in pat:
+                if fnmatch.fnmatch(path, pat):
+                    return True
+            elif path == pat or path.startswith(pat.rstrip("*")):
+                return True
+        return False
+
+    probes = ["https://x.example/wp-admin/x", "https://x.example/login",
+              "https://x.example/logins", "https://x.example/a/search/b",
+              "https://x.example/search", "https://x.example/.env",
+              "https://x.example/.env.local", "https://x.example/amp",
+              "https://x.example/style.min.css", "https://x.example/a.json",
+              "https://x.example/ok/page", "https://x.example/"]
+    urls = t1_fixture["documents"].column("doc_id").to_pylist() + probes
+    for u in urls:
+        assert is_excluded(u) == naive(u), u
