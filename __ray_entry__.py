@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
         "crawl_jsdiff": C.crawl_jsdiff,
+        "crawl_analytics": C.crawl_analytics,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_issue_counts": C.crawl_issue_counts,
@@ -295,6 +296,7 @@ ORDER BY id_a, id_b
         out["crawl_edges"] = C.crawl_edges_sql(path)
         out["crawl_inlinks"] = C.crawl_inlinks_sql(path)
         out["crawl_jsdiff"] = C.crawl_jsdiff_sql(path)
+        out["crawl_analytics"] = C.crawl_analytics_sql(path)
         out["crawl_status_counts"] = C.crawl_status_counts_sql(path)
         out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)

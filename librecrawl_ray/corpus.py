@@ -338,6 +338,15 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
             d.link(_page_url((i + 1) % n), "internal nofollow", nofollow=True)
         d.link("/about", "About", placement="footer")
         d.response_time_ms = 40.0 + (i * 17) % 240
+        # M15 analytics-battery fixtures (case variety is deliberate)
+        if i % 41 == 9:
+            d.add("text", "window.fbq('init','123'); via Facebook.com/tr px")
+        if i % 43 == 11:
+            d.add("text", "loaded static.hotjar.com/h.js then hj('event')")
+        if i % 47 == 13:
+            d.add("text", "cdn.mxpnl.example Mixpanel.track('signup') done")
+        if i % 53 == 17:
+            d.add("text", "var q = GoogleAnalyticsObject; gtag('config')")
         # S4 JS-diff fixtures: changed+grown (requires_js), changed but
         # under the 10% growth bar, and rendered-identical
         if i % 23 == 7:
@@ -698,7 +707,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 9
+FIXTURE_VERSION = 10
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

@@ -165,6 +165,51 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def crawl_analytics(sf_dir: str) -> pd.DataFrame:
+    """M15 analytics battery per doc: GA4/GTM ids + detector flags
+    (seo_extractor.py:151-190)."""
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+    cols = ["doc_id", "analytics_ga4_id", "analytics_gtm_id",
+            "analytics_google", "analytics_facebook_pixel",
+            "analytics_hotjar", "analytics_mixpanel"]
+    out = (ds.map_batches(
+               lambda b: parse_documents_batch(b, BASE_DOMAIN),
+               batch_format="pyarrow")
+           .select_columns(cols).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def crawl_analytics_sql(path: str) -> str:
+    def flag(pat: str) -> str:
+        return (f"len(list_filter(spans, s -> s.kind = 'text' AND "
+                f"regexp_matches(s.text, '{pat}', 'i'))) > 0")
+
+    def first(pat: str) -> str:
+        return (f"coalesce(list_filter(list_transform("
+                f"list_filter(spans, s -> s.kind = 'text'), "
+                f"s -> regexp_extract(s.text, '{pat}')), "
+                f"x -> x <> '')[1], '')")
+
+    ga4 = first("\\bG-[A-Z0-9]{10}\\b")
+    gtm = first("\\bGTM-[A-Z0-9]+\\b")
+    ga_any = flag("gtag\\(|ga\\(|GoogleAnalyticsObject|"
+                  "google-analytics\\.com|googletagmanager\\.com")
+    fbq = flag("fbq\\(|facebook\\.com/tr")
+    hotjar = flag("hotjar\\.com|hj\\(")
+    mixpanel = flag("mixpanel\\.com|mixpanel\\.track")
+    return f"""
+SELECT doc_id,
+       {ga4} AS analytics_ga4_id,
+       {gtm} AS analytics_gtm_id,
+       ({ga_any} OR {ga4} <> '') AS analytics_google,
+       {fbq} AS analytics_facebook_pixel,
+       {hotjar} AS analytics_hotjar,
+       {mixpanel} AS analytics_mixpanel
+FROM read_parquet('{path}')
+ORDER BY doc_id
+"""
+
+
 def crawl_jsdiff(sf_dir: str) -> pd.DataFrame:
     """S4 JS-diff detector over the corpus variant columns: requires_js per
     doc (reference crawler.py:1142-1188 raw-vs-rendered hash + >10% growth

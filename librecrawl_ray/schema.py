@@ -129,6 +129,10 @@ PAGES_SCHEMA = pa.schema(
         ("has_redirect_loop", pa.bool_()),
         ("analytics_ga4_id", pa.string()),
         ("analytics_gtm_id", pa.string()),
+        ("analytics_google", pa.bool_()),
+        ("analytics_facebook_pixel", pa.bool_()),
+        ("analytics_hotjar", pa.bool_()),
+        ("analytics_mixpanel", pa.bool_()),
         ("requires_js", pa.bool_()),
         ("spans", SPANS_TYPE),
     ]

@@ -27,6 +27,13 @@ from .issues import analyze_structured_data
 _WORD_RE = re.compile(r"\w+")
 _GA4_RE = re.compile(r"\bG-[A-Z0-9]{10}\b")
 _GTM_RE = re.compile(r"\bGTM-[A-Z0-9]+\b")
+# M15 analytics battery (seo_extractor.py:151-190), case-insensitive
+_GA_ANY_RE = re.compile(r"gtag\(|ga\(|GoogleAnalyticsObject|"
+                        r"google-analytics\.com|googletagmanager\.com",
+                        re.IGNORECASE)
+_FBQ_RE = re.compile(r"fbq\(|facebook\.com/tr", re.IGNORECASE)
+_HOTJAR_RE = re.compile(r"hotjar\.com|hj\(", re.IGNORECASE)
+_MIXPANEL_RE = re.compile(r"mixpanel\.com|mixpanel\.track", re.IGNORECASE)
 _HEADING_KINDS = {f"h{i}": i for i in range(1, 7)}
 
 # meta names promoted to dedicated columns (seo_extractor.py:95-113)
@@ -75,6 +82,7 @@ def parse_doc(url: str, spans: list[dict],
     external_links = 0
     ga4 = ""
     gtm = ""
+    ga_any = fbq = hotjar = mixpanel = False
     if base_domain is None:
         base_domain = url_host(url)
     base_core = strip_www(base_domain.lower())
@@ -116,6 +124,14 @@ def parse_doc(url: str, spans: list[dict],
                 m = _GTM_RE.search(text)
                 if m:
                     gtm = m.group(0)
+            if not ga_any and _GA_ANY_RE.search(text):
+                ga_any = True
+            if not fbq and _FBQ_RE.search(text):
+                fbq = True
+            if not hotjar and _HOTJAR_RE.search(text):
+                hotjar = True
+            if not mixpanel and _MIXPANEL_RE.search(text):
+                mixpanel = True
         elif kind.startswith("link"):
             # non-http(s) schemes are not links in the reference's
             # link_manager — they count neither side
@@ -201,6 +217,11 @@ def parse_doc(url: str, spans: list[dict],
         "schema_faq_count": sd["faq_questions"],
         "analytics_ga4_id": ga4,
         "analytics_gtm_id": gtm,
+        # reference sets gtag=True whenever a GA4 id is present
+        "analytics_google": ga_any or bool(ga4),
+        "analytics_facebook_pixel": fbq,
+        "analytics_hotjar": hotjar,
+        "analytics_mixpanel": mixpanel,
     }
 
 
@@ -234,6 +255,9 @@ _PARSE_FIELDS = [
     ("schema_has_breadcrumbs", pa.bool_()),
     ("schema_faq_count", pa.int64()),
     ("analytics_ga4_id", pa.string()), ("analytics_gtm_id", pa.string()),
+    ("analytics_google", pa.bool_()),
+    ("analytics_facebook_pixel", pa.bool_()),
+    ("analytics_hotjar", pa.bool_()), ("analytics_mixpanel", pa.bool_()),
 ]
 PARSE_SCHEMA = pa.schema(_PARSE_FIELDS)
 
