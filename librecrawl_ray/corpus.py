@@ -338,6 +338,13 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
             d.link(_page_url((i + 1) % n), "internal nofollow", nofollow=True)
         d.link("/about", "About", placement="footer")
         d.response_time_ms = 40.0 + (i * 17) % 240
+        # M19 microdata fixtures: Product microdata; i%59==23 pages have
+        # microdata but NO json_ld (No-Structured-Data must not fire)
+        if i % 59 == 23:
+            d.add("microdata", json.dumps({
+                "type": "https://schema.org/Product",
+                "properties": {"name": f"Widget {b26(i)}",
+                               "sku": f"SKU-{i}"}}))
         # M15 analytics-battery fixtures (case variety is deliberate)
         if i % 41 == 9:
             d.add("text", "window.fbq('init','123'); via Facebook.com/tr px")
@@ -707,7 +714,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 10
+FIXTURE_VERSION = 11
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

@@ -115,6 +115,7 @@ PAGES_SCHEMA = pa.schema(
         ("internal_links", pa.int64()),
         ("external_links", pa.int64()),
         ("json_ld", pa.list_(pa.string())),
+        ("schema_org", pa.list_(pa.string())),
         ("schema_types", pa.list_(pa.string())),
         ("ai_ready_schemas", pa.list_(AI_READY_STRUCT)),
         ("schema_has_organization", pa.bool_()),

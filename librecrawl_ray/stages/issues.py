@@ -164,11 +164,13 @@ def _count_faq_questions(obj, depth=0) -> int:
     return n
 
 
-def analyze_structured_data(json_ld_blobs) -> dict:
+def analyze_structured_data(json_ld_blobs, microdata_blobs=None) -> dict:
     """I12 schema analysis (issue_detector.py:675-847): detected @types in
     first-appearance order (deterministic, unlike the reference's
     list(set)), FAQ Question count, Organization/WebSite/Breadcrumb
-    presence, AI-ready catalog hits, Article completeness."""
+    presence, AI-ready catalog hits, Article completeness. Microdata blobs
+    (M19, JSON-encoded {type, properties}) contribute their type tail —
+    reference splits the schema.org URL on '/' (:779-786)."""
     types: list[str] = []
     seen: set[str] = set()
     faq_questions = 0
@@ -189,6 +191,17 @@ def analyze_structured_data(json_ld_blobs) -> dict:
                 "Article", "NewsArticle", "BlogPosting") \
                 and obj.get("headline") and obj.get("datePublished"):
             article_complete = True
+    for blob in microdata_blobs or []:
+        try:
+            obj = json.loads(blob)
+        except (ValueError, TypeError):
+            continue
+        t = obj.get("type", "") if isinstance(obj, dict) else ""
+        if t:
+            t = t.split("/")[-1]
+            if t not in seen:
+                seen.add(t)
+                types.append(t)
     return {
         "types": types,
         "faq_questions": faq_questions,
@@ -435,8 +448,9 @@ def page_issues(row: dict, base_domain: str | None = None) -> list[dict]:
 
     # I12 — structured data (issue_detector.py:675-847)
     json_ld = row.get("json_ld") or []
-    sd = analyze_structured_data(json_ld)
-    if not json_ld:
+    schema_org = row.get("schema_org") or []
+    sd = analyze_structured_data(json_ld, schema_org)
+    if not json_ld and not schema_org:
         issues.append(_iss(url, "warning", "Structured Data",
                            "No Structured Data",
                            "Page has no JSON-LD or Schema.org markup"))

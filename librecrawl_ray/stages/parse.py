@@ -78,6 +78,7 @@ def parse_doc(url: str, spans: list[dict],
     hreflang: list[dict] = []
     images: list[dict] = []
     json_ld: list[str] = []
+    schema_org: list[str] = []
     internal_links = 0
     external_links = 0
     ga4 = ""
@@ -179,6 +180,14 @@ def parse_doc(url: str, spans: list[dict],
                 json_ld.append(text)
             except (ValueError, TypeError):
                 pass  # reference skips invalid JSON-LD (seo_extractor.py:146-148)
+        elif kind == "microdata":
+            # M19 Schema.org microdata (seo_extractor.py:264-301): JSON
+            # {type, properties} per itemscope element
+            try:
+                json.loads(text)
+                schema_org.append(text)
+            except (ValueError, TypeError):
+                pass
 
     return {
         "title": title or "",
@@ -206,9 +215,11 @@ def parse_doc(url: str, spans: list[dict],
         "internal_links": internal_links,
         "external_links": external_links,
         "json_ld": json_ld,
+        "schema_org": schema_org,
         # I12 write-back columns (reference issue_detector.py:788-799 stores
         # schema_types / ai_ready_schemas on the result row for exports)
-        "schema_types": (sd := analyze_structured_data(json_ld))["types"],
+        "schema_types": (sd := analyze_structured_data(json_ld,
+                                                       schema_org))["types"],
         "ai_ready_schemas": sd["ai_ready"],
         # flattened schema_analysis (issue_detector.py:717-724 dict)
         "schema_has_organization": sd["has_organization"],
@@ -246,6 +257,7 @@ _PARSE_FIELDS = [
                          ("width", pa.string()), ("height", pa.string())]))),
     ("internal_links", pa.int64()), ("external_links", pa.int64()),
     ("json_ld", pa.list_(pa.string())),
+    ("schema_org", pa.list_(pa.string())),
     ("schema_types", pa.list_(pa.string())),
     ("ai_ready_schemas",
      pa.list_(pa.struct([("name", pa.string()),

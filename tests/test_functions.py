@@ -365,3 +365,18 @@ def test_winnow_fingerprints_and_pairs(ray_session):
     sql_fps = dict(con.sql(winnow_fps_cte("documents")).fetchall())
     for i, t in enumerate((base, near, other)):
         assert sql_fps[i] == winnow_fingerprints(t), i
+
+
+def test_microdata_schema_org(t1_oracle):
+    """M19: microdata-only pages carry schema_org blobs, their type tails
+    merge into schema_types, and No-Structured-Data does not fire."""
+    from librecrawl_ray.stages.issues import page_issues
+    md_pages = [p for p in t1_oracle.pages if p.get("schema_org")]
+    assert md_pages, "fixture has microdata pages"
+    only_md = [p for p in md_pages if not p["json_ld"]]
+    assert only_md
+    for p in only_md:
+        assert "Product" in p["schema_types"]
+        assert any(a["name"] == "Product" for a in p["ai_ready_schemas"])
+        issues = page_issues(p, "site.example")
+        assert not any(i["issue"] == "No Structured Data" for i in issues)
