@@ -27,13 +27,15 @@ from .issues import analyze_structured_data
 _WORD_RE = re.compile(r"\w+")
 _GA4_RE = re.compile(r"\bG-[A-Z0-9]{10}\b")
 _GTM_RE = re.compile(r"\bGTM-[A-Z0-9]+\b")
-# M15 analytics battery (seo_extractor.py:151-190), case-insensitive
-_GA_ANY_RE = re.compile(r"gtag\(|ga\(|GoogleAnalyticsObject|"
-                        r"google-analytics\.com|googletagmanager\.com",
-                        re.IGNORECASE)
-_FBQ_RE = re.compile(r"fbq\(|facebook\.com/tr", re.IGNORECASE)
-_HOTJAR_RE = re.compile(r"hotjar\.com|hj\(", re.IGNORECASE)
-_MIXPANEL_RE = re.compile(r"mixpanel\.com|mixpanel\.track", re.IGNORECASE)
+# M15 analytics battery (seo_extractor.py:151-190). Every reference
+# pattern is a pure literal, so case-insensitive matching reduces to
+# substring checks over the lowercased span — 4 IGNORECASE regex scans
+# per text span cost 2.5x the whole parse (379µs vs 150µs per doc).
+_GA_ANY_LITS = ("gtag(", "ga(", "googleanalyticsobject",
+                "google-analytics.com", "googletagmanager.com")
+_FBQ_LITS = ("fbq(", "facebook.com/tr")
+_HOTJAR_LITS = ("hotjar.com", "hj(")
+_MIXPANEL_LITS = ("mixpanel.com", "mixpanel.track")
 _HEADING_KINDS = {f"h{i}": i for i in range(1, 7)}
 
 # meta names promoted to dedicated columns (seo_extractor.py:95-113)
@@ -125,14 +127,16 @@ def parse_doc(url: str, spans: list[dict],
                 m = _GTM_RE.search(text)
                 if m:
                     gtm = m.group(0)
-            if not ga_any and _GA_ANY_RE.search(text):
-                ga_any = True
-            if not fbq and _FBQ_RE.search(text):
-                fbq = True
-            if not hotjar and _HOTJAR_RE.search(text):
-                hotjar = True
-            if not mixpanel and _MIXPANEL_RE.search(text):
-                mixpanel = True
+            if not (ga_any and fbq and hotjar and mixpanel):
+                tl = text.lower()
+                if not ga_any and any(m in tl for m in _GA_ANY_LITS):
+                    ga_any = True
+                if not fbq and any(m in tl for m in _FBQ_LITS):
+                    fbq = True
+                if not hotjar and any(m in tl for m in _HOTJAR_LITS):
+                    hotjar = True
+                if not mixpanel and any(m in tl for m in _MIXPANEL_LITS):
+                    mixpanel = True
         elif kind.startswith("link"):
             # non-http(s) schemes are not links in the reference's
             # link_manager — they count neither side
