@@ -161,3 +161,20 @@ def test_gate_table_equals_gate(t1_cfg):
     got_def = d_tbl.column("url").to_pylist() if d_tbl is not None else []
     assert want_def == got_def
     assert a.deferred_total == b.deferred_total
+
+
+def test_resume_after_complete_is_stable(ray_session, t1_corpus_dir, t1_cfg,
+                                         tmp_path_factory):
+    """Resuming a COMPLETED crawl (terminal lineage marker present) is a
+    no-op: no extra waves, identical fetched_total, marker still there."""
+    import os
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    out = str(tmp_path_factory.mktemp("resume_done"))
+    eng = WaveCrawler(t1_corpus_dir, out, t1_cfg, fetch_concurrency=2)
+    s1 = eng.run(["https://site.example/"])
+    assert os.path.exists(os.path.join(out, "lineage", "wave-final.json"))
+    eng2 = WaveCrawler(t1_corpus_dir, out, t1_cfg, fetch_concurrency=2)
+    s2 = eng2.run(resume=True)
+    assert s2["fetched_total"] == s1["fetched_total"]
+    assert s2["num_waves"] == 0
+    assert os.path.exists(os.path.join(out, "lineage", "wave-final.json"))

@@ -380,3 +380,30 @@ def test_microdata_schema_org(t1_oracle):
         assert any(a["name"] == "Product" for a in p["ai_ready_schemas"])
         issues = page_issues(p, "site.example")
         assert not any(i["issue"] == "No Structured Data" for i in issues)
+
+
+def test_winnow_numpy_equals_naive():
+    """Vectorized uint64 window-min == naive per-window string min across
+    generated shapes (guards the hex↔int order-preservation trick)."""
+    import hashlib
+    from librecrawl_ray.functions.text import _WS_RE, winnow_fingerprints
+
+    def naive(text, k=8, window=16):
+        s = _WS_RE.sub(" ", (text or "").lower()).strip()
+        if not s:
+            return []
+        if len(s) < k:
+            return [hashlib.md5(s.encode()).hexdigest()[:8]]
+        hs = [hashlib.md5(s[i:i + k].encode()).hexdigest()[:8]
+              for i in range(len(s) - k + 1)]
+        if len(hs) <= window:
+            return [min(hs)]
+        return sorted({min(hs[i:i + window])
+                       for i in range(len(hs) - window + 1)})
+
+    import random
+    rng = random.Random(17)
+    alphabet = "abcdefg hij"
+    for n in (0, 3, 7, 8, 9, 23, 24, 25, 40, 200, 1000):
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        assert winnow_fingerprints(t) == naive(t), n
