@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_knn_bruteforce(sf_dir):
         ds = _emb(sf_dir)
         q = np.asarray(
-            ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+            ds.filter(expr="vec_id == 0").take(1)[0]["embedding"],
             dtype=np.float64)
         return S.topk_bruteforce(ds, q, k=10).to_pandas()
 
@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ivf_topk(sf_dir):
         ds = _emb(sf_dir)
         q = np.asarray(
-            ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+            ds.filter(expr="vec_id == 0").take(1)[0]["embedding"],
             dtype=np.float64)
         return S.ivf_topk(ds, q, k=10, num_centroids=8, nprobe=8).to_pandas()
 
@@ -153,13 +153,21 @@ def oracle_sql() -> dict[str, str]:
     # the corpus the crawl oracles read must exist before DuckDB runs;
     # generation is idempotent and seeded (same bytes every call)
     cp = {}
+    sim = {}
+    from librecrawl_ray.functions.dedup import write_simhashes
     for sf in ("sf0.001", "sf0.01"):
         d = f"/root/testdata/{sf}"
         if os.path.isdir(d):
             C.ensure_corpus(d)
             cp[sf] = C.corpus_parquet(d)
+            # simhash side-table for the simhash_pairs oracle (pair
+            # validity + pigeonhole completeness checked in SQL)
+            sim[sf] = write_simhashes(
+                os.path.join(d, "documents.parquet"),
+                f"/tmp/graft_corpus/simhash/{sf}.parquet")
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
+    sim_path = sim.get("sf0.01") or next(iter(sim.values()), "")
 
     text_annotations_sql = f"""
 SELECT doc_id,
@@ -286,11 +294,16 @@ ORDER BY id_a, id_b
         "top_keywords": __import__(
             "librecrawl_ray.functions.keywords",
             fromlist=["top_keywords_sql"]).top_keywords_sql(20),
-        # simhash_pairs / crawl_neardup / crawl_full / crawl_pagerank:
-        # non-SQL-expressible (bitwise simhash, staged scoring, stateful
-        # BFS, iterative PR) → rows-only; pytest pins them to independent
-        # python references
+        # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
+        # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
+        # pins them to independent python references
     }
+    if sim_path:
+        # pair validity AND pigeonhole completeness verified in SQL over
+        # the persisted sketches; the simhash computation itself is pinned
+        # by pytest brute-force tests
+        from librecrawl_ray.functions.dedup import simhash_pairs_sql
+        out["simhash_pairs"] = simhash_pairs_sql(sim_path, max_hamming=3)
     if path:
         out["crawl_parse"] = C.crawl_parse_sql(path)
         out["crawl_edges"] = C.crawl_edges_sql(path)

@@ -27,11 +27,17 @@ import sys
 import time
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
 def run_bench() -> None:
     import ray
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -51,9 +57,9 @@ def run_bench() -> None:
         cfg = CrawlConfig.from_fixture(json.load(f), C.BASE_DOMAIN)
 
     out_dir = f"/tmp/graft_bench/{tier}-cpus{num_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     queries: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     C._docs(sf_dir, ["doc_id"]).count()
@@ -63,23 +69,41 @@ def run_bench() -> None:
             while fh.read(1 << 22):
                 pass
 
-    # ---- headline: full crawl (fetch+parse+dedup+frontier, checkpointed)
-    # workers = 3/4 of cpus: the driver admission/checkpoint path and the
-    # object store need headroom; at full cpus-2 subscription wave-3 busy
-    # totals inflate ~25% from contention (measured: 312s vs 268s).
-    # Standing worker pool: actors created + pinged before the timed
-    # window (a production deployment keeps the pool across crawls; Ray
-    # process spawn is environment cost, not crawl work).
-    eng = WaveCrawler(cdir, out_dir, cfg,
-                      fetch_concurrency=max(2, num_cpus
-                                            - max(2, num_cpus // 4)),
-                      fetch_batch_size=768,
-                      small_wave_threshold=0)
-    eng.warm_pool()
-    t0 = time.perf_counter()
-    summary = eng.run(["https://site.example/"])
-    crawl_sec = time.perf_counter() - t0
+    def crawl_once() -> tuple[float, dict]:
+        # workers = 3/4 of cpus: the driver admission/checkpoint path and
+        # the object store need headroom; at full cpus-2 subscription
+        # wave-3 busy totals inflate ~25% from contention (312s vs 268s).
+        # Standing worker pool: actors created + pinged before the timed
+        # window (a production deployment keeps the pool across crawls;
+        # Ray process spawn is environment cost, not crawl work). NOTE
+        # (ADVICE r2): warm_pool also starts async partition prefetch, so
+        # part of the first corpus-partition IO overlaps the pre-t0 window
+        # — recorded in BASELINE.md; identical across rounds ≥ r01 so
+        # round-over-round numbers stay comparable.
+        shutil.rmtree(out_dir, ignore_errors=True)
+        eng = WaveCrawler(cdir, out_dir, cfg,
+                          fetch_concurrency=max(2, num_cpus
+                                                - max(2, num_cpus // 4)),
+                          fetch_batch_size=768,
+                          small_wave_threshold=0)
+        eng.warm_pool()
+        t0 = time.perf_counter()
+        summary = eng.run(["https://site.example/"])
+        return time.perf_counter() - t0, summary
+
+    crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
+    # crawl-only mode (the --scaling protocol) keeps ONE timed crawl per
+    # process — run_scaling owns its own interleaved repeat/min logic
+    n_crawls = 1 if crawl_only else repeats
+    crawl_ts, summaries = [], []
+    for _ in range(n_crawls):
+        dt, s = crawl_once()
+        crawl_ts.append(dt)
+        summaries.append(s)
+    crawl_sec = _median(crawl_ts)
+    summary = summaries[crawl_ts.index(crawl_sec)]
     queries["crawl_full"] = round(crawl_sec, 3)
+    runs["crawl_full"] = [round(t, 3) for t in crawl_ts]
     fetched = summary["fetched_total"]
     admitted = sum(w["admitted"] for w in summary["waves"])
     candidates = sum(w["candidates"] for w in summary["waves"])
@@ -90,7 +114,6 @@ def run_bench() -> None:
     big = max(summary["waves"], key=lambda w: w["fetched"])
     sustained = round(big["fetched"] / big["elapsed_s"], 1)
 
-    crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
     if crawl_only:
         result = {
             "metric": "crawl_wall_seconds", "value": round(crawl_sec, 3),
@@ -110,48 +133,56 @@ def run_bench() -> None:
         print(json.dumps(result))
         return
 
-    # ---- report pipelines over the crawl output
-    t0 = time.perf_counter()
-    pages = reports.load_pages(out_dir)
-    links = reports.load_links(out_dir)
-    reports.inlink_counts(links).to_pandas()
-    queries["inlink_counts"] = round(time.perf_counter() - t0, 3)
+    # ---- report / relational / parse queries: warm median-of-N each
+    # (VERDICT r2 #1 — a single cold-ish run let one noisy hypervisor
+    # window become the round's official number)
+    def timed(name: str, fn) -> None:
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        queries[name] = round(_median(ts), 3)
+        runs[name] = [round(t, 3) for t in ts]
 
-    t0 = time.perf_counter()
+    timed("inlink_counts",
+          lambda: reports.inlink_counts(
+              reports.load_links(out_dir)).to_pandas())
+
     from librecrawl_ray.stages.issues import (ISSUE_INPUT_COLUMNS,
-                                               make_issue_detector)
-    pages_proj = reports.load_pages(out_dir, columns=ISSUE_INPUT_COLUMNS)
-    n_issues = pages_proj.map_batches(make_issue_detector(base_domain="site.example"),
-                                 batch_format="pyarrow").count()
-    queries["issue_detection"] = round(time.perf_counter() - t0, 3)
+                                              make_issue_detector)
+    n_issues = 0
 
-    t0 = time.perf_counter()
-    reports.links_with_status(pages, links).count()
-    queries["links_status_join"] = round(time.perf_counter() - t0, 3)
+    def run_issues():
+        nonlocal n_issues
+        n_issues = reports.load_pages(out_dir,
+                                      columns=ISSUE_INPUT_COLUMNS) \
+            .map_batches(make_issue_detector(base_domain="site.example"),
+                         batch_format="pyarrow").count()
+    timed("issue_detection", run_issues)
 
-    # ---- parse-only streaming pipeline over the corpus
-    t0 = time.perf_counter()
-    C.crawl_parse(sf_dir)
-    queries["crawl_parse"] = round(time.perf_counter() - t0, 3)
+    timed("links_status_join",
+          lambda: reports.links_with_status(
+              reports.load_pages(out_dir),
+              reports.load_links(out_dir)).count())
 
-    # ---- relational + training-data ops over testdata
-    t0 = time.perf_counter()
-    R.pricing_summary(sf_dir)
-    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+    timed("crawl_parse", lambda: C.crawl_parse(sf_dir))
+    timed("pricing_summary", lambda: R.pricing_summary(sf_dir))
 
-    t0 = time.perf_counter()
     from librecrawl_ray.functions.text import annotate_batch
     import ray.data as rd
-    rd.read_parquet(os.path.join(sf_dir, "documents.parquet")) \
-        .map_batches(annotate_batch, batch_format="pyarrow").count()
-    queries["text_annotations"] = round(time.perf_counter() - t0, 3)
+    timed("text_annotations",
+          lambda: rd.read_parquet(
+              os.path.join(sf_dir, "documents.parquet"))
+          .map_batches(annotate_batch, batch_format="pyarrow").count())
 
-    headline = crawl_sec
     result = {
         "metric": "crawl_wall_seconds",
-        "value": round(headline, 3),
+        "value": round(crawl_sec, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_runs": runs,
+        "repeats": repeats,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "tier": tier,

@@ -241,6 +241,9 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
     home.link("mailto:info@site.example", "Email us")       # skipped scheme
     home.link("tel:+15551234567", "Call us")                # skipped scheme
     home.link("javascript:void(0)", "JS no-op")             # skipped scheme
+    home.link("MAILTO:caps@site.example", "Email caps")     # skipped (case)
+    home.link("ftp://files.site.example/pub", "FTP mirror") # skipped scheme
+    home.link("data:text/plain;base64,aGk=", "Data URI")    # skipped scheme
     home.link("/soft404/gone", "Maybe gone")
     home.link("/missing/front", "Broken front link")
     home.link("/big", "Huge page")
@@ -714,7 +717,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 11
+FIXTURE_VERSION = 12
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:

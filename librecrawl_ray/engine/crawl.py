@@ -460,7 +460,10 @@ class WaveCrawler:
             else:
                 self._local_fetcher.pages_dir = pages_dir
                 self._local_fetcher.links_dir = links_dir
+            skip0 = self._local_fetcher.skipped_oversize
             cand = self._local_fetcher(frontier_tbl)
+            self._skipped_oversize = (self._local_fetcher.skipped_oversize
+                                      - skip0)
             raw_tbl = canonicalize_candidates(
                 cand, self.cfg,
                 self.robots if self.cfg.respect_robots else None,
@@ -529,9 +532,13 @@ class WaveCrawler:
                 chunk_refs.append(done[0])   # candidates stay in plasma
                 submit(w_idx)
             self._t_gather = time.perf_counter() - t_s0
-            busy = ray.get([w.busy_reset.remote() for w in workers])
+            counters = ray.get([w.busy_reset.remote() for w in workers])
+            busy = [c["busy"] for c in counters]
             self._busy_max = max(busy)
             self._busy_sum = sum(busy)
+            self._busy_all = [round(b, 3) for b in busy]
+            self._skipped_oversize = sum(c["skipped_oversize"]
+                                         for c in counters)
             if n_gated >= self.distributed_dedup_threshold:
                 raw_tbl = None   # dedup distributed below
             else:
@@ -702,13 +709,17 @@ class WaveCrawler:
             # shard inserts must land before this wave's lineage commit —
             # _flush_pending joins the write thread; inserts land here
             ray.get(add_futs)
-        self.fetched_total += n_gated
+        n_skipped = getattr(self, "_skipped_oversize", 0)
+        # S2 skips produce no pages row: exclude them from the crawled
+        # count so exports (csv rows) == fetched_total (ADVICE r2)
+        self.fetched_total += n_gated - n_skipped
         elapsed = time.perf_counter() - t0
         parts_u, parts_c = np.unique(
             frontier_tbl.column("part").to_numpy(), return_counts=True)
         by_part = dict(zip(parts_u.tolist(), parts_c.tolist()))
         metrics = {
-            "wave": k, "fetched": n_gated, "candidates": n_candidates,
+            "wave": k, "fetched": n_gated - n_skipped,
+            "skipped_oversize": n_skipped, "candidates": n_candidates,
             "admitted": n_adm, "deferred": n_deferred,
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),

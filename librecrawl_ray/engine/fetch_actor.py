@@ -128,10 +128,14 @@ class CorpusFetcher:
             sizes = sub.column("size").to_pylist()
             limit = self.max_file_size
             for j, i in enumerate(present):
-                if limit is not None and (sizes[j] or 0) > limit:
-                    self.skipped_oversize += 1
-                elif status[j] in REDIRECT_STATUSES and rto[j]:
+                # redirect check FIRST: the S2 size gate applies to the
+                # redirect-resolved final document (slow path re-checks it
+                # there), so an oversized 3xx row is still followed
+                # (ADVICE r2 — paths previously disagreed)
+                if status[j] in REDIRECT_STATUSES and rto[j]:
                     slow_idx.append(i)
+                elif limit is not None and (sizes[j] or 0) > limit:
+                    self.skipped_oversize += 1
                 else:
                     fast_pairs.append((offset + j, i))
             sub_tables.append(sub)
@@ -319,10 +323,15 @@ class FetchWorker:
         self._busy = getattr(self, "_busy", 0.0) + time.perf_counter() - t0
         return out
 
-    def busy_reset(self) -> float:
+    def busy_reset(self) -> dict:
+        """Per-wave counters: busy seconds + S2 oversize skips (both reset).
+        Skips are aggregated into the wave summary so the exports invariant
+        (pages rows == fetched_total) holds when max_file_size fires."""
         b = getattr(self, "_busy", 0.0)
         self._busy = 0.0
-        return b
+        s = self.fetcher.skipped_oversize
+        self.fetcher.skipped_oversize = 0
+        return {"busy": b, "skipped_oversize": s}
 
     def prefetch(self, parts: list[int]) -> int:
         """Warm this worker's partition caches (fired asynchronously at

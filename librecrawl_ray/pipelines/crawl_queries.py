@@ -28,6 +28,16 @@ from ..stages.parse import make_edge_extractor, parse_documents_batch
 TIER_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench2"}
 BASE_DOMAIN = "site.example"
 
+# SQL twin of the engine's link-keep rule (parse_doc / extract_edges): a
+# link span counts only when its href resolves to an http(s):// target —
+# any explicit non-http(s) scheme (mailto:, TEL:, ftp:, data:, …) is
+# dropped, case-insensitively (ADVICE r2: literal-prefix matching let
+# uppercase/other schemes through).
+LINK_KEEP_SQL = ("(NOT regexp_matches(trim(s.media_ref), "
+                 "'^[A-Za-z][A-Za-z0-9+.-]*:') "
+                 "OR lower(s.media_ref) LIKE 'http://%' "
+                 "OR lower(s.media_ref) LIKE 'https://%')")
+
 
 def tier_for(sf_dir: str) -> str:
     return TIER_BY_SF.get(os.path.basename(os.path.normpath(sf_dir)), "t1")
@@ -78,18 +88,24 @@ SELECT doc_id,
       s -> len(regexp_extract_all(s.text, '\\w+')))), 0)::BIGINT
       AS word_count,
   coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
-      s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND
-      s.media_ref NOT LIKE 'javascript:%' AND
-      (CASE WHEN s.media_ref LIKE 'http%'
-            THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
+      {LINK_KEEP_SQL} AND
+      (CASE WHEN lower(s.media_ref) LIKE 'http://%'
+                 OR lower(s.media_ref) LIKE 'https://%'
+            THEN split_part(split_part(lower(s.media_ref), '://', 2),
+                            '/', 1)
+            WHEN s.media_ref LIKE '//%'
+            THEN split_part(substr(lower(s.media_ref), 3), '/', 1)
             ELSE host END)
       IN ('site.example', 'www.site.example'))), 0)::BIGINT
       AS internal_links,
   coalesce(len(list_filter(spans, s -> s.kind LIKE 'link%' AND
-      s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND
-      s.media_ref NOT LIKE 'javascript:%' AND
-      (CASE WHEN s.media_ref LIKE 'http%'
-            THEN split_part(split_part(s.media_ref, '://', 2), '/', 1)
+      {LINK_KEEP_SQL} AND
+      (CASE WHEN lower(s.media_ref) LIKE 'http://%'
+                 OR lower(s.media_ref) LIKE 'https://%'
+            THEN split_part(split_part(lower(s.media_ref), '://', 2),
+                            '/', 1)
+            WHEN s.media_ref LIKE '//%'
+            THEN split_part(substr(lower(s.media_ref), 3), '/', 1)
             ELSE host END)
       NOT IN ('site.example', 'www.site.example'))), 0)::BIGINT
       AS external_links
@@ -127,7 +143,7 @@ def crawl_edges_sql(path: str) -> str:
 SELECT DISTINCT doc_id AS source_url,
        {_edge_sql_target()} AS target_url
 FROM (SELECT doc_id, host,
-             unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND s.media_ref NOT LIKE 'javascript:%')) AS u
+             unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND {LINK_KEEP_SQL})) AS u
       FROM read_parquet('{path}'))
 ORDER BY source_url, target_url
 """
@@ -157,7 +173,7 @@ WITH edges AS (
   SELECT doc_id, {_edge_sql_target()} AS tgt,
          row_number() OVER (PARTITION BY doc_id, {_edge_sql_target()}) AS rn
   FROM (SELECT doc_id, host,
-               unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND s.media_ref NOT LIKE 'mailto:%' AND s.media_ref NOT LIKE 'tel:%' AND s.media_ref NOT LIKE 'javascript:%')) AS u
+               unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND {LINK_KEEP_SQL})) AS u
         FROM read_parquet('{path}')))
 SELECT {norm} AS norm_target, count(*) AS inlinks
 FROM edges WHERE rn = 1
@@ -368,9 +384,7 @@ kept_links AS (
                               ORDER BY u."offset") AS rn
     FROM (SELECT doc_id, host,
                  unnest(list_filter(spans, s -> s.kind LIKE 'link%' AND
-                     s.media_ref NOT LIKE 'mailto:%' AND
-                     s.media_ref NOT LIKE 'tel:%' AND
-                     s.media_ref NOT LIKE 'javascript:%')) AS u
+                     {LINK_KEEP_SQL})) AS u
           FROM base))
   WHERE rn = 1)
 SELECT issue, n_pages FROM (

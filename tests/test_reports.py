@@ -93,6 +93,11 @@ def test_sitemap_health(pages_ds, t1_fixture):
     urls = expand_sitemaps(t1_fixture["sitemaps"].to_pylist(), roots)
     assert len(urls) > 5
     health = reports.sitemap_health(pages_ds, urls).to_pylist()
+    # Dataset input (the J5 join shape's native form) gives identical rows
+    import ray.data as rd
+    ds_in = rd.from_items([{"sitemap_url": u} for u in urls])
+    health_ds = reports.sitemap_health(pages_ds, ds_in).to_pylist()
+    assert health == health_ds
     buckets = {r["sitemap_url"]: r["bucket"] for r in health}
     assert buckets["https://site.example/missing/m0"] == "broken"
     assert buckets["https://site.example/r/b0"] == "redirect"
@@ -167,6 +172,24 @@ def test_page_issues_stage(pages_ds, t1_oracle):
                      "URL: Repetitive Path", "Security: Mixed Content",
                      "Connection Failed"):
         assert expected in names, expected
+
+
+def test_page_issues_projection_identical(t1_crawl, pages_ds):
+    """ISSUE_INPUT_COLUMNS is the complete read set of page_issues: the
+    detect stage over the projected read equals the unprojected one
+    (ADVICE r2: schema_org was missing, silently dropping M19 microdata
+    types under projection)."""
+    from librecrawl_ray.stages.issues import ISSUE_INPUT_COLUMNS
+    _, summary = t1_crawl
+    detect = make_issue_detector(base_domain="site.example")
+    proj = reports.load_pages(summary["out_dir"],
+                              columns=ISSUE_INPUT_COLUMNS)
+    a = proj.map_batches(detect, batch_format="pyarrow").to_pandas()
+    b = pages_ds.map_batches(detect, batch_format="pyarrow").to_pandas()
+    cols = ["url", "type", "category", "issue", "details"]
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])
 
 
 def test_neardup_exact_and_blocked(pages_ds, t1_oracle):
