@@ -62,6 +62,7 @@ CANDIDATE_SCHEMA = pa.schema([
     ("part", pa.int32()),
     ("shard", pa.int32()),
     ("signature", pa.string()),
+    ("sig_shard", pa.int32()),
 ])
 
 FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "part"]
@@ -80,12 +81,14 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
     # sha1 / signature regex) has no Arrow kernel, but the output arrays
     # are built column-wise and the batch runs inside the distributed
     # fetch workers
+    from zlib import crc32
     c_url, c_depth, c_pseq, c_pos = [], [], [], []
-    c_host, c_sha64, c_part, c_shard, c_sig = [], [], [], [], []
+    c_host, c_sha64, c_part, c_shard, c_sig, c_sigsh = [], [], [], [], [], []
     for u, d, ps, po in zip(urls, depths, pseqs, poss):
         if not should_crawl(u, cfg, robots):
             continue
         sha = url_sha1(u)
+        sig = url_signature(u)
         c_url.append(u)
         c_depth.append(d)
         c_pseq.append(ps)
@@ -94,7 +97,8 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
         c_sha64.append(int(sha[:16], 16))
         c_part.append(shard_of(sha, num_parts))
         c_shard.append(shard_of(sha, cfg.num_shards))
-        c_sig.append(url_signature(u))
+        c_sig.append(sig)
+        c_sigsh.append(crc32(sig.encode()) % cfg.num_shards)
     if not c_url:
         return CANDIDATE_SCHEMA.empty_table()
     return pa.Table.from_arrays([
@@ -102,7 +106,8 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
         pa.array(c_pseq, pa.int64()), pa.array(c_pos, pa.int32()),
         pa.array(c_host, pa.string()), pa.array(c_sha64, pa.uint64()),
         pa.array(c_part, pa.int32()), pa.array(c_shard, pa.int32()),
-        pa.array(c_sig, pa.string())], schema=CANDIDATE_SCHEMA)
+        pa.array(c_sig, pa.string()),
+        pa.array(c_sigsh, pa.int32())], schema=CANDIDATE_SCHEMA)
 
 
 class Canonicalizer:
@@ -199,7 +204,6 @@ class WaveCrawler:
         self._frontier_cache: tuple | None = None  # (wave, table)
         self.next_seq = 0
         self.fetched_total = 0
-        self.trap_counts: dict[str, int] = {}
         self.wave = 0
 
     def _fetch_pool(self) -> list:
@@ -277,23 +281,64 @@ class WaveCrawler:
                                     self.robots if self.cfg.respect_robots
                                     else None):
                         admit_urls.append(u)
+        # batched seed admission, exact-equivalent to the sequential
+        # per-seed loop: (1) within-batch dedup by sha (first wins),
+        # (2) seen-filter probe, (3) ordered trap gate per signature shard
+        # (counts live in the SeenShard actors), (4) bulk insert of
+        # survivors. Trap-rejected seeds never enter the seen set.
+        import numpy as np
+        from zlib import crc32
+        shas = [url_sha1(u) for u in admit_urls]
+        sigs = [url_signature(u) for u in admit_urls]
+        batch_seen: set[str] = set()
+        order = []
+        for i, sha in enumerate(shas):
+            if sha not in batch_seen:
+                batch_seen.add(sha)
+                order.append(i)
+        by_shard: dict[int, list[int]] = {}
+        for i in order:
+            by_shard.setdefault(shard_of(shas[i], self.cfg.num_shards),
+                                []).append(i)
+        cfuts = {s: self.shards[s].contains.remote([shas[i] for i in idx])
+                 for s, idx in by_shard.items()}
+        unseen: set[int] = set()
+        for s, idx in by_shard.items():
+            for i, present in zip(idx, ray.get(cfuts[s])):
+                if not present:
+                    unseen.add(i)
+        cand = [i for i in order if i in unseen]
+        tby: dict[int, list[int]] = {}
+        for i in cand:
+            tby.setdefault(crc32(sigs[i].encode()) % self.cfg.num_shards,
+                           []).append(i)
+        tfuts = {t: self.shards[t].trap_gate_mask.remote(
+                     [sigs[i] for i in idx], self.cfg.trap_threshold)
+                 for t, idx in tby.items()}
+        admit_ok: set[int] = set()
+        for t, idx in tby.items():
+            for i, ok in zip(idx, ray.get(tfuts[t])):
+                if ok:
+                    admit_ok.add(i)
         rows = []
-        for u in admit_urls:
-            sha = url_sha1(u)
-            sig = url_signature(u)
-            if self.trap_counts.get(sig, 0) >= self.cfg.trap_threshold:
+        adm_by_shard: dict[int, list[int]] = {}
+        for i in cand:
+            if i not in admit_ok:
                 continue
-            admitted = ray.get(
-                self.shards[shard_of(sha, self.cfg.num_shards)].admit.remote([sha]))
-            if not admitted[0]:
-                continue
-            self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
+            u, sha, sig = admit_urls[i], shas[i], sigs[i]
+            adm_by_shard.setdefault(
+                shard_of(sha, self.cfg.num_shards),
+                []).append(int(sha[:16], 16))
             rows.append({"url": u, "depth": 0, "seq": self.next_seq,
                          "wave": -1, "host": url_host(u),
                          "sha64": int(sha[:16], 16),
                          "part": shard_of(sha, self.num_parts),
                          "signature": sig})
             self.next_seq += 1
+        if adm_by_shard:
+            ray.get([self.shards[s].add_bulk.remote(
+                         np.array(v, dtype=np.uint64))
+                     for s, v in adm_by_shard.items()])
         init_schema = pa.schema([
             ("url", pa.string()), ("depth", pa.int32()),
             ("seq", pa.int64()), ("wave", pa.int32()),
@@ -348,16 +393,27 @@ class WaveCrawler:
             for d in (self._p("pages", f"wave={k}"),
                       self._p("links", f"wave={k}")):
                 shutil.rmtree(d, ignore_errors=True)
-            for fpath in (self._p("admitted", f"wave-{k:05d}.parquet"),
-                          self._p("frontier", f"deferred-{k + 1:05d}.parquet")):
+            import glob as _g
+            for fpath in (_g.glob(self._p("admitted",
+                                          f"wave-{k:05d}*.parquet"))
+                          + [self._p("frontier",
+                                     f"deferred-{k + 1:05d}.parquet")]):
                 if os.path.exists(fpath):
                     os.remove(fpath)
         # replay admitted keys into shard actors + rebuild trap counts
+        # (trap state is signature-sharded into the same actors)
+        import glob as _glob
+        from collections import Counter
+        from zlib import crc32
+
         import numpy as np
-        admitted_files = [self._p("admitted", "init.parquet")] + [
-            self._p("admitted", f"wave-{k:05d}.parquet") for k in range(self.wave)]
-        self.trap_counts = {}
+        admitted_files = [self._p("admitted", "init.parquet")]
+        for k in range(self.wave):
+            admitted_files.extend(sorted(_glob.glob(
+                self._p("admitted", f"wave-{k:05d}*.parquet"))))
         per_shard: dict[int, list] = {i: [] for i in range(self.cfg.num_shards)}
+        trap_per_shard: dict[int, Counter] = {
+            i: Counter() for i in range(self.cfg.num_shards)}
         for fpath in admitted_files:
             if not os.path.exists(fpath):
                 continue
@@ -367,9 +423,13 @@ class WaveCrawler:
             for s in np.unique(shard_ids).tolist():
                 per_shard[int(s)].append(s64[shard_ids == s])
             for sig in tbl.column("signature").to_pylist():
-                self.trap_counts[sig] = self.trap_counts.get(sig, 0) + 1
+                trap_per_shard[crc32(sig.encode())
+                               % self.cfg.num_shards][sig] += 1
         futs = [self.shards[i].add_bulk.remote(np.concatenate(v))
                 for i, v in per_shard.items() if v]
+        futs += [self.shards[t].trap_rebuild.remote(list(c.keys()),
+                                                    list(c.values()))
+                 for t, c in trap_per_shard.items() if c]
         if futs:
             ray.get(futs)
         return self.wave
@@ -390,9 +450,13 @@ class WaveCrawler:
         dp = self._p("frontier", f"deferred-{wave:05d}.parquet")
         if os.path.exists(dp):
             parts.append(pq.read_table(dp).select(FRONTIER_COLS))
-        ap = (self._p("admitted", "init.parquet") if wave == 0
-              else self._p("admitted", f"wave-{wave - 1:05d}.parquet"))
-        if os.path.exists(ap):
+        import glob as _g
+        aps = ([self._p("admitted", "init.parquet")] if wave == 0
+               else sorted(_g.glob(self._p(
+                   "admitted", f"wave-{wave - 1:05d}*.parquet"))))
+        for ap in aps:
+            if not os.path.exists(ap):
+                continue
             t = pq.read_table(ap, columns=["url", "depth", "seq",
                                            "host", "part"])
             t = t.append_column("wave", pa.array(
@@ -618,31 +682,22 @@ class WaveCrawler:
                 for s, m in shard_masks.items():
                     is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
 
-            # trap gating (T4/A5 running signature counts)
-            sig_dict = pc.dictionary_encode(
-                cand_tbl.column("signature")).combine_chunks()
-            codes = np.asarray(sig_dict.indices)
-            uniq = sig_dict.dictionary.to_pylist()
-            prior = np.array([self.trap_counts.get(s, 0) for s in uniq],
-                             dtype=np.int64)
-            new_per_sig = np.bincount(codes[is_new], minlength=len(uniq))
-            crossing = (prior + new_per_sig) > self.cfg.trap_threshold
-            admitted_mask = is_new & ~crossing[codes]
-            if crossing.any():
-                running = dict(zip(np.flatnonzero(crossing).tolist(),
-                                   prior[crossing].tolist()))
-                # cand_tbl is in (parent_seq, pos) order — iterate only the
-                # rows of threshold-crossing signatures, in order
-                for i in np.flatnonzero(is_new & crossing[codes]).tolist():
-                    c = codes[i]
-                    if running[c] < self.cfg.trap_threshold:
-                        running[c] += 1
-                        admitted_mask[i] = True
-            adm_per_sig = np.bincount(codes[admitted_mask],
-                                      minlength=len(uniq))
-            for idx in np.flatnonzero(adm_per_sig).tolist():
-                self.trap_counts[uniq[idx]] = int(prior[idx]
-                                                  + adm_per_sig[idx])
+            # trap gating (T4 running signature counts, sharded into the
+            # SeenShard actors by crc32(signature) % num_shards — one
+            # parallel ordered-mask RPC per signature shard; cand_tbl is in
+            # (parent_seq, pos) order so each shard's subset preserves the
+            # global admission order for its signatures)
+            sig_shard_np = cand_tbl.column("sig_shard").to_numpy()
+            sigs = cand_tbl.column("signature").to_pylist()
+            admitted_mask = np.zeros(n, dtype=bool)
+            tfuts, tidx = {}, {}
+            for t in np.unique(sig_shard_np[is_new]).tolist():
+                idx = np.flatnonzero(is_new & (sig_shard_np == t))
+                tidx[t] = idx
+                tfuts[t] = self.shards[t].trap_gate_mask.remote(
+                    [sigs[i] for i in idx], self.cfg.trap_threshold)
+            for t, idx in tidx.items():
+                admitted_mask[idx] = ray.get(tfuts[t])
             trap_rejected = int(is_new.sum() - admitted_mask.sum())
 
             adm_tbl = cand_tbl.filter(pa.array(admitted_mask))
@@ -774,6 +829,15 @@ class WaveCrawler:
         }
 
     # -------------------------------------------------------- inspection
+    def trap_counts(self) -> dict[str, int]:
+        """Merged per-signature trap counts from the shard actors
+        (inspection/tests only — the live state is actor-sharded)."""
+        snaps = ray.get([s.trap_snapshot.remote() for s in self.shards])
+        out: dict[str, int] = {}
+        for sn in snaps:
+            out.update(sn)
+        return out
+
     def seen_sha1s(self) -> set[int]:
         """Union of all shard key sets (exact mode; tests only)."""
         parts = ray.get([s.snapshot_keys.remote() for s in self.shards])

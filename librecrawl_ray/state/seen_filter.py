@@ -34,6 +34,11 @@ class SeenShard:
         self.bloom = BloomFilter(capacity, fp_rate)
         self.exact_mode = exact
         self.exact: set[int] = set()
+        # T4 trap-signature counts for signatures with
+        # crc32(sig) % num_shards == shard_id (SURVEY §2.4 places the trap
+        # state in the filter actors; VERDICT r2 #4 moved it out of the
+        # driver). Persistent across waves; rebuilt by resume.
+        self.trap: dict[str, int] = {}
 
     def admit(self, sha1s: list[str]) -> list[bool]:
         """Atomic test-and-add; True = newly admitted (first sighting).
@@ -84,6 +89,53 @@ class SeenShard:
             return np.fromiter((int(k) in exact for k in arr),
                                dtype=bool, count=len(arr))
         return self.bloom.contains_many(arr)
+
+    # ------------------------------------------------- T4 trap signatures
+    def trap_gate_mask(self, sigs: list[str], threshold: int) -> np.ndarray:
+        """Ordered trap admission for this shard's signatures.
+
+        ``sigs`` are the signatures of previously-unseen candidate rows in
+        global (parent_seq, pos) order, restricted to this shard
+        (crc32(sig) % num_shards == shard_id). Admit each row while its
+        signature's running count < threshold; update the persistent
+        counts with the admitted rows. Bulk numpy for signatures that
+        cannot cross the threshold this call, ordered fallback only for
+        the few that can — the exact semantics of the reference's
+        link_manager trap gate (trap-rejected URLs never enter the seen
+        set)."""
+        n = len(sigs)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        uniq_index: dict[str, int] = {}
+        codes = np.empty(n, dtype=np.int64)
+        for i, s in enumerate(sigs):
+            codes[i] = uniq_index.setdefault(s, len(uniq_index))
+        uniq = list(uniq_index)
+        prior = np.array([self.trap.get(s, 0) for s in uniq],
+                         dtype=np.int64)
+        per_sig = np.bincount(codes, minlength=len(uniq))
+        crossing = (prior + per_sig) > threshold
+        mask = ~crossing[codes]
+        if crossing.any():
+            running = {int(c): int(prior[c])
+                       for c in np.flatnonzero(crossing)}
+            for i in np.flatnonzero(crossing[codes]).tolist():
+                c = int(codes[i])
+                if running[c] < threshold:
+                    running[c] += 1
+                    mask[i] = True
+        adm = np.bincount(codes[mask], minlength=len(uniq))
+        for idx in np.flatnonzero(adm).tolist():
+            self.trap[uniq[idx]] = int(prior[idx] + adm[idx])
+        return mask
+
+    def trap_rebuild(self, sigs: list[str], counts: list[int]) -> None:
+        """Resume path: restore committed per-signature counts."""
+        for s, c in zip(sigs, counts):
+            self.trap[s] = self.trap.get(s, 0) + int(c)
+
+    def trap_snapshot(self) -> dict:
+        return dict(self.trap)
 
     def stats(self) -> dict:
         return {"shard": self.shard_id,
