@@ -16,9 +16,20 @@ carry seq forward):
         (parent_seq, pos); driver-side Arrow sort below the candidate
         threshold, per-shard parallel tasks above it (the hash-partitioned
         groupby-aggregate against the filter shards of the north rule)
-      → trap gating (vectorized signature counts, ordered fallback only
-        for threshold-crossing signatures) → seq assignment (arange)
+      → trap gating (T4 counts live signature-sharded in the SeenShard
+        actors; ordered per-signature admission) → seq assignment
       → SeenShard.add_bulk + admitted checkpoint → frontier_wave_{k+1}
+
+Two admission shapes share those semantics exactly (equality pinned in
+tests/test_distributed_admission.py): below ``distributed_dedup_threshold``
+the driver runs lexsort-dedup + actor trap RPCs + arange seqs; at or above
+it the whole tail is distributed — per-seen-shard dedup-split tasks →
+per-signature-shard trap-gate actor calls → per-parent_seq-range finalize
+tasks that assign seq by block-offset cumsum, write the admitted parquet
+parts and insert the seen keys, handing the next wave its frontier as
+plasma cells. On the cells path politeness gating also runs in per-cell
+tasks against driver-computed per-host prefix counts, so the driver holds
+only per-cell/per-host/per-range summaries (VERDICT r2 #4).
 
 Every wave commits atomically: outputs + admitted-keys file written first
 (on a background thread, overlapping the next wave's fetch), the lineage
@@ -127,26 +138,27 @@ class Canonicalizer:
                                        self.num_parts)
 
 
-@ray.remote
-def _shard_dedup_task(shard_id: int, chunk_refs: list, shard_actor):
-    """Per-shard dedup + membership probe (north rule: the hash-partitioned
-    groupby-aggregate against the filter shards, as a parallel task).
-
-    Reads every fetch chunk's candidate table from plasma (zero-copy),
-    keeps its shard's rows, takes the first sighting per sha64 by
-    (parent_seq, pos), probes the shard's seen filter, and returns only
-    previously-unseen candidates. All sha64s of a key route to exactly one
-    task, so cross-task dedup is complete by construction."""
+@ray.remote(num_returns=2)
+def _dedup_split_task(shard_id: int, chunk_refs: list, shard_actor,
+                      num_sig_shards: int):
+    """Per-seen-shard dedup + membership probe (north rule: the
+    hash-partitioned groupby-aggregate against the filter shards), with
+    the surviving candidates split by signature shard and each split
+    ray.put separately — the trap-gate actors fetch only their own slice,
+    and no candidate row touches the driver (VERDICT r2 #4).
+    Returns ([ref per sig shard], n_candidates)."""
     import numpy as np
     tables = []
+    n_cand = 0
     for ref in chunk_refs:
         t = ray.get(ref)
         if t.num_rows:
             sel = t.filter(pc.equal(t.column("shard"), shard_id))
             if sel.num_rows:
                 tables.append(sel)
+                n_cand += sel.num_rows
     if not tables:
-        return CANDIDATE_SCHEMA.empty_table(), 0
+        return [None] * num_sig_shards, 0
     tbl = pa.concat_tables(tables)
     srt = tbl.sort_by([("sha64", "ascending"), ("parent_seq", "ascending"),
                        ("pos", "ascending")])
@@ -158,7 +170,142 @@ def _shard_dedup_task(shard_id: int, chunk_refs: list, shard_actor):
     present = ray.get(shard_actor.contains_u64.remote(
         cand.column("sha64").to_numpy()))
     new = cand.filter(pa.array(~np.asarray(present, dtype=bool)))
-    return new, int(tbl.num_rows)
+    sig_np = new.column("sig_shard").to_numpy()
+    refs = []
+    for t in range(num_sig_shards):
+        sub = new.filter(pa.array(sig_np == t))
+        refs.append(ray.put(sub) if sub.num_rows else None)
+    return refs, n_cand
+
+
+@ray.remote(num_returns=2)
+def _finalize_range_task(range_refs: list, base_seq: int, wave: int,
+                         admitted_path: str, shard_actors: list):
+    """Seq assignment + checkpoint for one parent_seq range.
+
+    Concats this range's admitted tables from every signature shard,
+    restores global (parent_seq, pos) order, assigns
+    ``seq = base_seq + arange`` (the block-offset cumsum — base_seq is the
+    driver's cumsum over per-range counts, so seqs are globally dense in
+    (parent_seq, pos) order without the rows ever visiting the driver),
+    writes the admitted parquet part, inserts the keys into the seen
+    shards, and returns the next-wave frontier piece sorted by
+    (depth, seq) with per-depth offsets for the politeness cells."""
+    import numpy as np
+    tabs = []
+    for r in range_refs:
+        if r is None:
+            continue
+        t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        if t.num_rows:
+            tabs.append(t)
+    if not tabs:
+        return None, []
+    tbl = pa.concat_tables(tabs)
+    ps = tbl.column("parent_seq").to_numpy()
+    pos = tbl.column("pos").to_numpy()
+    order = np.lexsort((pos, ps))
+    tbl = tbl.take(pa.array(order))
+    n = tbl.num_rows
+    seqs = np.arange(base_seq, base_seq + n, dtype=np.int64)
+    tbl = tbl.append_column("seq", pa.array(seqs))
+    out = tbl.select(["url", "depth", "seq", "host", "sha64", "part",
+                      "signature"]) \
+        .append_column("wave", pa.array(np.full(n, wave, dtype=np.int32)))
+    pq.write_table(out, admitted_path)
+    sha = tbl.column("sha64").to_numpy()
+    shard_np = tbl.column("shard").to_numpy()
+    futs = [shard_actors[s].add_bulk.remote(sha[shard_np == s])
+            for s in np.unique(shard_np).tolist()]
+    ray.get(futs)
+    # frontier piece: stable sort by depth keeps (depth, seq) order
+    frontier = tbl.select(["url", "depth", "seq", "host", "part"])
+    d = frontier.column("depth").to_numpy()
+    dorder = np.argsort(d, kind="stable")
+    frontier = frontier.take(pa.array(dorder))
+    ds = d[dorder]
+    bounds = np.flatnonzero(np.diff(ds)) + 1
+    starts = np.concatenate(([0], bounds)).tolist()
+    ends = np.concatenate((bounds, [len(ds)])).tolist()
+    depth_slices = [(int(ds[s0]), int(s0), int(e0 - s0))
+                    for s0, e0 in zip(starts, ends)]
+    return frontier, depth_slices
+
+
+@ray.remote
+def _host_counts_task(ref, start: int, length: int) -> dict:
+    """Politeness phase A: per-host row counts for one frontier cell."""
+    from collections import Counter
+    tbl = ref if isinstance(ref, pa.Table) else ray.get(ref)
+    cell = tbl.slice(start, length)
+    return dict(Counter(cell.column("host").to_pylist()))
+
+
+@ray.remote(num_returns=3)
+def _gate_cell_task(ref, start: int, length: int, wave: int,
+                    caps: dict, prior: dict, grant_limit: int,
+                    deferred_path: str | None):
+    """Politeness phase B for one frontier cell (rows of ONE depth, one
+    seq block — cells enumerate in global (depth, seq) order).
+
+    Grants rows whose within-wave per-host rank (prior counts from all
+    earlier cells + local occurrence index) is below the host's cap,
+    truncated to ``grant_limit`` (max_urls budget). Granted rows are
+    stamped with the wave id and sorted by corpus part for the
+    partition-affine fetch dispatch; deferred rows keep (depth, seq)
+    order, are written straight to the deferral checkpoint part, and are
+    returned as the next wave's deferred cell. Returns
+    (granted table, deferred piece, (part slices, n_granted, n_deferred))."""
+    import numpy as np
+    tbl = ref if isinstance(ref, pa.Table) else ray.get(ref)
+    cell = tbl.slice(start, length)
+    n = cell.num_rows
+    if caps:
+        h = np.asarray(cell.column("host").to_pylist(), dtype=object)
+        uniq, inv = np.unique(h, return_inverse=True)
+        cap_arr = np.fromiter((caps.get(u, 1 << 60) - prior.get(u, 0)
+                               for u in uniq),
+                              dtype=np.int64, count=len(uniq))
+        order = np.argsort(inv, kind="stable")
+        sorted_inv = inv[order]
+        boundaries = np.flatnonzero(np.diff(sorted_inv)) + 1
+        starts = np.concatenate(([0], boundaries))
+        group_sizes = np.diff(np.concatenate((starts, [n])))
+        ranks_sorted = np.arange(n) - np.repeat(starts, group_sizes)
+        occ = np.empty(n, dtype=np.int64)
+        occ[order] = ranks_sorted
+        mask = occ < cap_arr[inv]
+    else:
+        mask = np.ones(n, dtype=bool)
+    if grant_limit < int(mask.sum()):
+        # max_urls cutoff: keep the first grant_limit granted rows in
+        # (depth, seq) order
+        keep_idx = np.flatnonzero(mask)[:grant_limit]
+        mask = np.zeros(n, dtype=bool)
+        mask[keep_idx] = True
+    granted = cell.filter(pa.array(mask))
+    deferred = cell.filter(pa.array(~mask))
+    defer_piece = deferred.select(["url", "depth", "seq", "host", "part"])
+    if deferred.num_rows and deferred_path is not None:
+        dt = deferred.append_column(
+            "wave", pa.array(np.full(deferred.num_rows, wave + 1,
+                                     dtype=np.int32))).select(FRONTIER_COLS)
+        pq.write_table(dt, deferred_path)
+    g = granted.append_column(
+        "wave", pa.array(np.full(granted.num_rows, wave, dtype=np.int32))) \
+        .select(FRONTIER_COLS)
+    g = g.sort_by("part")
+    parts_np = g.column("part").to_numpy()
+    if len(parts_np):
+        b = np.flatnonzero(np.diff(parts_np)) + 1
+        s0 = np.concatenate(([0], b))
+        e0 = np.concatenate((b, [len(parts_np)]))
+        part_slices = [(int(parts_np[a]), int(a), int(z - a))
+                       for a, z in zip(s0.tolist(), e0.tolist())]
+    else:
+        part_slices = []
+    return g, defer_piece, (part_slices, int(granted.num_rows),
+                            int(deferred.num_rows))
 
 
 class WaveCrawler:
@@ -184,7 +331,13 @@ class WaveCrawler:
         self._robots_ref = ray.put(self.robots if cfg.respect_robots else None)
         # driver state
         self.small_wave_threshold = small_wave_threshold
-        self.distributed_dedup_threshold = 2_000_000
+        # waves with n_gated at or above this take the fully distributed
+        # admission (dedup-split tasks → trap-gate actors → seq-finalize
+        # tasks; frontier handed on as plasma cells). Measured at bench2
+        # (540k-row wave, 32 cpus): distributed 22-23s wall vs 45-48s
+        # driver-admission in the same session window. Below it the
+        # driver lexsort path is exact and cheaper.
+        self.distributed_dedup_threshold = 100_000
         # big corpora make the driver-local small-wave path pay full
         # partition loads (~the whole corpus through the driver for a
         # 100-URL wave) — route ALL waves through the actor pool instead,
@@ -200,8 +353,11 @@ class WaveCrawler:
         self._local_fetcher: CorpusFetcher | None = None
         self._workers: list | None = None
         self._part_owner: dict[int, int] = {}
-        self._pending: tuple | None = None       # (wave, metrics, thread)
+        self._pending: tuple | None = None       # (wave, metrics, joinable)
         self._frontier_cache: tuple | None = None  # (wave, table)
+        # (wave, (new_refs, slices_futs, offsets, deferred_cells)) — the
+        # distributed-admission frontier handoff: cell ROWS stay in plasma
+        self._frontier_cells: tuple | None = None
         self.next_seq = 0
         self.fetched_total = 0
         self.wave = 0
@@ -363,7 +519,13 @@ class WaveCrawler:
         if self._pending is not None:
             k, metrics, th = self._pending
             if th is not None:
-                th.join()
+                if isinstance(th, list):
+                    ray.get(th)      # finalize-range completions (small
+                                     # metadata returns; the admitted
+                                     # parquet + seen inserts are durable
+                                     # once these resolve)
+                else:
+                    th.join()
             self._commit(k, metrics)
             self._pending = None
 
@@ -388,6 +550,8 @@ class WaveCrawler:
         self.next_seq = st["next_seq"]
         self.fetched_total = st["fetched_total"] if "fetched_total" in st else 0
         self.wave = last + 1
+        self._frontier_cells = None
+        self._frontier_cache = None
         # discard partial outputs beyond the last commit
         for k in range(self.wave, self.wave + 3):
             for d in (self._p("pages", f"wave={k}"),
@@ -396,8 +560,9 @@ class WaveCrawler:
             import glob as _g
             for fpath in (_g.glob(self._p("admitted",
                                           f"wave-{k:05d}*.parquet"))
-                          + [self._p("frontier",
-                                     f"deferred-{k + 1:05d}.parquet")]):
+                          + _g.glob(self._p(
+                              "frontier",
+                              f"deferred-{k + 1:05d}*.parquet"))):
                 if os.path.exists(fpath):
                     os.remove(fpath)
         # replay admitted keys into shard actors + rebuild trap counts
@@ -447,8 +612,9 @@ class WaveCrawler:
                 return None
             return tbl
         parts = []
-        dp = self._p("frontier", f"deferred-{wave:05d}.parquet")
-        if os.path.exists(dp):
+        import glob as _gd
+        for dp in sorted(_gd.glob(self._p(
+                "frontier", f"deferred-{wave:05d}*.parquet"))):
             parts.append(pq.read_table(dp).select(FRONTIER_COLS))
         import glob as _g
         aps = ([self._p("admitted", "init.parquet")] if wave == 0
@@ -467,13 +633,114 @@ class WaveCrawler:
         return pa.concat_tables(parts)
 
     def run_wave(self) -> dict | None:
-        """Execute one wave; returns wave metrics or None when done."""
-        import numpy as np
+        """Execute one wave; returns wave metrics or None when done.
 
+        Dispatch: when the previous wave's distributed admission left the
+        frontier as plasma cells, run the fully distributed wave (cells
+        path — politeness, fetch, dedup, trap, seq all in tasks/actors;
+        driver holds only per-cell/per-host/per-range summaries). Small
+        frontiers collapse to the driver-resident table path, which is
+        exact and cheaper at low row counts.
+        """
         k = self.wave
+        if self._frontier_cells is not None and \
+                self._frontier_cells[0] == k:
+            cells = self._resolve_cells(self._frontier_cells[1])
+            self._frontier_cells = None
+            total = sum(c[2] for c in cells)
+            if total == 0:
+                return None
+            if total < self.distributed_dedup_threshold:
+                return self._run_wave_table(k, self._cells_to_table(
+                    cells, k))
+            return self._run_wave_cells(k, cells)
         frontier = self._load_frontier(k)
         if frontier is None or frontier.num_rows == 0:
             return None
+        return self._run_wave_table(k, frontier)
+
+    # ----------------------------------------------- frontier cell helpers
+    def _resolve_cells(self, raw) -> list:
+        """Materialize cell metadata (NOT cell rows): each cell is
+        (table_or_ref, start, length, depth, seq_lo), ordered by
+        (depth, seq block). ``raw`` carries finalize-range futures whose
+        small metadata returns resolve here; deferred cells from the
+        previous wave's gate phase order before new cells of the same
+        depth (their seqs are strictly older)."""
+        new_refs, slices_futs, offsets, deferred_cells = raw
+        cells = []
+        slices = ray.get(slices_futs) if slices_futs else []
+        for (ref, off), depth_slices in zip(zip(new_refs, offsets), slices):
+            for (d, s0, ln) in depth_slices:
+                cells.append((ref, s0, ln, d, off))
+        cells.extend(deferred_cells)
+        cells.sort(key=lambda c: (c[3], c[4]))
+        return cells
+
+    def _cells_to_table(self, cells: list, wave: int) -> pa.Table:
+        """Collapse plasma cells to a driver frontier table (small-wave
+        path); restores FRONTIER_COLS incl. the wave stamp."""
+        import numpy as np
+        parts = []
+        for ref, s0, ln, _d, _lo in cells:
+            t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            sub = t.slice(s0, ln)
+            parts.append(sub.append_column("wave", pa.array(
+                np.full(sub.num_rows, wave, dtype=np.int32)))
+                .select(FRONTIER_COLS))
+        return pa.concat_tables(parts) if parts else None
+
+    def _dispatch_chunks(self, chunks: list, pages_dir: str,
+                         links_dir: str) -> list:
+        """Pull-based fetch dispatch with affinity-preferred work stealing
+        over (part, ref, off, len) chunks; returns candidate chunk refs.
+        Cache affinity: part % pool (matches the prefetch); a worker that
+        drains its queue steals from the longest queue — static balancing
+        cannot absorb the ~1.6× per-core throughput spread this host shows
+        under full load (same mechanism that handles straggler nodes)."""
+        workers = self._fetch_pool()
+        pool = len(workers)
+        queues: list[list] = [[] for _ in range(pool)]
+        for part, ref, off, ln in chunks:
+            queues[part % pool].append((ref, off, ln))
+        inflight: dict = {}
+
+        def submit(w_idx: int) -> None:
+            if queues[w_idx]:
+                ref, off, ln = queues[w_idx].pop(0)
+            else:
+                victim = max(range(pool), key=lambda j: len(queues[j]))
+                if not queues[victim]:
+                    return
+                ref, off, ln = queues[victim].pop()
+            fut = workers[w_idx].process_sliced.remote(
+                ref, off, ln, pages_dir, links_dir)
+            inflight[fut] = w_idx
+
+        t_s0 = time.perf_counter()
+        for w_idx in range(pool):
+            submit(w_idx)   # 1 in flight: a queued chunk on a slow core
+                            # can't be stolen, so don't buffer
+        chunk_refs = []
+        while inflight:
+            done, _ = ray.wait(list(inflight), num_returns=1)
+            w_idx = inflight.pop(done[0])
+            chunk_refs.append(done[0])   # candidates stay in plasma
+            submit(w_idx)
+        self._t_gather = time.perf_counter() - t_s0
+        counters = ray.get([w.busy_reset.remote() for w in workers])
+        busy = [c["busy"] for c in counters]
+        self._busy_max = max(busy)
+        self._busy_sum = sum(busy)
+        self._busy_all = [round(b, 3) for b in busy]
+        self._skipped_oversize = sum(c["skipped_oversize"]
+                                     for c in counters)
+        return chunk_refs
+
+    def _run_wave_table(self, k: int, frontier: pa.Table) -> dict | None:
+        """Driver-frontier wave (small/medium waves; exact semantics)."""
+        import numpy as np
+
         t0 = time.perf_counter()
         frontier = frontier.sort_by([("depth", "ascending"),
                                      ("seq", "ascending")])
@@ -536,18 +803,10 @@ class WaveCrawler:
         else:
             # distributed path: persistent partition-affine actor pool
             # (created once per crawl; partition caches survive waves).
-            # Chunks are split per corpus partition and each partition is
-            # pinned to worker part % pool, then large partitions are
-            # sub-split to fetch_batch_size for pipelining.
-            workers = self._fetch_pool()
-            futs = []
             # frontier_tbl is sorted by part → partition runs are contiguous
-            # zero-copy slices. Partition-affine with explicit balance: each
-            # partition goes wholly to one worker (its cache), partitions
-            # assigned greedily largest-first to the least-loaded worker —
-            # num_parts ≫ pool keeps the max skew small (the groupby-host /
-            # skew story of the north rule, applied to the lookup join).
-            # The whole frontier ships once via ray.put; workers slice.
+            # zero-copy slices; the whole frontier ships once via ray.put
+            # and each chunk is (part, ref, off, len) against it. Large
+            # partitions sub-split to fetch_batch_size for pipelining.
             parts_np = frontier_tbl.column("part").to_numpy()
             bounds = np.flatnonzero(np.diff(parts_np)) + 1
             starts = np.concatenate(([0], bounds))
@@ -555,56 +814,16 @@ class WaveCrawler:
             t_p0 = time.perf_counter()
             frontier_ref = ray.put(frontier_tbl)
             self._t_put = time.perf_counter() - t_p0
-            pool = len(workers)
-            # pull-based dispatch with affinity-preferred work stealing:
-            # each worker's queue holds its own partitions' chunks (cache
-            # affinity: part % pool, matching the prefetch); a worker that
-            # drains its queue steals from the longest queue. Static
-            # balancing cannot absorb heterogeneous vCPU throughput (this
-            # host shows a ~1.6× spread under full parallel load) — the
-            # same mechanism that handles straggler nodes on a real
-            # cluster.
-            queues: list[list[tuple[int, int]]] = [[] for _ in range(pool)]
+            chunks = []
             for s0, e0 in zip(starts.tolist(), ends.tolist()):
                 part = int(parts_np[s0])
-                w_idx = part % pool
                 for off in range(s0, e0, self.fetch_batch_size):
-                    queues[w_idx].append(
-                        (off, min(self.fetch_batch_size, e0 - off)))
-            inflight: dict = {}
-
-            def submit(w_idx: int) -> None:
-                if queues[w_idx]:
-                    off, ln = queues[w_idx].pop(0)
-                else:
-                    victim = max(range(pool), key=lambda j: len(queues[j]))
-                    if not queues[victim]:
-                        return
-                    off, ln = queues[victim].pop()
-                fut = workers[w_idx].process_sliced.remote(
-                    frontier_ref, off, ln, pages_dir, links_dir)
-                inflight[fut] = w_idx
-
-            t_s0 = time.perf_counter()
-            for w_idx in range(pool):
-                submit(w_idx)   # 1 in flight: a queued chunk on a slow
-                                # core can't be stolen, so don't buffer
-            chunk_refs = []
-            while inflight:
-                done, _ = ray.wait(list(inflight), num_returns=1)
-                w_idx = inflight.pop(done[0])
-                chunk_refs.append(done[0])   # candidates stay in plasma
-                submit(w_idx)
-            self._t_gather = time.perf_counter() - t_s0
-            counters = ray.get([w.busy_reset.remote() for w in workers])
-            busy = [c["busy"] for c in counters]
-            self._busy_max = max(busy)
-            self._busy_sum = sum(busy)
-            self._busy_all = [round(b, 3) for b in busy]
-            self._skipped_oversize = sum(c["skipped_oversize"]
-                                         for c in counters)
+                    chunks.append((part, frontier_ref, off,
+                                   min(self.fetch_batch_size, e0 - off)))
+            chunk_refs = self._dispatch_chunks(chunks, pages_dir,
+                                               links_dir)
             if n_gated >= self.distributed_dedup_threshold:
-                raw_tbl = None   # dedup distributed below
+                raw_tbl = None   # dedup + admission distributed below
             else:
                 blocks = [b for b in ray.get(chunk_refs) if b.num_rows]
                 raw_tbl = (pa.concat_tables(blocks,
@@ -614,6 +833,17 @@ class WaveCrawler:
         t_fetch = time.perf_counter() - t0
         # previous wave's checkpoint IO overlapped this fetch; seal it now
         self._flush_pending()
+        if raw_tbl is None:
+            # fully distributed admission: candidates never visit the
+            # driver. Deferred rows (driver-resident on this path) ride
+            # along as next-wave cells.
+            by_part_np = np.unique(parts_np, return_counts=True)
+            by_part = dict(zip(by_part_np[0].tolist(),
+                               by_part_np[1].tolist()))
+            parent_lo = int(pc.min(frontier_tbl.column("seq")).as_py())
+            return self._finish_wave_distributed(
+                k, chunk_refs, t0, t_fetch, n_gated, by_part,
+                ("table", deferred_tbl), stopped, parent_lo)
         # within-wave dedup + membership probe: first sighting per sha64 by
         # (parent_seq, pos), then the shard filter. Distributed path (used
         # above the frontier-size threshold, and the only viable shape at
@@ -622,20 +852,7 @@ class WaveCrawler:
         # filter shards of the north rule. Below the threshold a driver-
         # side Arrow sort is faster (per-task chunk-scan overhead
         # dominates at small candidate volumes).
-        pre_probed = False
-        if raw_tbl is None:
-            dfuts = [_shard_dedup_task.remote(s, chunk_refs, self.shards[s])
-                     for s in range(self.cfg.num_shards)]
-            results = ray.get(dfuts)
-            del chunk_refs, frontier_ref
-            new_tables = [t for t, _ in results if t.num_rows]
-            n_candidates = sum(c for _, c in results)
-            cand_tbl = (pa.concat_tables(new_tables).sort_by(
-                            [("parent_seq", "ascending"),
-                             ("pos", "ascending")])
-                        if new_tables else CANDIDATE_SCHEMA.empty_table())
-            pre_probed = True
-        elif raw_tbl.num_rows:
+        if raw_tbl.num_rows:
             n_candidates = raw_tbl.num_rows
             # first sighting per sha64 by (parent_seq, pos) via ONE numpy
             # lexsort + one take of the kept rows — replaces two full Arrow
@@ -669,18 +886,15 @@ class WaveCrawler:
         if n:
             sha64 = cand_tbl.column("sha64").to_numpy()
             shard_np = cand_tbl.column("shard").to_numpy()
-            if pre_probed:
-                is_new = np.ones(n, dtype=bool)
-            else:
-                is_new = np.zeros(n, dtype=bool)
-                shard_masks = {}
-                futs = {}
-                for s in np.unique(shard_np).tolist():
-                    m = shard_np == s
-                    shard_masks[s] = m
-                    futs[s] = self.shards[s].contains_u64.remote(sha64[m])
-                for s, m in shard_masks.items():
-                    is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
+            is_new = np.zeros(n, dtype=bool)
+            shard_masks = {}
+            futs = {}
+            for s in np.unique(shard_np).tolist():
+                m = shard_np == s
+                shard_masks[s] = m
+                futs[s] = self.shards[s].contains_u64.remote(sha64[m])
+            for s, m in shard_masks.items():
+                is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
 
             # trap gating (T4 running signature counts, sharded into the
             # SeenShard actors by crc32(signature) % num_shards — one
@@ -793,6 +1007,214 @@ class WaveCrawler:
         if stopped:
             return dict(metrics, done=True)
         return metrics
+
+
+    def _finish_wave_distributed(self, k: int, chunk_refs: list, t0: float,
+                                 t_fetch: float, n_gated: int,
+                                 by_part: dict, deferred_info: tuple,
+                                 stopped: bool, parent_lo: int) -> dict:
+        """Distributed admission tail: dedup-split tasks → per-signature-
+        shard trap-gate actor calls → per-parent_seq-range seq-finalize
+        tasks (block-offset cumsum). The driver sees only refs and
+        per-shard/per-range counts; candidate and admitted rows stay in
+        plasma (VERDICT r2 #4). The next wave's frontier is handed over as
+        plasma cells; lineage commit waits on the finalize completions in
+        _flush_pending, overlapping the next wave's politeness + fetch."""
+        import numpy as np
+        S = self.cfg.num_shards
+        # round 1: per-seen-shard dedup + membership probe + sig-shard split
+        split_pairs = [_dedup_split_task.remote(s, chunk_refs,
+                                                self.shards[s], S)
+                       for s in range(S)]
+        split_ref_lists = ray.get([pr[0] for pr in split_pairs])
+        n_candidates = int(sum(ray.get([pr[1] for pr in split_pairs])))
+        del chunk_refs
+        # round 2: ordered trap gate per signature shard, split by
+        # parent_seq range (equal-width over the gated seq span; parent
+        # seqs are dense integers so ranges stay balanced)
+        R = S
+        span = max(1, self.next_seq - parent_lo)
+        bounds = [parent_lo + (span * i) // R for i in range(R)]
+        bounds.append(self.next_seq)
+        for i in range(1, len(bounds)):
+            bounds[i] = max(bounds[i], bounds[i - 1])
+        tg = ray.get([self.shards[t].trap_gate.remote(
+                          [split_ref_lists[sd][t] for sd in range(S)],
+                          self.cfg.trap_threshold, bounds)
+                      for t in range(S)])
+        range_counts = np.zeros(R, dtype=np.int64)
+        trap_rejected = 0
+        for _refs, (_n_in, n_rej, counts) in tg:
+            trap_rejected += n_rej
+            range_counts += np.asarray(counts, dtype=np.int64)
+        n_adm = int(range_counts.sum())
+        offsets = self.next_seq + np.concatenate(
+            ([0], np.cumsum(range_counts)[:-1]))
+        self.next_seq += n_adm
+        t_dedup = time.perf_counter() - t0 - t_fetch
+        # round 3: block-offset seq assignment + admitted checkpoint +
+        # seen-filter insert, one task per nonempty range
+        new_refs, slices_futs, cell_offsets, fin_waits = [], [], [], []
+        for r in range(R):
+            if range_counts[r] == 0:
+                continue
+            path = self._p("admitted", f"wave-{k:05d}-r{r:02d}.parquet")
+            f_ref, sl_ref = _finalize_range_task.remote(
+                [tg[t][0][r] for t in range(S)], int(offsets[r]), k,
+                path, self.shards)
+            new_refs.append(f_ref)
+            slices_futs.append(sl_ref)
+            cell_offsets.append(int(offsets[r]))
+            fin_waits.append(sl_ref)
+        # deferred rows ride into the next wave's cells
+        deferred_cells: list = []
+        n_deferred = 0
+        if not stopped:
+            if deferred_info[0] == "table":
+                d_tbl = deferred_info[1]
+                if d_tbl is not None and d_tbl.num_rows:
+                    n_deferred = d_tbl.num_rows
+                    dt = d_tbl.set_column(
+                        d_tbl.schema.get_field_index("wave"), "wave",
+                        pa.array(np.full(n_deferred, k + 1,
+                                         dtype=np.int32)))                         .select(FRONTIER_COLS)
+                    pq.write_table(dt, self._p(
+                        "frontier", f"deferred-{k + 1:05d}.parquet"))
+                    piece = d_tbl.select(["url", "depth", "seq", "host",
+                                          "part"])
+                    d = piece.column("depth").to_numpy()
+                    dorder = np.argsort(d, kind="stable")
+                    piece = piece.take(pa.array(dorder))
+                    ds_sorted = d[dorder]
+                    b = np.flatnonzero(np.diff(ds_sorted)) + 1
+                    s0s = np.concatenate(([0], b)).tolist()
+                    e0s = np.concatenate((b, [len(ds_sorted)])).tolist()
+                    seqs_np = piece.column("seq").to_numpy()
+                    for s0, e0 in zip(s0s, e0s):
+                        deferred_cells.append(
+                            (piece, int(s0), int(e0 - s0),
+                             int(ds_sorted[s0]), int(seqs_np[s0])))
+            else:
+                deferred_cells = deferred_info[1]
+                n_deferred = sum(c[2] for c in deferred_cells)
+            self._frontier_cells = (
+                k + 1, (new_refs, slices_futs, cell_offsets,
+                        deferred_cells))
+            self._frontier_cache = None
+        n_skipped = getattr(self, "_skipped_oversize", 0)
+        self.fetched_total += n_gated - n_skipped
+        elapsed = time.perf_counter() - t0
+        metrics = {
+            "wave": k, "fetched": n_gated - n_skipped,
+            "skipped_oversize": n_skipped, "candidates": n_candidates,
+            "admitted": n_adm, "deferred": n_deferred,
+            "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
+            "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
+            "t_admit": round(elapsed - t_fetch - t_dedup, 3),
+            "t_put": round(getattr(self, "_t_put", 0.0), 3),
+            "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
+            "busy_max": round(getattr(self, "_busy_max", 0.0), 3),
+            "busy_sum": round(getattr(self, "_busy_sum", 0.0), 3),
+            "busy_all": getattr(self, "_busy_all", []),
+            "next_seq": self.next_seq, "fetched_total": self.fetched_total,
+            "by_part": {str(p): int(c) for p, c in sorted(by_part.items())},
+            "stopped": stopped, "admission": "distributed",
+        }
+        self._pending = (k, metrics, fin_waits)
+        self.wave += 1
+        if stopped:
+            return dict(metrics, done=True)
+        return metrics
+
+    def _run_wave_cells(self, k: int, cells: list) -> dict | None:
+        """Fully distributed wave over plasma frontier cells: politeness
+        gating runs inside per-cell tasks against driver-computed per-host
+        prefix counts (metadata-sized — SURVEY §7.3's broadcast budget
+        table), fetch chunks slice the granted cell tables, and admission
+        is the distributed tail. Driver memory: O(cells + hosts + shards).
+        """
+        import numpy as np
+        t0 = time.perf_counter()
+        cells = [c for c in cells if c[3] <= self.cfg.max_depth]
+        if not cells:
+            return None
+        remaining = self.cfg.max_urls - self.fetched_total
+        if remaining <= 0:
+            return None
+        use_caps = self.cfg.per_host_wave_cap > 0
+        caps: dict[str, int] = {}
+        if use_caps:
+            cfuts = [_host_counts_task.remote(c[0], c[1], c[2])
+                     for c in cells]
+            counts_per_cell = ray.get(cfuts)
+            prior: dict[str, int] = {}
+            planned = []
+            for c, cnts in zip(cells, counts_per_cell):
+                for h in cnts:
+                    if h not in caps:
+                        caps[h] = self.politeness.cap_for(h)
+                granted = sum(min(max(caps[h] - prior.get(h, 0), 0), cnt)
+                              for h, cnt in cnts.items())
+                planned.append((c, dict(prior), int(granted)))
+                for h, cnt in cnts.items():
+                    prior[h] = prior.get(h, 0) + cnt
+        else:
+            planned = [(c, {}, c[2]) for c in cells]
+        total_planned = sum(g for _, _, g in planned)
+        if total_planned == 0:
+            # pathological caps — the exact driver gate handles the
+            # one-row livelock promotion
+            return self._run_wave_table(k, self._cells_to_table(cells, k))
+        stopped = False
+        plans = []
+        cum = 0
+        for c, prior_c, granted in planned:
+            if cum + granted >= remaining:
+                plans.append((c, prior_c, int(remaining - cum)))
+                stopped = True
+                break
+            plans.append((c, prior_c, int(granted)))
+            cum += granted
+        pages_dir = self._p("pages", f"wave={k}")
+        links_dir = self._p("links", f"wave={k}")
+        os.makedirs(pages_dir, exist_ok=True)
+        os.makedirs(links_dir, exist_ok=True)
+        gfuts = []
+        for i, (c, prior_c, limit) in enumerate(plans):
+            dpath = (None if stopped else self._p(
+                "frontier", f"deferred-{k + 1:05d}-c{i:03d}.parquet"))
+            gfuts.append(_gate_cell_task.remote(
+                c[0], c[1], c[2], k, caps if use_caps else {}, prior_c,
+                limit, dpath))
+        granted_refs = [f[0] for f in gfuts]
+        deferred_refs = [f[1] for f in gfuts]
+        stats = ray.get([f[2] for f in gfuts])
+        n_gated = sum(st[1] for st in stats)
+        if n_gated == 0:
+            return None
+        by_part: dict[int, int] = {}
+        chunks = []
+        for gref, (part_slices, _ng, _nd) in zip(granted_refs, stats):
+            for part, off, ln in part_slices:
+                by_part[part] = by_part.get(part, 0) + ln
+                for o2 in range(off, off + ln, self.fetch_batch_size):
+                    chunks.append(
+                        (part, gref, o2,
+                         min(self.fetch_batch_size, off + ln - o2)))
+        self._t_put = 0.0
+        chunk_refs = self._dispatch_chunks(chunks, pages_dir, links_dir)
+        t_fetch = time.perf_counter() - t0
+        self._flush_pending()
+        deferred_cells: list = []
+        if not stopped:
+            for (c, _p, _l), dref, (_psl, _ng, n_d) in zip(
+                    plans, deferred_refs, stats):
+                if n_d:
+                    deferred_cells.append((dref, 0, n_d, c[3], c[4]))
+        parent_lo = min(c[4] for c, _, _ in plans)
+        return self._finish_wave_distributed(
+            k, chunk_refs, t0, t_fetch, n_gated, by_part,
+            ("cells", deferred_cells), stopped, parent_lo)
 
     def run(self, seeds: list[str] | None = None,
             resume: bool = False, max_waves: int = 10_000) -> dict:

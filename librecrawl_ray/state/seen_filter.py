@@ -129,6 +129,54 @@ class SeenShard:
             self.trap[uniq[idx]] = int(prior[idx] + adm[idx])
         return mask
 
+    def trap_gate(self, split_refs: list, threshold: int,
+                  range_bounds: list[int]) -> tuple[list, tuple]:
+        """Distributed trap gate (one call per signature shard per wave).
+
+        ``split_refs``: this shard's candidate subtables, one ObjectRef
+        per dedup task (rows already deduped, previously-unseen, with
+        crc32(signature) % num_shards == shard_id). Concats them, restores
+        global (parent_seq, pos) order, applies the ordered per-signature
+        admission against the persistent counts, then splits the admitted
+        rows by parent_seq range (``range_bounds``: R+1 ascending edges)
+        for the seq-finalize tasks.
+
+        Returns ([ObjectRef per range] — each range table ray.put
+        separately so a finalize task fetches only its slice — and stats
+        (n_in, n_trap_rejected, [admitted count per range]))."""
+        import pyarrow as pa
+        import ray
+        tabs = []
+        for r in split_refs:
+            if r is None:
+                continue
+            t = ray.get(r)
+            if t.num_rows:
+                tabs.append(t)
+        n_ranges = len(range_bounds) - 1
+        if not tabs:
+            return [None] * n_ranges, (0, 0, [0] * n_ranges)
+        tbl = pa.concat_tables(tabs)
+        ps = tbl.column("parent_seq").to_numpy()
+        pos = tbl.column("pos").to_numpy()
+        order = np.lexsort((pos, ps))
+        tbl = tbl.take(pa.array(order))
+        mask = self.trap_gate_mask(tbl.column("signature").to_pylist(),
+                                   threshold)
+        adm = tbl.filter(pa.array(mask))
+        ps_adm = adm.column("parent_seq").to_numpy()
+        out_refs: list = []
+        counts: list[int] = []
+        for r in range(n_ranges):
+            lo = int(np.searchsorted(ps_adm, range_bounds[r], side="left"))
+            hi = int(np.searchsorted(ps_adm, range_bounds[r + 1],
+                                     side="left"))
+            counts.append(hi - lo)
+            out_refs.append(ray.put(adm.slice(lo, hi - lo))
+                            if hi > lo else None)
+        return out_refs, (int(tbl.num_rows),
+                          int(tbl.num_rows - adm.num_rows), counts)
+
     def trap_rebuild(self, sigs: list[str], counts: list[int]) -> None:
         """Resume path: restore committed per-signature counts."""
         for s, c in zip(sigs, counts):
