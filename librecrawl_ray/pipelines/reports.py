@@ -64,6 +64,56 @@ def _bucket_of(vals: list[str], buckets: int) -> pa.Array:
 BROADCAST_JOIN_ROWS = 2_000_000
 
 
+@ray.remote
+def _split_block_by_bucket(block, key: str, buckets: int) -> list:
+    """Map side of the task-based hash shuffle: split one dataset block by
+    crc32(key) % buckets; each nonempty bucket slice is ray.put separately
+    so a merge task fetches only its bucket. Only the block's own columns
+    ship — no padding to the joined width."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    tbl = (pa.Table.from_pandas(block, preserve_index=False)
+           if isinstance(block, pd.DataFrame) else block)
+    if tbl.num_rows == 0:
+        return [None] * buckets
+    keys = tbl.column(key).to_pylist()
+    bk = np.fromiter((zlib.crc32(k.encode()) % buckets for k in keys),
+                     dtype=np.int64, count=len(keys))
+    order = np.argsort(bk, kind="stable")
+    srt = tbl.take(pa.array(order))
+    sbk = bk[order]
+    out: list = [None] * buckets
+    bounds = np.flatnonzero(np.diff(sbk)) + 1
+    starts = np.concatenate(([0], bounds)).tolist()
+    ends = np.concatenate((bounds, [len(sbk)])).tolist()
+    for s0, e0 in zip(starts, ends):
+        out[int(sbk[s0])] = ray.put(srt.slice(s0, e0 - s0))
+    return out
+
+
+@ray.remote
+def _merge_bucket(lrefs: list, rrefs: list, key: str, rk: str, how: str,
+                  lcols: list, rcols: list, rcols_out: list) -> pa.Table:
+    """Reduce side: one pandas merge over a bucket's left/right slices."""
+    import pandas as pd
+    lt = pa.concat_tables([ray.get(r) for r in lrefs],
+                          promote_options="default")
+    ldf = lt.to_pandas()[lcols]
+    if not rrefs:
+        out = ldf.reindex(columns=lcols + rcols_out)
+    else:
+        rt = pa.concat_tables([ray.get(r) for r in rrefs],
+                              promote_options="default")
+        rdf = rt.to_pandas()[[rk] + rcols]
+        rdf.columns = [key] + rcols_out
+        out = ldf.merge(rdf, on=key,
+                        how="inner" if how == "inner" else "left")
+    return pa.Table.from_pandas(out[lcols + rcols_out],
+                                preserve_index=False)
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
               how: str = "inner", right_key: str | None = None,
               buckets: int = 32,
@@ -135,68 +185,41 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
                 return m[lcols0 + rcols0_out]
             return left.map_batches(bmerge, batch_format="pandas")
 
-    def _pa_type(t):
-        """Ray Schema.types entries are pyarrow types for Arrow blocks but
-        plain python types for pandas-derived blocks — coerce."""
-        if isinstance(t, pa.DataType):
-            return t
-        return {int: pa.int64(), float: pa.float64(), str: pa.string(),
-                bool: pa.bool_(), bytes: pa.binary(),
-                list: pa.list_(pa.string())}.get(t, pa.string())
-
+    # reduce-side: task-based hash shuffle. Each side's blocks split into
+    # per-bucket plasma slices carrying ONLY that side's own columns (the
+    # old shape unioned both sides padded to the full joined width, so
+    # every shuffled row shipped null buffers for the other side's
+    # columns — VERDICT r2 #7/#10); one pandas merge task per bucket.
     rk = right_key or key
-    lschema = left.schema()          # ray.data Schema wrapper
-    rschema = right.schema()
+    lschema = left.schema()
     lcols = list(lschema.names)
-    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
-    rcols = [c for c in rschema.names if c != rk]
+    rcols = [c for c in right.schema().names if c != rk]
     rcols_out = [c if c not in lcols else c + "_r" for c in rcols]
-
-    def tag_left(batch: pa.Table) -> pa.Table:
-        t = batch
-        for c, out_c in zip(rcols, rcols_out):
-            t = t.append_column(out_c, pa.nulls(t.num_rows, rtypes[c]))
-        t = t.append_column("__side", pa.array(["L"] * t.num_rows))
-        return t.append_column(
-            "__bucket", _bucket_of(batch.column(key).to_pylist(), buckets))
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        t = pa.table({key: batch.column(rk)})
-        for c in lcols:
-            if c == key:
-                continue
-            t = t.append_column(c, pa.nulls(batch.num_rows, ltypes[c]))
-        for c, out_c in zip(rcols, rcols_out):
-            t = t.append_column(out_c, batch.column(c))
-        t = t.append_column("__side", pa.array(["R"] * batch.num_rows))
-        t = t.append_column(
-            "__bucket", _bucket_of(batch.column(rk).to_pylist(), buckets))
-        return t.select(lcols + rcols_out + ["__side", "__bucket"])
-
-    lt = left.map_batches(tag_left, batch_format="pyarrow") \
-             .select_columns(lcols + rcols_out + ["__side", "__bucket"])
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
-    both = lt.union(rt)
-
     out_cols = lcols + rcols_out
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == "L"]
-        r = df[df["__side"] == "R"]
-        if l.empty:
-            return pd.DataFrame(columns=out_cols)
-        if r.empty:
-            if how == "inner":
-                return pd.DataFrame(columns=out_cols)
-            return l[out_cols]
-        lpart = l[lcols]
-        rpart = r[[key] + rcols_out]
-        m = lpart.merge(rpart, on=key,
-                        how="inner" if how == "inner" else "left")
-        return m[out_cols]
+    def _block_refs(ds: rd.Dataset) -> list:
+        return [br for bundle in ds.iter_internal_ref_bundles()
+                for br in bundle.block_refs]
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    lsplits = [_split_block_by_bucket.remote(br, key, buckets)
+               for br in _block_refs(left)]
+    rsplits = [_split_block_by_bucket.remote(br, rk, buckets)
+               for br in _block_refs(right)]
+    lrefs = ray.get(lsplits)     # lists of per-bucket refs (metadata only)
+    rrefs = ray.get(rsplits)
+    out_refs = []
+    for b in range(buckets):
+        lb = [rr[b] for rr in lrefs if rr[b] is not None]
+        rb = [rr[b] for rr in rrefs if rr[b] is not None]
+        if not lb:
+            continue
+        if not rb and how == "inner":
+            continue
+        out_refs.append(_merge_bucket.remote(
+            lb, rb, key, rk, how, lcols, rcols, rcols_out))
+    if not out_refs:
+        return rd.from_pandas(pd.DataFrame(columns=out_cols))
+    return rd.from_arrow_refs(out_refs)
 
 
 def bucketed_groups(ds: rd.Dataset, key_col: str, per_bucket,
