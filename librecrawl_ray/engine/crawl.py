@@ -138,28 +138,68 @@ class Canonicalizer:
                                        self.num_parts)
 
 
+@ray.remote
+def _presplit_task(chunk_refs: list, num_shards: int):
+    """Combiner + pre-partitioner for distributed admission, run over a
+    GROUP of completed fetch chunks WHILE the rest of the wave is still
+    fetching (submitted from the gather loop's spare CPUs).
+
+    Concats the group's candidate chunks, keeps the first sighting per
+    sha64 (min (parent_seq, pos) — the per-shard merge re-deduplicates, so
+    a per-group partial is a correct combiner), and pre-partitions by seen
+    shard. Returns (per-shard table | None ... , n_candidates) via
+    num_returns=num_shards+1 so each shard's dedup task fetches ONLY its
+    own slice.
+
+    This is the fix for two wave-tail pathologies measured at sf0.1
+    (1.2M candidates / 703 chunks / 16 shards): every shard task
+    re-scanning all 703 chunks (16x redundant deserialize ≈ 7 s/task),
+    and popular duplicate URLs (every page's home/footer links — one
+    sha64 each) all landing in one shard (581k of 1.2M rows in shard 15).
+    The combiner caps that skew at one row per group per distinct URL."""
+    import numpy as np
+    tables = [t for t in ray.get(list(chunk_refs)) if t.num_rows]
+    if not tables:
+        return tuple([None] * num_shards + [0])
+    tbl = pa.concat_tables(tables)
+    n_cand = tbl.num_rows
+    s64 = tbl.column("sha64").to_numpy()
+    ps = tbl.column("parent_seq").to_numpy()
+    pos = tbl.column("pos").to_numpy()
+    order = np.lexsort((pos, ps, s64))
+    s_sorted = s64[order]
+    keep = np.empty(len(order), dtype=bool)
+    keep[0] = True
+    np.not_equal(s_sorted[1:], s_sorted[:-1], out=keep[1:])
+    tbl = tbl.take(pa.array(order[keep]))
+    shard_np = tbl.column("shard").to_numpy()
+    out: list = []
+    for s in range(num_shards):
+        sub = tbl.filter(pa.array(shard_np == s))
+        out.append(sub if sub.num_rows else None)
+    out.append(int(n_cand))
+    return tuple(out)
+
+
 @ray.remote(num_returns=2)
-def _dedup_split_task(shard_id: int, chunk_refs: list, shard_actor,
+def _dedup_split_task(shard_id: int, shard_refs: list, shard_actor,
                       num_sig_shards: int):
     """Per-seen-shard dedup + membership probe (north rule: the
     hash-partitioned groupby-aggregate against the filter shards), with
     the surviving candidates split by signature shard and each split
     ray.put separately — the trap-gate actors fetch only their own slice,
     and no candidate row touches the driver (VERDICT r2 #4).
-    Returns ([ref per sig shard], n_candidates)."""
+
+    ``shard_refs``: this shard's pre-partitioned group partials from
+    ``_presplit_task`` (one per chunk group, already group-deduped).
+    Returns ([ref per sig shard], n_rows_in)."""
     import numpy as np
-    tables = []
-    n_cand = 0
-    for ref in chunk_refs:
-        t = ray.get(ref)
-        if t.num_rows:
-            sel = t.filter(pc.equal(t.column("shard"), shard_id))
-            if sel.num_rows:
-                tables.append(sel)
-                n_cand += sel.num_rows
+    tables = [t for t in ray.get([r for r in shard_refs if r is not None])
+              if t is not None and t.num_rows]
     if not tables:
         return [None] * num_sig_shards, 0
     tbl = pa.concat_tables(tables)
+    n_in = tbl.num_rows
     srt = tbl.sort_by([("sha64", "ascending"), ("parent_seq", "ascending"),
                        ("pos", "ascending")])
     s64 = srt.column("sha64").to_numpy()
@@ -175,7 +215,7 @@ def _dedup_split_task(shard_id: int, chunk_refs: list, shard_actor,
     for t in range(num_sig_shards):
         sub = new.filter(pa.array(sig_np == t))
         refs.append(ray.put(sub) if sub.num_rows else None)
-    return refs, n_cand
+    return refs, n_in
 
 
 @ray.remote(num_returns=2)
@@ -397,7 +437,9 @@ class WaveCrawler:
         ray.get([w.busy_reset.remote() for w in workers])
         S = self.cfg.num_shards
         empty_ref = ray.put(CANDIDATE_SCHEMA.empty_table())
-        pairs = [_dedup_split_task.remote(s, [empty_ref], self.shards[s], S)
+        pre = _presplit_task.options(num_returns=S + 1).remote(
+            [empty_ref], S)
+        pairs = [_dedup_split_task.remote(s, [pre[s]], self.shards[s], S)
                  for s in range(S)]
         splits = ray.get([p[0] for p in pairs])
         bounds = list(range(S + 1))
@@ -709,14 +751,25 @@ class WaveCrawler:
                 .select(FRONTIER_COLS))
         return pa.concat_tables(parts) if parts else None
 
+    # chunks per _presplit_task group: ~64 × 768-row chunks ≈ 100k-row
+    # candidate partials — large enough that group overhead is noise,
+    # small enough that groups complete well inside the fetch window
+    PRESPLIT_GROUP = 64
+
     def _dispatch_chunks(self, chunks: list, pages_dir: str,
-                         links_dir: str) -> list:
+                         links_dir: str, presplit: int | None = None):
         """Pull-based fetch dispatch with affinity-preferred work stealing
         over (part, ref, off, len) chunks; returns candidate chunk refs.
         Cache affinity: part % pool (matches the prefetch); a worker that
         drains its queue steals from the longest queue — static balancing
         cannot absorb the ~1.6× per-core throughput spread this host shows
-        under full load (same mechanism that handles straggler nodes)."""
+        under full load (same mechanism that handles straggler nodes).
+
+        With ``presplit=S`` (distributed-admission waves), completed
+        chunks are combined+pre-partitioned by ``_presplit_task`` in
+        groups AS THEY FINISH, overlapping the admission combiner with the
+        fetch itself; returns (groups, count_refs) where each group is the
+        list of S per-shard partial refs."""
         workers = self._fetch_pool()
         pool = len(workers)
         queues: list[list] = [[] for _ in range(pool)]
@@ -736,16 +789,34 @@ class WaveCrawler:
                 ref, off, ln, pages_dir, links_dir)
             inflight[fut] = w_idx
 
+        groups: list[list] = []
+        count_refs: list = []
+
+        def flush_group(buf: list) -> None:
+            refs = _presplit_task.options(
+                num_returns=presplit + 1).remote(buf, presplit)
+            groups.append(list(refs[:presplit]))
+            count_refs.append(refs[presplit])
+
         t_s0 = time.perf_counter()
         for w_idx in range(pool):
             submit(w_idx)   # 1 in flight: a queued chunk on a slow core
                             # can't be stolen, so don't buffer
-        chunk_refs = []
+        chunk_refs: list = []
+        pending: list = []
         while inflight:
             done, _ = ray.wait(list(inflight), num_returns=1)
             w_idx = inflight.pop(done[0])
-            chunk_refs.append(done[0])   # candidates stay in plasma
+            if presplit is None:
+                chunk_refs.append(done[0])   # candidates stay in plasma
+            else:
+                pending.append(done[0])
+                if len(pending) >= self.PRESPLIT_GROUP:
+                    flush_group(pending)
+                    pending = []
             submit(w_idx)
+        if presplit is not None and pending:
+            flush_group(pending)
         self._t_gather = time.perf_counter() - t_s0
         counters = ray.get([w.busy_reset.remote() for w in workers])
         busy = [c["busy"] for c in counters]
@@ -754,6 +825,8 @@ class WaveCrawler:
         self._busy_all = [round(b, 3) for b in busy]
         self._skipped_oversize = sum(c["skipped_oversize"]
                                      for c in counters)
+        if presplit is not None:
+            return groups, count_refs
         return chunk_refs
 
     def _run_wave_table(self, k: int, frontier: pa.Table) -> dict | None:
@@ -839,16 +912,19 @@ class WaveCrawler:
                 for off in range(s0, e0, self.fetch_batch_size):
                     chunks.append((part, frontier_ref, off,
                                    min(self.fetch_batch_size, e0 - off)))
-            chunk_refs = self._dispatch_chunks(chunks, pages_dir,
-                                               links_dir)
-            if n_gated >= self.distributed_dedup_threshold:
+            distributed = n_gated >= self.distributed_dedup_threshold
+            dispatched = self._dispatch_chunks(
+                chunks, pages_dir, links_dir,
+                presplit=self.cfg.num_shards if distributed else None)
+            if distributed:
                 raw_tbl = None   # dedup + admission distributed below
+                presplit_out = dispatched
             else:
-                blocks = [b for b in ray.get(chunk_refs) if b.num_rows]
+                blocks = [b for b in ray.get(dispatched) if b.num_rows]
                 raw_tbl = (pa.concat_tables(blocks,
                                             promote_options="default")
                            if blocks else CANDIDATE_SCHEMA.empty_table())
-                del chunk_refs, frontier_ref
+                del dispatched, frontier_ref
         t_fetch = time.perf_counter() - t0
         # previous wave's checkpoint IO overlapped this fetch; seal it now
         self._flush_pending()
@@ -861,7 +937,7 @@ class WaveCrawler:
                                by_part_np[1].tolist()))
             parent_lo = int(pc.min(frontier_tbl.column("seq")).as_py())
             return self._finish_wave_distributed(
-                k, chunk_refs, t0, t_fetch, n_gated, by_part,
+                k, presplit_out, t0, t_fetch, n_gated, by_part,
                 ("table", deferred_tbl), stopped, parent_lo)
         # within-wave dedup + membership probe: first sighting per sha64 by
         # (parent_seq, pos), then the shard filter. Distributed path (used
@@ -1028,26 +1104,35 @@ class WaveCrawler:
         return metrics
 
 
-    def _finish_wave_distributed(self, k: int, chunk_refs: list, t0: float,
+    def _finish_wave_distributed(self, k: int, presplit_out: tuple,
+                                 t0: float,
                                  t_fetch: float, n_gated: int,
                                  by_part: dict, deferred_info: tuple,
                                  stopped: bool, parent_lo: int) -> dict:
-        """Distributed admission tail: dedup-split tasks → per-signature-
-        shard trap-gate actor calls → per-parent_seq-range seq-finalize
-        tasks (block-offset cumsum). The driver sees only refs and
-        per-shard/per-range counts; candidate and admitted rows stay in
-        plasma (VERDICT r2 #4). The next wave's frontier is handed over as
-        plasma cells; lineage commit waits on the finalize completions in
-        _flush_pending, overlapping the next wave's politeness + fetch."""
+        """Distributed admission tail: group combiners (already running —
+        overlapped with the fetch by _dispatch_chunks) → per-seen-shard
+        dedup-split tasks → per-signature-shard trap-gate actor calls →
+        per-parent_seq-range seq-finalize tasks (block-offset cumsum).
+        The driver sees only refs and per-shard/per-range counts;
+        candidate and admitted rows stay in plasma (VERDICT r2 #4). The
+        next wave's frontier is handed over as plasma cells; lineage
+        commit waits on the finalize completions in _flush_pending,
+        overlapping the next wave's politeness + fetch."""
         import numpy as np
         S = self.cfg.num_shards
-        # round 1: per-seen-shard dedup + membership probe + sig-shard split
-        split_pairs = [_dedup_split_task.remote(s, chunk_refs,
-                                                self.shards[s], S)
-                       for s in range(S)]
+        groups, count_refs = presplit_out
+        # round 1: per-seen-shard merge of the group partials + membership
+        # probe + sig-shard split. Each task reads only its own shard's
+        # ~len(groups) partials (the group combiners already deduped and
+        # pre-partitioned during the fetch window).
+        split_pairs = [
+            _dedup_split_task.remote(s, [g[s] for g in groups],
+                                     self.shards[s], S)
+            for s in range(S)]
         split_ref_lists = ray.get([pr[0] for pr in split_pairs])
-        n_candidates = int(sum(ray.get([pr[1] for pr in split_pairs])))
-        del chunk_refs
+        n_candidates = int(sum(ray.get(count_refs)))
+        del groups, presplit_out
+        t_split = time.perf_counter() - t0 - t_fetch
         # round 2: ordered trap gate per signature shard, split by
         # parent_seq range (equal-width over the gated seq span; parent
         # seqs are dense integers so ranges stay balanced)
@@ -1129,6 +1214,7 @@ class WaveCrawler:
             "admitted": n_adm, "deferred": n_deferred,
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
+            "t_split": round(t_split, 3),
             "t_admit": round(elapsed - t_fetch - t_dedup, 3),
             "t_put": round(getattr(self, "_t_put", 0.0), 3),
             "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
@@ -1221,7 +1307,8 @@ class WaveCrawler:
                         (part, gref, o2,
                          min(self.fetch_batch_size, off + ln - o2)))
         self._t_put = 0.0
-        chunk_refs = self._dispatch_chunks(chunks, pages_dir, links_dir)
+        presplit_out = self._dispatch_chunks(
+            chunks, pages_dir, links_dir, presplit=self.cfg.num_shards)
         t_fetch = time.perf_counter() - t0
         self._flush_pending()
         deferred_cells: list = []
@@ -1232,7 +1319,7 @@ class WaveCrawler:
                     deferred_cells.append((dref, 0, n_d, c[3], c[4]))
         parent_lo = min(c[4] for c, _, _ in plans)
         return self._finish_wave_distributed(
-            k, chunk_refs, t0, t_fetch, n_gated, by_part,
+            k, presplit_out, t0, t_fetch, n_gated, by_part,
             ("cells", deferred_cells), stopped, parent_lo)
 
     def run(self, seeds: list[str] | None = None,
