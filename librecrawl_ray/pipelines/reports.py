@@ -95,21 +95,46 @@ def _split_block_by_bucket(block, key: str, buckets: int) -> list:
 
 @ray.remote
 def _merge_bucket(lrefs: list, rrefs: list, key: str, rk: str, how: str,
-                  lcols: list, rcols: list, rcols_out: list) -> pa.Table:
-    """Reduce side: one pandas merge over a bucket's left/right slices."""
+                  lcols: list, rcols: list, rcols_out: list,
+                  rschema: pa.Schema) -> pa.Table:
+    """Reduce side of one bucket. When the bucket's right keys are unique
+    (the common case: aggregated / keyed-by-url right sides), the attach
+    is a zero-copy Arrow gather — key → row-index dict, ``Table.take``
+    with null indices — so wide/nested left columns (spans, headers,
+    linked_from targets) never convert to pandas object dtype
+    (VERDICT r2 #5/#6). Empty-right buckets append typed nulls from the
+    right schema (keeps block schemas identical across buckets, unlike a
+    pandas ``reindex`` which would yield float64/object columns).
+    Duplicate right keys fall back to one pandas merge."""
     import pandas as pd
     lt = pa.concat_tables([ray.get(r) for r in lrefs],
-                          promote_options="default")
-    ldf = lt.to_pandas()[lcols]
+                          promote_options="default").select(lcols)
     if not rrefs:
-        out = ldf.reindex(columns=lcols + rcols_out)
-    else:
-        rt = pa.concat_tables([ray.get(r) for r in rrefs],
-                              promote_options="default")
-        rdf = rt.to_pandas()[[rk] + rcols]
-        rdf.columns = [key] + rcols_out
-        out = ldf.merge(rdf, on=key,
-                        how="inner" if how == "inner" else "left")
+        if how == "inner":
+            return None
+        for name, out_name in zip(rcols, rcols_out):
+            lt = lt.append_column(
+                out_name, pa.nulls(lt.num_rows, rschema.field(name).type))
+        return lt
+    rt = pa.concat_tables([ray.get(r) for r in rrefs],
+                          promote_options="default")
+    rkeys = rt.column(rk).to_pylist()
+    index = {k: i for i, k in enumerate(rkeys)}
+    if len(index) == rt.num_rows:
+        idxs = [index.get(k) for k in lt.column(key).to_pylist()]
+        if how == "inner":
+            keep = [i for i, x in enumerate(idxs) if x is not None]
+            lt = lt.take(pa.array(keep, pa.int64()))
+            idxs = [idxs[i] for i in keep]
+        payload = rt.select(rcols)
+        gathered = payload.take(pa.array(idxs, pa.int64()))
+        for name, out_name in zip(rcols, rcols_out):
+            lt = lt.append_column(out_name, gathered.column(name))
+        return lt
+    ldf = lt.to_pandas()
+    rdf = rt.to_pandas()[[rk] + rcols]
+    rdf.columns = [key] + rcols_out
+    out = ldf.merge(rdf, on=key, how="inner" if how == "inner" else "left")
     return pa.Table.from_pandas(out[lcols + rcols_out],
                                 preserve_index=False)
 
@@ -193,7 +218,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
     rk = right_key or key
     lschema = left.schema()
     lcols = list(lschema.names)
-    rcols = [c for c in right.schema().names if c != rk]
+    rschema = right.schema().base_schema
+    rcols = [c for c in rschema.names if c != rk]
     rcols_out = [c if c not in lcols else c + "_r" for c in rcols]
     out_cols = lcols + rcols_out
 
@@ -216,7 +242,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
         if not rb and how == "inner":
             continue
         out_refs.append(_merge_bucket.remote(
-            lb, rb, key, rk, how, lcols, rcols, rcols_out))
+            lb, rb, key, rk, how, lcols, rcols, rcols_out, rschema))
     if not out_refs:
         return rd.from_pandas(pd.DataFrame(columns=out_cols))
     return rd.from_arrow_refs(out_refs)

@@ -66,6 +66,30 @@ def test_hash_join_paths_equivalent(ray_session, pages_ds, links_ds):
         b["status_code"].fillna(-1).astype(int).tolist()
 
 
+def test_hash_join_reduce_side_wide_left(ray_session, pages_ds, links_ds):
+    """Reduce-side join with a WIDE left side (nested list/struct columns)
+    stays Arrow end-to-end (VERDICT r2 #5/#6): the per-bucket unique-key
+    gather must carry spans/headings through unchanged and keep per-bucket
+    block schemas identical (typed nulls for empty-right buckets)."""
+    wide = reports._add_norm(
+        pages_ds.select_columns(
+            ["url", "h2", "headings_structure", "images"]),
+        "url", "__k")
+    inlinks = reports.inlink_counts(links_ds)
+    a = reports.hash_join(wide, inlinks, "__k", how="left_outer",
+                          right_key="norm_target").to_pandas()
+    b = reports.hash_join(wide, inlinks, "__k", how="left_outer",
+                          right_key="norm_target",
+                          broadcast_threshold=0).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert a["count()"].fillna(-1).astype(int).tolist() == \
+        b["count()"].fillna(-1).astype(int).tolist()
+    for col in ("h2", "headings_structure", "images"):
+        assert [list(x) if x is not None else None for x in a[col]] == \
+            [list(x) if x is not None else None for x in b[col]], col
+
+
 def test_broken_link_issues(pages_ds, links_ds, t1_oracle):
     got = reports.broken_link_issues(pages_ds, links_ds).to_pandas()
     broken_norms = {norm_url(p["url"]) for p in t1_oracle.pages
