@@ -753,7 +753,10 @@ class WaveCrawler:
 
     # chunks per _presplit_task group: ~64 × 768-row chunks ≈ 100k-row
     # candidate partials — large enough that group overhead is noise,
-    # small enough that groups complete well inside the fetch window
+    # small enough that groups complete well inside the fetch window.
+    # (An eager smaller-group flush in the dispatch tail was tried and
+    # measured WORSE — more partials per dedup-split task + more task
+    # overhead outweigh shaving the final combiner off the critical path.)
     PRESPLIT_GROUP = 64
 
     def _dispatch_chunks(self, chunks: list, pages_dir: str,
@@ -927,7 +930,9 @@ class WaveCrawler:
                 del dispatched, frontier_ref
         t_fetch = time.perf_counter() - t0
         # previous wave's checkpoint IO overlapped this fetch; seal it now
+        t_s = time.perf_counter()
         self._flush_pending()
+        self._t_seal = time.perf_counter() - t_s
         if raw_tbl is None:
             # fully distributed admission: candidates never visit the
             # driver. Deferred rows (driver-resident on this path) ride
@@ -1215,6 +1220,7 @@ class WaveCrawler:
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
             "t_split": round(t_split, 3),
+            "t_seal": round(getattr(self, "_t_seal", 0.0), 3),
             "t_admit": round(elapsed - t_fetch - t_dedup, 3),
             "t_put": round(getattr(self, "_t_put", 0.0), 3),
             "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
@@ -1310,7 +1316,9 @@ class WaveCrawler:
         presplit_out = self._dispatch_chunks(
             chunks, pages_dir, links_dir, presplit=self.cfg.num_shards)
         t_fetch = time.perf_counter() - t0
+        t_s = time.perf_counter()
         self._flush_pending()
+        self._t_seal = time.perf_counter() - t_s
         deferred_cells: list = []
         if not stopped:
             for (c, _p, _l), dref, (_psl, _ng, n_d) in zip(
