@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.winnow_neardup_pairs(_docs(sf_dir),
                                       min_shared=12).to_pandas()
 
+    def q_neardup_clusters(sf_dir):
+        return D.neardup_clusters(_docs(sf_dir), threshold=0.5).to_pandas()
+
     def q_top_similar_pairs(sf_dir):
         return S.top_similar_pairs(_emb(sf_dir), k=20).to_pandas()
 
@@ -127,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "winnow_neardup": q_winnow_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
@@ -241,8 +245,7 @@ ORDER BY id_a, id_b
     # empirically: engine==SQL at sf0.01 and sf0.001); pytest additionally
     # pins recall vs brute force.
     _TOKS = "regexp_extract_all(lower(text), '\\w+')"
-    minhash_sql = f"""
-WITH sh AS (
+    _minhash_pair_ctes = f"""sh AS (
   SELECT doc_id,
     CASE WHEN len({_TOKS}) = 0 THEN []
          WHEN len({_TOKS}) < 3
@@ -259,10 +262,33 @@ j AS (
          ELSE len(list_intersect(a.s, b.s))::DOUBLE /
               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
     END AS jac
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+    minhash_sql = f"""
+WITH {_minhash_pair_ctes}
 SELECT id_a, id_b, round(jac, 6) AS jaccard
 FROM j WHERE jac >= 0.5
 ORDER BY id_a, id_b
+"""
+    # transitive closure over the same pair set via a recursive CTE:
+    # reach(src,dst) = src reaches dst through near-dup edges; cluster =
+    # min(reachable ∪ self); components are near-dup groups (tiny), so
+    # the recursion is shallow and bounded
+    neardup_clusters_sql = f"""
+WITH RECURSIVE {_minhash_pair_ctes},
+p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+FROM lab ORDER BY doc_id
 """
 
     out = {
@@ -288,6 +314,7 @@ ORDER BY id_a, id_b
         "top_similar_pairs": top_similar_pairs_sql,
         "minhash_lsh_pairs": minhash_sql,
         "winnow_neardup": winnow_sql,
+        "neardup_clusters": neardup_clusters_sql,
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce
         "ivf_topk": knn_sql,

@@ -450,3 +450,81 @@ def winnow_neardup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     counted = counted.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(counted, schema=schema,
                                 preserve_index=False)
+
+
+# ------------------------------------------------- near-dup clustering
+
+CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64()),
+                            ("is_keeper", pa.bool_())])
+
+
+def connected_components(pairs: pa.Table) -> dict[int, int]:
+    """Union-find (union-by-min, path halving) over a near-dup pair edge
+    list; returns {doc_id → root} for every doc that appears in a pair,
+    where root = the smallest doc id in the component. The edge list is
+    the LSH verify output — orders of magnitude smaller than the corpus
+    and already materialized by the pair operators, so a single-task CC
+    is the honest shape up to ~10^8 edges; past that, swap in iterative
+    min-label propagation over bucketed joins (same output contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:      # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for a, b in zip(pairs.column("id_a").to_pylist(),
+                    pairs.column("id_b").to_pylist()):
+        a, b = int(a), int(b)
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:                        # min id becomes the root
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    return {x: find(x) for x in nodes}
+
+
+def neardup_clusters(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.5,
+                     pairs: pa.Table | None = None,
+                     **lsh_kwargs) -> pa.Table:
+    """Per-document near-dup cluster assignment + canonical-keeper
+    election: connected components over minhash-LSH verified pairs
+    (transitive closure — a∼b, b∼c ⇒ one cluster even if a≁c),
+    ``cluster_id`` = min doc id in the component, ``is_keeper`` marks the
+    one row per cluster a dedup pass would retain. Docs in no pair are
+    their own singleton cluster (keeper=True).
+
+    The distributed shape: pair generation is the data-sized stage
+    (minhash_lsh_pairs — band-key shuffle only); the root map covers only
+    paired docs, is broadcast once via ray.put, and every document labels
+    itself in one map_batches pass over the corpus."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(ds, id_col, text_col,
+                                  threshold=threshold, **lsh_kwargs)
+    roots_ref = ray.put(connected_components(pairs))
+
+    def label(batch: pa.Table) -> pa.Table:
+        roots = ray.get(roots_ref)
+        ids = batch.column(id_col).to_pylist()
+        cl = [roots.get(int(i), int(i)) for i in ids]
+        return pa.table({
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "cluster_id": pa.array(cl, pa.int64()),
+            "is_keeper": pa.array([c == int(i) for i, c in zip(ids, cl)],
+                                  pa.bool_())})
+
+    out = (ds.select_columns([id_col])
+           .map_batches(label, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, schema=CLUSTER_SCHEMA,
+                                preserve_index=False)

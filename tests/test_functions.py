@@ -523,3 +523,39 @@ def test_simhash_oracle_sql_matches_engine(docs_ds):
     assert got["id_a"].tolist() == want["id_a"].tolist()
     assert got["id_b"].tolist() == want["id_b"].tolist()
     assert got["hamming"].tolist() == want["hamming"].tolist()
+
+
+def test_neardup_clusters_transitive_and_keepers(docs_ds):
+    """Connected components over injected pairs: transitivity (a-b, b-c
+    ⇒ one cluster even with no a-c edge), min-id keeper election,
+    singletons as their own cluster; and the LSH-driven path agrees with
+    its own pair output on the real corpus."""
+    from librecrawl_ray.functions.dedup import (connected_components,
+                                                neardup_clusters)
+    chain = pa.table({"id_a": pa.array([5, 3, 10], pa.int64()),
+                      "id_b": pa.array([3, 7, 11], pa.int64()),
+                      "jaccard": pa.array([1.0, 1.0, 1.0], pa.float64())})
+    roots = connected_components(chain)
+    assert roots[5] == roots[3] == roots[7] == 3
+    assert roots[10] == roots[11] == 10
+
+    out = neardup_clusters(docs_ds, pairs=chain).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_id[5] == by_id[3] == by_id[7] == 3
+    assert by_id[10] == by_id[11] == 10
+    keep = dict(zip(out["doc_id"], out["is_keeper"]))
+    assert keep[3] and not keep[5] and not keep[7]
+    # every doc assigned, singletons self-clustered
+    assert len(out) == docs_ds.count()
+    singles = out[~out["doc_id"].isin([5, 3, 7, 10, 11])]
+    assert (singles["cluster_id"] == singles["doc_id"]).all()
+    assert singles["is_keeper"].all()
+
+    # real-pairs path: cluster assignment consistent with the pair list
+    from librecrawl_ray.functions.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5)
+    got = neardup_clusters(docs_ds, pairs=pairs).to_pandas()
+    cl = dict(zip(got["doc_id"], got["cluster_id"]))
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        assert cl[a] == cl[b]
+    assert (got.groupby("cluster_id")["is_keeper"].sum() == 1).all()
