@@ -373,11 +373,21 @@ class WaveCrawler:
         self.small_wave_threshold = small_wave_threshold
         # waves with n_gated at or above this take the fully distributed
         # admission (dedup-split tasks → trap-gate actors → seq-finalize
-        # tasks; frontier handed on as plasma cells). Measured at bench2
-        # (540k-row wave, 32 cpus): distributed 22-23s wall vs 45-48s
-        # driver-admission in the same session window. Below it the
-        # driver lexsort path is exact and cheaper.
-        self.distributed_dedup_threshold = 100_000
+        # tasks; frontier handed on as plasma cells). Crossover measured
+        # with interleaved A/B at bench2 wave-3 (540k gated / 1.2M
+        # candidates, 32 cpus): the driver lexsort admission costs 0.74 s
+        # on the wave tail vs ~5.5 s for the distributed rounds (three
+        # barriered task/actor rounds whose fixed scheduling latency
+        # dominates at this volume) — crawl wall 19.8 s driver vs 28.4 s
+        # distributed, min-of-3 each. The driver tail scales ~0.6 µs/row
+        # (+8 bytes/row transient), so admission only becomes the wave
+        # bottleneck in the several-million-rows-per-wave regime — there
+        # the distributed tail amortizes its round latency across
+        # shard-parallel work and, more importantly, keeps the candidate
+        # table out of driver memory entirely (the only viable shape at
+        # 10^10 URLs). Same two-path pattern as the J8 frontier dedup.
+        self.distributed_dedup_threshold = int(os.environ.get(
+            "GRAFT_DIST_ADMIT_THRESHOLD", "2000000"))
         # big corpora make the driver-local small-wave path pay full
         # partition loads (~the whole corpus through the driver for a
         # 100-URL wave) — route ALL waves through the actor pool instead,
