@@ -105,6 +105,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dtype=np.float64)
         return S.ivf_topk(ds, q, k=10, num_centroids=8, nprobe=8).to_pandas()
 
+    def q_repetition_stats(sf_dir):
+        out = _docs(sf_dir).map_batches(
+            T.repetition_stats_batch, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_mixture_sample(sf_dir):
+        from librecrawl_ray.functions.sampling import mixture_sample
+        out = mixture_sample(_docs(sf_dir).select_columns(
+            ["doc_id", "source", "lang"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_train_shuffle(sf_dir):
+        from librecrawl_ray.functions.sampling import deterministic_shuffle
+        return deterministic_shuffle(
+            _docs(sf_dir).select_columns(["doc_id"])) \
+            .limit(100).to_pandas()
+
     return {
         # relational core
         "pricing_summary": R.pricing_summary,
@@ -134,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
+        "repetition_stats": q_repetition_stats,
+        "mixture_sample": q_mixture_sample,
+        "train_shuffle": q_train_shuffle,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -291,6 +311,17 @@ SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
 FROM lab ORDER BY doc_id
 """
 
+    from librecrawl_ray.functions.sampling import MIXTURE_RATE_SQL_CASE
+    mixture_sample_sql = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {MIXTURE_RATE_SQL_CASE}
+ORDER BY doc_id
+"""
+    train_shuffle_sql = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100
+"""
+
     out = {
         "pricing_summary": R.PRICING_SUMMARY_SQL,
         "top_customers": R.TOP_CUSTOMERS_SQL,
@@ -321,6 +352,9 @@ FROM lab ORDER BY doc_id
         "top_keywords": __import__(
             "librecrawl_ray.functions.keywords",
             fromlist=["top_keywords_sql"]).top_keywords_sql(20),
+        "repetition_stats": T.repetition_stats_sql("documents"),
+        "mixture_sample": mixture_sample_sql,
+        "train_shuffle": train_shuffle_sql,
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

@@ -1,0 +1,89 @@
+"""Deterministic sampling / shuffling operators for training-data curation.
+
+A 100-TB mixture build needs three properties the usual ``ds.random_sample``
+/ ``ds.random_shuffle`` pair cannot give: (1) the sample must be a pure
+function of the row (re-runs, retries and resumed partitions pick the same
+rows — no RNG state to checkpoint), (2) per-source rates must be exact
+policy, not best-effort, and (3) an oracle must be able to reproduce the
+selection bit-for-bit. All three ops key on ``md5(str(id))`` — the hex
+string compares identically in Python and DuckDB, so every operator here
+has an exact SQL twin.
+
+Scale notes: ``mixture_sample`` is a stateless batch filter (no shuffle at
+all — each block drops rows independently). ``deterministic_shuffle`` is a
+keyed global sort; at cluster scale Ray Data's sort range-partitions on
+the key, which is exactly the "write shuffled shards" step of a training
+run (consume with ``write_parquet`` per key range, not ``take_all``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["mixture_sample", "deterministic_shuffle",
+           "MIXTURE_RATE_SQL_CASE", "rate_to_hex"]
+
+
+def _hex8(key: str) -> str:
+    return hashlib.md5(key.encode()).hexdigest()[:8]
+
+
+def rate_to_hex(rate: float) -> str:
+    """Sampling rate → 8-hex-digit threshold: keep iff md5-prefix < it."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def _default_rate(source: str) -> float:
+    """Default mixture policy for the synthetic corpus's ``srcN`` sources:
+    even-numbered sources are majority domains (keep 1/2), odd-numbered
+    are minority domains (keep 1/8)."""
+    try:
+        n = int(source[3:])
+    except (ValueError, IndexError):
+        return 0.125
+    return 0.5 if n % 2 == 0 else 0.125
+
+
+MIXTURE_RATE_SQL_CASE = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
+    "THEN '{even}' ELSE '{odd}' END").format(
+        even=rate_to_hex(0.5), odd=rate_to_hex(0.125))
+
+
+def mixture_sample(ds: rd.Dataset, rates: dict[str, float] | None = None,
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> rd.Dataset:
+    """Per-source deterministic downsampling: keep a row iff the first 8
+    hex digits of ``md5(str(id))`` fall below the source's rate threshold.
+    ``rates`` maps source → rate; unlisted sources use the even/odd
+    default policy. Stateless per batch — no shuffle, no RNG."""
+    rates = rates or {}
+    thresholds = {s: rate_to_hex(r) for s, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        mask = [
+            _hex8(str(i)) < thresholds.get(s, rate_to_hex(_default_rate(s)))
+            for i, s in zip(ids, srcs)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds: rd.Dataset, id_col: str = "doc_id",
+                          key_col: str = "shuffle_key") -> rd.Dataset:
+    """Global deterministic shuffle: order by ``md5(str(id))``. The key is
+    collision-free in practice (128-bit) and reproducible across runs, so
+    a resumed training job reads the identical sequence. Returns the
+    dataset sorted by the key (Ray Data range-partitions the sort at
+    cluster scale)."""
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column(key_col, pa.array(keys, pa.string()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(key_col)

@@ -242,3 +242,103 @@ SELECT doc_id,
           i -> list_min(hs[i:i + {window - 1}]))))
   END AS fp
 FROM __grams"""
+
+
+# --------------------------------------- repetition / Gopher-style quality
+
+_ALNUM_RE = re.compile(r"[a-z0-9]+")
+
+
+def repetition_stats(text: str) -> tuple[int, int, int, int, int]:
+    """Per-document repetition signals in the Gopher quality-filter family
+    (Rae et al. 2021 §A1.1, adapted to word/bigram repetition because the
+    synthetic corpus is single-line): word count, distinct-word count,
+    max single-word frequency, max adjacent-bigram frequency, total word
+    length. All integers so the SQL twin hashes exactly (no float
+    rounding-mode traps)."""
+    from collections import Counter
+    words = _ALNUM_RE.findall((text or "").lower())
+    n = len(words)
+    if not n:
+        return 0, 0, 0, 0, 0
+    wc = Counter(words)
+    top_bigram = max(Counter(zip(words, words[1:])).values()) if n >= 2 \
+        else 0
+    return (n, len(wc), max(wc.values()), top_bigram,
+            sum(len(w) for w in words))
+
+
+def gopher_pass(n_words: int, n_unique: int, top_word: int,
+                sum_len: int) -> int:
+    """Integer-arithmetic Gopher-style accept gate: 10 ≤ words ≤ 100k,
+    mean word length in [3, 10], ≥20% unique words, top word ≤20% of all
+    words. Cross-multiplied so the engine and the SQL twin agree bit-for-
+    bit (no ratio floats)."""
+    return int(10 <= n_words <= 100_000
+               and 3 * n_words <= sum_len <= 10 * n_words
+               and 5 * n_unique >= n_words
+               and 5 * top_word <= n_words)
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """map_batches body: doc_id + repetition signals + the accept gate."""
+    texts = batch.column(text_col).to_pylist()
+    rows = [repetition_stats(t) for t in texts]
+    n, u, tw, tb, sl = (list(c) for c in zip(*rows)) if rows else \
+        ([], [], [], [], [])
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n, pa.int64()),
+        "n_unique_words": pa.array(u, pa.int64()),
+        "top_word_count": pa.array(tw, pa.int64()),
+        "top_bigram_count": pa.array(tb, pa.int64()),
+        "sum_word_len": pa.array(sl, pa.int64()),
+        "gopher_pass": pa.array(
+            [gopher_pass(a, b, c, e) for a, b, c, _d, e in rows],
+            pa.int32()),
+    })
+
+
+def repetition_stats_sql(table_expr: str, col: str = "text") -> str:
+    """DuckDB twin of repetition_stats_batch. Staged CTEs (norm → explode
+    → counts) — inlining list expressions into lambdas re-evaluates them
+    per element."""
+    return f"""
+WITH __w AS (
+  SELECT doc_id, regexp_extract_all(lower({col}), '[a-z0-9]+') AS ws
+  FROM {table_expr}),
+__base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         coalesce(list_sum(list_transform(ws, t -> len(t))), 0)::BIGINT
+             AS sum_word_len
+  FROM __w),
+__ex AS (SELECT doc_id, unnest(ws) AS word FROM __w),
+__wc AS (SELECT doc_id, word, count(*) AS c FROM __ex
+         GROUP BY doc_id, word),
+__tops AS (SELECT doc_id, count(*)::BIGINT AS n_unique_words,
+                  max(c)::BIGINT AS top_word_count
+           FROM __wc GROUP BY doc_id),
+__bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || chr(31) || ws[i + 1])) AS bigram
+  FROM __w WHERE len(ws) >= 2),
+__bgc AS (SELECT doc_id, bigram, count(*) AS c FROM __bg
+          GROUP BY doc_id, bigram),
+__bgtop AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_count
+            FROM __bgc GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+       coalesce(t.n_unique_words, 0) AS n_unique_words,
+       coalesce(t.top_word_count, 0) AS top_word_count,
+       coalesce(g.top_bigram_count, 0) AS top_bigram_count,
+       b.sum_word_len,
+       CAST(CASE WHEN b.n_words BETWEEN 10 AND 100000
+                  AND 3 * b.n_words <= b.sum_word_len
+                  AND b.sum_word_len <= 10 * b.n_words
+                  AND 5 * coalesce(t.n_unique_words, 0) >= b.n_words
+                  AND 5 * coalesce(t.top_word_count, 0) <= b.n_words
+             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+FROM __base b
+LEFT JOIN __tops t USING (doc_id)
+LEFT JOIN __bgtop g USING (doc_id)
+ORDER BY doc_id"""

@@ -559,3 +559,80 @@ def test_neardup_clusters_transitive_and_keepers(docs_ds):
     for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
         assert cl[a] == cl[b]
     assert (got.groupby("cluster_id")["is_keeper"].sum() == 1).all()
+
+
+def test_repetition_stats_naive_and_gate(docs_ds):
+    """repetition_stats_batch vs a per-doc naive recount; gate fires on a
+    synthetic repeated doc and passes clean prose."""
+    import re
+    from collections import Counter
+
+    from librecrawl_ray.functions import text as T
+
+    got = docs_ds.map_batches(
+        T.repetition_stats_batch, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    texts = docs_ds.to_pandas().sort_values("doc_id")["text"].tolist()
+    for i in (0, 7, 101, 499):
+        ws = re.findall(r"[a-z0-9]+", texts[i].lower())
+        row = got.iloc[i]
+        assert row["n_words"] == len(ws)
+        assert row["n_unique_words"] == len(set(ws))
+        assert row["top_word_count"] == max(Counter(ws).values())
+        bigs = Counter(zip(ws, ws[1:]))
+        assert row["top_bigram_count"] == (max(bigs.values()) if bigs
+                                           else 0)
+        assert row["sum_word_len"] == sum(len(w) for w in ws)
+    assert set(got["gopher_pass"].unique()) <= {0, 1}
+    # directed probes
+    spam = "spam " * 50
+    n, u, tw, tb, sl = T.repetition_stats(spam)
+    assert T.gopher_pass(n, u, tw, sl) == 0          # one word dominates
+    clean = ("the quick brown fox jumps over lazy dogs while many other "
+             "animals watch from nearby hills and valleys every single day")
+    n, u, tw, tb, sl = T.repetition_stats(clean)
+    assert T.gopher_pass(n, u, tw, sl) == 1
+
+
+def test_mixture_sample_deterministic_and_rated(docs_ds):
+    """mixture_sample is a pure row function: re-runs identical; explicit
+    rates hit the md5 threshold exactly; rate=0 drops a source."""
+    import hashlib
+
+    from librecrawl_ray.functions.sampling import (mixture_sample,
+                                                   rate_to_hex)
+
+    a = mixture_sample(docs_ds.select_columns(["doc_id", "source"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = mixture_sample(docs_ds.select_columns(["doc_id", "source"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # manual recount of the default policy
+    full = docs_ds.select_columns(["doc_id", "source"]).to_pandas()
+    def kept(r):
+        rate = 0.5 if int(r["source"][3:]) % 2 == 0 else 0.125
+        return (hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+                < rate_to_hex(rate))
+    want = full[full.apply(kept, axis=1)]["doc_id"].tolist()
+    assert a["doc_id"].tolist() == sorted(want)
+    # explicit rate 0 empties that source; rate 1.0 keeps all of it
+    c = mixture_sample(docs_ds.select_columns(["doc_id", "source"]),
+                       rates={"src0": 0.0, "src1": 1.0}).to_pandas()
+    assert (c["source"] == "src0").sum() == 0
+    assert (c["source"] == "src1").sum() == \
+        (full["source"] == "src1").sum()
+
+
+def test_deterministic_shuffle_orders_by_md5(docs_ds):
+    import hashlib
+
+    from librecrawl_ray.functions.sampling import deterministic_shuffle
+
+    got = deterministic_shuffle(docs_ds.select_columns(["doc_id"])) \
+        .limit(50).to_pandas()
+    keys = got["shuffle_key"].tolist()
+    assert keys == sorted(keys)
+    ids = docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    want = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                  .hexdigest())[:50]
+    assert got["doc_id"].tolist() == want
