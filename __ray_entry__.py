@@ -116,6 +116,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "source", "lang"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_curate_corpus(sf_dir):
+        from librecrawl_ray.pipelines.curate import curate_corpus
+        out = curate_corpus(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -154,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
+        "curate_corpus": q_curate_corpus,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -355,6 +361,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "repetition_stats": T.repetition_stats_sql("documents"),
         "mixture_sample": mixture_sample_sql,
         "train_shuffle": train_shuffle_sql,
+        "curate_corpus": __import__(
+            "librecrawl_ray.pipelines.curate",
+            fromlist=["curate_corpus_sql"]).curate_corpus_sql(),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

@@ -636,3 +636,31 @@ def test_deterministic_shuffle_orders_by_md5(docs_ds):
     want = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
                   .hexdigest())[:50]
     assert got["doc_id"].tolist() == want
+
+
+def test_curate_corpus_stage_semantics(docs_ds):
+    """curate_corpus output rows survive every stage predicate and dedup
+    keeps exactly one (min-id) row per fingerprint."""
+    from librecrawl_ray.functions import text as T
+    from librecrawl_ray.pipelines.curate import curate_corpus
+
+    got = curate_corpus(docs_ds).to_pandas().sort_values("doc_id")
+    full = docs_ds.to_pandas().set_index("doc_id")
+    fps = {}
+    for did in got["doc_id"]:
+        text = full.loc[did, "text"]
+        assert T.lang_id(text) == "en"
+        n, u, tw, _tb, sl = T.repetition_stats(text)
+        assert T.gopher_pass(n, u, tw, sl) == 1
+        fp = T.fingerprint(text)
+        assert fp not in fps, "two rows share a fingerprint"
+        fps[fp] = did
+    # keeper is the min doc_id among same-fingerprint gated rows
+    gated_min: dict[str, int] = {}
+    for did, text in full["text"].items():
+        n, u, tw, _tb, sl = T.repetition_stats(text)
+        if T.lang_id(text) == "en" and T.gopher_pass(n, u, tw, sl):
+            fp = T.fingerprint(text)
+            gated_min[fp] = min(gated_min.get(fp, did), did)
+    for fp, did in fps.items():
+        assert gated_min[fp] == did
