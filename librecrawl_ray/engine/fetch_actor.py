@@ -94,7 +94,9 @@ class CorpusFetcher:
         from ..policy import REDIRECT_STATUSES
         from ..stages.fetch import requires_js as _requires_js
         from ..stages.issues import soft404_hit
-        from ..stages.parse import _PARSE_FIELDS, extract_edges, parse_doc
+        from ..stages.parse import (_PARSE_FIELDS, extract_edges,
+                                    extract_edges_flat, flatten_spans,
+                                    parse_doc, parse_doc_flat)
 
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
@@ -151,15 +153,31 @@ class CorpusFetcher:
             gsel = pa.array([g for g, _ in fast_pairs], pa.int64())
             bsel = [i for _, i in fast_pairs]
             csel = combined.take(gsel)
-            spans_py = csel.column("spans").to_pylist()
             rjs_docs = csel.select(["size", "raw_content_hash",
                                     "rendered_content_hash",
                                     "rendered_size"]).to_pylist()
             f_urls = [urls[i] for i in bsel]
-            parsed = [parse_doc(u, sp or [], self.base_domain)
-                      for u, sp in zip(f_urls, spans_py)]
-            edges = [extract_edges(u, sp or [], self.base_domain)
-                     for u, sp in zip(f_urls, spans_py)]
+            # column-major span access: flattened child-array conversion is
+            # ~3× cheaper than list<struct>.to_pylist() dict building
+            # (measured 113 → 36 µs/page on bench2 — the former #1 cost of
+            # the whole fetch+parse worker)
+            flat = flatten_spans(csel.column("spans"))
+            if flat is None:
+                spans_py = csel.column("spans").to_pylist()
+                parsed = [parse_doc(u, sp or [], self.base_domain)
+                          for u, sp in zip(f_urls, spans_py)]
+                edges = [extract_edges(u, sp or [], self.base_domain)
+                         for u, sp in zip(f_urls, spans_py)]
+            else:
+                kinds, texts, mrefs, offs = flat
+                parsed = [parse_doc_flat(u, kinds, texts, mrefs,
+                                         offs[j], offs[j + 1],
+                                         self.base_domain)
+                          for j, u in enumerate(f_urls)]
+                edges = [extract_edges_flat(u, kinds, texts, mrefs,
+                                            offs[j], offs[j + 1],
+                                            self.base_domain)
+                         for j, u in enumerate(f_urls)]
             nf = len(f_urls)
             base_core = strip_www(self.base_domain.lower())
             status_py = csel.column("status_code").to_pylist()

@@ -66,6 +66,21 @@ def parse_doc(url: str, spans: list[dict],
     ``base_domain`` is the crawl's base domain for internal/external link
     counting (crawler.py base_domain semantics); defaults to the page's own
     host for standalone parsing."""
+    return parse_doc_flat(
+        url, [s["kind"] for s in spans], [s["text"] for s in spans],
+        [s["media_ref"] for s in spans], 0, len(spans), base_domain)
+
+
+def parse_doc_flat(url: str, kinds: list[str], texts: list[str],
+                   mrefs: list[str], lo: int, hi: int,
+                   base_domain: str | None = None) -> dict:
+    """parse_doc over column-major span storage: ``kinds/texts/mrefs`` are
+    the flattened child arrays of a whole batch's ``spans`` column and
+    ``[lo, hi)`` is this document's slice. The hot path — converting the
+    Arrow list<struct> to per-span Python dicts costs ~3× the flattened
+    child-array conversion (measured 113 vs 36 µs/page on bench2), so the
+    fetch workers parse from the flat lists and only tests/small paths go
+    through the dict adapter above."""
     title = None
     meta_description = None
     h1_list: list[str] = []
@@ -105,10 +120,10 @@ def parse_doc(url: str, spans: list[dict],
             return page_host == base_core
         return strip_www(host.split("@")[-1].split(":")[0]) == base_core
 
-    for s in spans:
-        kind = s["kind"]
-        text = s["text"]
-        mref = s["media_ref"]
+    for i in range(lo, hi):
+        kind = kinds[i]
+        text = texts[i]
+        mref = mrefs[i]
         if kind in _HEADING_KINDS:
             lvl = _HEADING_KINDS[kind]
             headings.append({"level": lvl, "text": text})
@@ -298,8 +313,16 @@ def parse_documents_batch(batch: pa.Table,
     appended. Keeps every input column (incl. the spans passthrough needed
     for the per-row span-sequence invariant)."""
     urls = batch.column("doc_id").to_pylist()
-    spans_col = batch.column("spans").to_pylist()
-    parsed = [parse_doc(u, s or [], base_domain) for u, s in zip(urls, spans_col)]
+    flat = flatten_spans(batch.column("spans"))
+    if flat is None:
+        spans_col = batch.column("spans").to_pylist()
+        parsed = [parse_doc(u, s or [], base_domain)
+                  for u, s in zip(urls, spans_col)]
+    else:
+        kinds, texts, mrefs, offs = flat
+        parsed = [parse_doc_flat(u, kinds, texts, mrefs, offs[i],
+                                 offs[i + 1], base_domain)
+                  for i, u in enumerate(urls)]
     out = batch
     for name, typ in _PARSE_FIELDS:
         out = out.append_column(
@@ -309,19 +332,46 @@ def parse_documents_batch(batch: pa.Table,
 
 # ------------------------------------------------------------------- edges
 
+def flatten_spans(col) -> tuple[list, list, list, "object"] | None:
+    """spans column → (kinds, texts, mrefs, offsets) flat child lists for
+    the *_flat parsers, or None when the column has null rows (caller
+    falls back to the dict path — offsets under nulls are unspecified)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return None
+    vals = col.values
+    return (vals.field("kind").to_pylist(),
+            vals.field("text").to_pylist(),
+            vals.field("media_ref").to_pylist(),
+            col.offsets.to_numpy())
+
+
 def extract_edges(url: str, spans: list[dict], base_domain: str,
                   dedup: set | None = None) -> list[dict]:
     """Link spans → edge rows (link_manager.py:120-195 semantics):
     anchor text truncated to 100 chars, (source,target) exact-deduped with
     first-wins, placement/nofollow from the span kind flags."""
+    return extract_edges_flat(
+        url, [s["kind"] for s in spans], [s["text"] for s in spans],
+        [s["media_ref"] for s in spans], 0, len(spans), base_domain, dedup)
+
+
+def extract_edges_flat(url: str, kinds: list[str], texts: list[str],
+                       mrefs: list[str], lo: int, hi: int,
+                       base_domain: str, dedup: set | None = None) \
+        -> list[dict]:
+    """extract_edges over column-major span storage (same flat layout as
+    parse_doc_flat; ``pos`` stays document-relative)."""
     out = []
     seen = dedup if dedup is not None else set()
-    for pos, s in enumerate(spans):
-        kind = s["kind"]
+    for i in range(lo, hi):
+        kind = kinds[i]
         if not kind.startswith("link"):
             continue
+        pos = i - lo
         flags = kind.split("|")
-        target = clean_url(s["media_ref"], url)
+        target = clean_url(mrefs[i], url)
         # Reference (link_manager.py collect_all_links) skips non-http(s)
         # targets (mailto:, tel:, javascript:) at discovery time.
         if not target.startswith(("http://", "https://")):
@@ -334,7 +384,7 @@ def extract_edges(url: str, spans: list[dict], base_domain: str,
         out.append({
             "source_url": url,
             "target_url": target,
-            "anchor_text": s["text"][:100],
+            "anchor_text": texts[i][:100],
             # Reference sets link is_internal from scope (root OR
             # subdomain) — link_manager.py collect_all_links; the pages-row
             # is_internal stays root-only (issue_detector.py semantics).
@@ -367,10 +417,18 @@ def make_edge_extractor(base_domain: str):
     """Returns a map_batches body (documents batch → edge rows table)."""
     def extract_edges_batch(batch: pa.Table) -> pa.Table:
         urls = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
         rows: list[dict] = []
-        for u, s in zip(urls, spans_col):
-            rows.extend(extract_edges(u, s or [], base_domain))
+        flat = flatten_spans(batch.column("spans"))
+        if flat is None:
+            spans_col = batch.column("spans").to_pylist()
+            for u, s in zip(urls, spans_col):
+                rows.extend(extract_edges(u, s or [], base_domain))
+        else:
+            kinds, texts, mrefs, offs = flat
+            for i, u in enumerate(urls):
+                rows.extend(extract_edges_flat(
+                    u, kinds, texts, mrefs, offs[i], offs[i + 1],
+                    base_domain))
         if not rows:
             return EDGES_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=EDGES_SCHEMA)

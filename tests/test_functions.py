@@ -664,3 +664,32 @@ def test_curate_corpus_stage_semantics(docs_ds):
             gated_min[fp] = min(gated_min.get(fp, did), did)
     for fp, did in fps.items():
         assert gated_min[fp] == did
+
+
+def test_parse_flat_equals_dict_path(ray_session, t1_corpus_dir):
+    """parse_doc_flat / extract_edges_flat == the dict-path parsers over a
+    real corpus partition (the fetch workers run the flat path)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from librecrawl_ray.pipelines import crawl_queries as C
+    from librecrawl_ray.stages.parse import (extract_edges,
+                                             extract_edges_flat,
+                                             flatten_spans, parse_doc,
+                                             parse_doc_flat)
+
+    part = sorted(glob.glob(os.path.join(t1_corpus_dir, "parts",
+                                         "*.parquet")))[0]
+    tbl = pq.read_table(part)
+    urls = tbl.column("norm_url").to_pylist()
+    spans_py = tbl.column("spans").to_pylist()
+    kinds, texts, mrefs, offs = flatten_spans(tbl.column("spans"))
+    for i, u in enumerate(urls):
+        assert parse_doc(u, spans_py[i] or [], C.BASE_DOMAIN) == \
+            parse_doc_flat(u, kinds, texts, mrefs, offs[i], offs[i + 1],
+                           C.BASE_DOMAIN)
+        assert extract_edges(u, spans_py[i] or [], C.BASE_DOMAIN) == \
+            extract_edges_flat(u, kinds, texts, mrefs, offs[i],
+                               offs[i + 1], C.BASE_DOMAIN)
