@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = curate_corpus(_docs(sf_dir)).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_chunk_documents(sf_dir):
+        from librecrawl_ray.functions.chunking import chunk_documents
+        out = chunk_documents(_docs(sf_dir)).to_pandas()
+        return out.sort_values(["doc_id", "chunk_id"]) \
+            .reset_index(drop=True)
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -160,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
         "curate_corpus": q_curate_corpus,
+        "chunk_documents": q_chunk_documents,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -364,6 +371,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "curate_corpus": __import__(
             "librecrawl_ray.pipelines.curate",
             fromlist=["curate_corpus_sql"]).curate_corpus_sql(),
+        "chunk_documents": __import__(
+            "librecrawl_ray.functions.chunking",
+            fromlist=["chunk_documents_sql"]).chunk_documents_sql(),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

@@ -693,3 +693,27 @@ def test_parse_flat_equals_dict_path(ray_session, t1_corpus_dir):
         assert extract_edges(u, spans_py[i] or [], C.BASE_DOMAIN) == \
             extract_edges_flat(u, kinds, texts, mrefs, offs[i],
                                offs[i + 1], C.BASE_DOMAIN)
+
+
+def test_chunk_documents_window_rule(docs_ds):
+    """Chunk windows: stride = chunk-overlap, every start < n_tokens, text
+    round-trips the token stream, final chunk may be short."""
+    import re
+
+    from librecrawl_ray.functions.chunking import chunk_documents
+
+    got = chunk_documents(docs_ds, chunk_tokens=16, overlap=4).to_pandas()
+    full = docs_ds.to_pandas().set_index("doc_id")["text"]
+    by_doc = dict(tuple(got.groupby("doc_id", sort=False)))
+    for did, text in full.items():
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        if not ws:
+            assert did not in by_doc
+            continue
+        g = by_doc[did].sort_values("chunk_id")
+        starts = list(range(0, len(ws), 12))
+        assert g["chunk_id"].tolist() == list(range(len(starts)))
+        for (_, row), start in zip(g.iterrows(), starts):
+            piece = ws[start:start + 16]
+            assert row["chunk_text"] == " ".join(piece)
+            assert row["n_tokens"] == len(piece)
