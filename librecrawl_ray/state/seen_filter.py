@@ -102,7 +102,16 @@ class SeenShard:
         cannot cross the threshold this call, ordered fallback only for
         the few that can — the exact semantics of the reference's
         link_manager trap gate (trap-rejected URLs never enter the seen
-        set)."""
+        set).
+
+        ``sigs`` may arrive as an Arrow string array (the engine ships the
+        per-shard signature slice zero-copy and the to-Python conversion
+        happens HERE, parallel across the shard actors — a driver-side
+        pylist + pickled list round measured 1.0 s vs 0.22 s at 560k
+        candidates/wave)."""
+        import pyarrow as _pa
+        if isinstance(sigs, (_pa.Array, _pa.ChunkedArray)):
+            sigs = sigs.to_pylist()
         n = len(sigs)
         if n == 0:
             return np.zeros(0, dtype=bool)
