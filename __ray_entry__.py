@@ -191,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     # generation is idempotent and seeded (same bytes every call)
     cp = {}
     sim = {}
+    crawl_out = {}
     from librecrawl_ray.functions.dedup import write_simhashes
     for sf in ("sf0.001", "sf0.01"):
         d = f"/root/testdata/{sf}"
@@ -202,9 +203,15 @@ def oracle_sql() -> dict[str, str]:
             sim[sf] = write_simhashes(
                 os.path.join(d, "documents.parquet"),
                 f"/tmp/graft_corpus/simhash/{sf}.parquet")
+            # crawl-output side tables for the pagerank oracle (the SQL
+            # twin reads the crawl's own pages/links parquet; no-op when
+            # the lineage already says complete)
+            C.full_crawl_pages(d)
+            crawl_out[sf] = os.path.join("/tmp/graft_crawl", C.tier_for(d))
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
     sim_path = sim.get("sf0.01") or next(iter(sim.values()), "")
+    pr_dir = crawl_out.get("sf0.01") or next(iter(crawl_out.values()), "")
 
     text_annotations_sql = f"""
 SELECT doc_id,
@@ -384,6 +391,11 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         # by pytest brute-force tests
         from librecrawl_ray.functions.dedup import simhash_pairs_sql
         out["simhash_pairs"] = simhash_pairs_sql(sim_path, max_hamming=3)
+    if pr_dir:
+        # damped power iteration unrolled as a CTE chain over the crawl's
+        # own pages/links parquet — verifies the PageRank transform in
+        # SQL; the crawl itself is pinned by the conformance suite
+        out["crawl_pagerank"] = C.crawl_pagerank_sql(pr_dir)
     if path:
         out["crawl_parse"] = C.crawl_parse_sql(path)
         out["crawl_edges"] = C.crawl_edges_sql(path)

@@ -444,3 +444,57 @@ def crawl_pagerank(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
     pr = reports.pagerank_lite(pages, links).to_pandas()
     return (pr.sort_values(["rank", "url"], ascending=[False, True])
             .head(50).reset_index(drop=True))
+
+
+def crawl_pagerank_sql(out_dir: str, iterations: int = 5,
+                       damping: float = 0.85) -> str:
+    """DuckDB twin of ``crawl_pagerank``: the damped power iteration
+    unrolled as a CTE chain over the crawl's own pages/links parquet
+    (side-table oracle pattern, like the simhash sketches — the crawl
+    itself is pinned by the conformance suite; this verifies the PageRank
+    transform end-to-end in SQL). Matches pagerank_lite exactly: internal
+    edges, normalized + deduped, both endpoints semi-joined to crawled
+    nodes, dangling mass redistributed, ranks rounded to 10 dp, top 50 by
+    (rank desc, url)."""
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+
+    def norm(col: str) -> str:
+        return (f"CASE WHEN strpos(split_part(rtrim(lower({col}), '/'), "
+                f"'://', 2), '/') = 0 "
+                f"THEN rtrim(lower({col}), '/') || '/' "
+                f"ELSE rtrim(lower({col}), '/') END")
+
+    parts = [f"""
+__p AS (SELECT url FROM read_parquet('{pages_glob}')),
+__nodes AS (SELECT DISTINCT {norm('url')} AS n FROM __p),
+__nn AS (SELECT count(*)::DOUBLE AS cnt FROM __nodes),
+__e0 AS (SELECT DISTINCT {norm('source_url')} AS src,
+                {norm('target_url')} AS dst
+         FROM read_parquet('{links_glob}') WHERE is_internal),
+__edges AS (SELECT e.src, e.dst FROM __e0 e
+            JOIN __nodes a ON e.src = a.n
+            JOIN __nodes b ON e.dst = b.n),
+__outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM __edges GROUP BY src),
+__r0 AS (SELECT n, 1.0 / (SELECT cnt FROM __nn) AS rank FROM __nodes)"""]
+    prev = "__r0"
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+__d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM {prev} r
+           WHERE r.n NOT IN (SELECT src FROM __outdeg)),
+__s{k} AS (SELECT e.dst AS n, sum(r.rank / o.d) AS contrib
+           FROM __edges e JOIN {prev} r ON e.src = r.n
+           JOIN __outdeg o ON e.src = o.src GROUP BY e.dst),
+__r{k} AS (SELECT nd.n,
+                  (1.0 - {damping}) / (SELECT cnt FROM __nn)
+                + {damping} * (SELECT mass FROM __d{k})
+                      / (SELECT cnt FROM __nn)
+                + {damping} * coalesce(s.contrib, 0.0) AS rank
+           FROM __nodes nd LEFT JOIN __s{k} s USING (n))""")
+        prev = f"__r{k}"
+    parts.append(f"""
+SELECT p.url, round(r.rank, 10) AS rank
+FROM (SELECT DISTINCT url, {norm('url')} AS n FROM __p) p
+JOIN {prev} r USING (n)
+ORDER BY rank DESC, url LIMIT 50""")
+    return "WITH " + "".join(parts)
