@@ -455,7 +455,10 @@ def crawl_pagerank_sql(out_dir: str, iterations: int = 5,
     transform end-to-end in SQL). Matches pagerank_lite exactly: internal
     edges, normalized + deduped, both endpoints semi-joined to crawled
     nodes, dangling mass redistributed, ranks rounded to 10 dp, top 50 by
-    (rank desc, url)."""
+    (rank desc, url). Iteration CTEs are MATERIALIZED — each __r{k} is
+    referenced twice (dangling mass + contributions), and DuckDB's
+    default inlining re-evaluates the whole chain per reference
+    (measured 126 s → ~2 s at t2 scale)."""
     pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
     links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
 
@@ -467,16 +470,17 @@ def crawl_pagerank_sql(out_dir: str, iterations: int = 5,
 
     parts = [f"""
 __p AS (SELECT url FROM read_parquet('{pages_glob}')),
-__nodes AS (SELECT DISTINCT {norm('url')} AS n FROM __p),
+__nodes AS MATERIALIZED (SELECT DISTINCT {norm('url')} AS n FROM __p),
 __nn AS (SELECT count(*)::DOUBLE AS cnt FROM __nodes),
-__e0 AS (SELECT DISTINCT {norm('source_url')} AS src,
+__e0 AS MATERIALIZED (SELECT DISTINCT {norm('source_url')} AS src,
                 {norm('target_url')} AS dst
          FROM read_parquet('{links_glob}') WHERE is_internal),
-__edges AS (SELECT e.src, e.dst FROM __e0 e
+__edges AS MATERIALIZED (SELECT e.src, e.dst FROM __e0 e
             JOIN __nodes a ON e.src = a.n
             JOIN __nodes b ON e.dst = b.n),
-__outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM __edges GROUP BY src),
-__r0 AS (SELECT n, 1.0 / (SELECT cnt FROM __nn) AS rank FROM __nodes)"""]
+__outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM __edges GROUP BY src),
+__r0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT cnt FROM __nn) AS rank
+         FROM __nodes)"""]
     prev = "__r0"
     for k in range(1, iterations + 1):
         parts.append(f""",
@@ -485,7 +489,7 @@ __d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM {prev} r
 __s{k} AS (SELECT e.dst AS n, sum(r.rank / o.d) AS contrib
            FROM __edges e JOIN {prev} r ON e.src = r.n
            JOIN __outdeg o ON e.src = o.src GROUP BY e.dst),
-__r{k} AS (SELECT nd.n,
+__r{k} AS MATERIALIZED (SELECT nd.n,
                   (1.0 - {damping}) / (SELECT cnt FROM __nn)
                 + {damping} * (SELECT mass FROM __d{k})
                       / (SELECT cnt FROM __nn)
