@@ -127,6 +127,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "chunk_id"]) \
             .reset_index(drop=True)
 
+    def q_pii_scan(sf_dir):
+        out = _docs(sf_dir).map_batches(
+            T.pii_scan_batch, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_label_centroids(sf_dir):
+        import pandas as pd
+        tbl = S.label_centroids(_emb(sf_dir)).to_pandas()
+        rows = []
+        for _, r in tbl.iterrows():
+            for d, v in enumerate(r["centroid"], start=1):
+                rows.append((int(r["label"]), d, float(v)))
+        return pd.DataFrame(rows, columns=["label", "dim", "value"]) \
+            .sort_values(["label", "dim"]).reset_index(drop=True)
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -167,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shuffle": q_train_shuffle,
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
+        "pii_scan": q_pii_scan,
+        "label_centroids": q_label_centroids,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -381,6 +398,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "chunk_documents": __import__(
             "librecrawl_ray.functions.chunking",
             fromlist=["chunk_documents_sql"]).chunk_documents_sql(),
+        "pii_scan": T.pii_scan_sql("documents"),
+        "label_centroids": __import__(
+            "librecrawl_ray.functions.similarity",
+            fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

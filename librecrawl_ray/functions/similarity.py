@@ -162,3 +162,51 @@ def top_similar_pairs(ds: rd.Dataset, k: int = 20,
                               ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(parts.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def label_centroids(ds: rd.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Per-label centroid of an embedding column: per-batch partial
+    (sum-vector, count) rows — the combiner, so only #labels × #blocks
+    tiny rows leave the map stage, never raw vectors — then a final
+    driver-side reduce over the label-sized partials. The k-means update
+    step / class-prototype builder of an embedding pipeline. Returns
+    (label, n_vectors, centroid list<double>) sorted by label."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(vec_col).to_pylist()) \
+            .astype(np.float64)
+        uniq = np.unique(labels)
+        sums = [m[labels == u].sum(axis=0).tolist() for u in uniq]
+        counts = [int((labels == u).sum()) for u in uniq]
+        return pa.table({
+            "label": pa.array(uniq.tolist(), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "s": pa.array(sums, pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_l, out_n, out_c = [], [], []
+    for lab, grp in parts.groupby("label", sort=True):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        out_l.append(int(lab))
+        out_n.append(n)
+        out_c.append((s / n).tolist())
+    return pa.table({
+        "label": pa.array(out_l, pa.int64()),
+        "n_vectors": pa.array(out_n, pa.int64()),
+        "centroid": pa.array(out_c, pa.list_(pa.float64())),
+    })
+
+
+LABEL_CENTROIDS_SQL = """
+WITH __ex AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       (sum(v::DOUBLE) / count(*)) AS value
+FROM __ex GROUP BY label, dim ORDER BY label, dim"""

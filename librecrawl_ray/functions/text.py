@@ -342,3 +342,53 @@ FROM __base b
 LEFT JOIN __tops t USING (doc_id)
 LEFT JOIN __bgtop g USING (doc_id)
 ORDER BY doc_id"""
+
+
+# -------------------------------------------------------- PII-pattern scan
+
+# RE2-safe (no lookaround/backrefs) so DuckDB regexp_extract_all matches
+# re.findall exactly. Deliberately simple curation-grade detectors: a
+# production pipeline swaps stricter validators into the same batch shape.
+_EMAIL_RE = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+_PHONE_RE = re.compile(r"\+?[0-9][0-9()\-. ]{7,}[0-9]")
+_IPV4_RE = re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+EMAIL_SQL = (r"len(regexp_extract_all(lower({col}), "
+             r"'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}'))")
+PHONE_SQL = (r"len(regexp_extract_all(lower({col}), "
+             r"'\+?[0-9][0-9()\-. ]{{7,}}[0-9]'))")
+IPV4_SQL = (r"len(regexp_extract_all(lower({col}), "
+            r"'[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}'))")
+
+
+def pii_scan_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches body: per-doc counts of email / phone / IPv4 patterns
+    plus a has_pii flag — the redaction-triage pass of a curation
+    pipeline (stateless, no shuffle; a redactor stage consumes the
+    match offsets in the same batch shape)."""
+    texts = [(t or "").lower() for t in batch.column(text_col).to_pylist()]
+    em = [len(_EMAIL_RE.findall(t)) for t in texts]
+    ph = [len(_PHONE_RE.findall(t)) for t in texts]
+    ip = [len(_IPV4_RE.findall(t)) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "email_count": pa.array(em, pa.int64()),
+        "phone_count": pa.array(ph, pa.int64()),
+        "ipv4_count": pa.array(ip, pa.int64()),
+        "has_pii": pa.array([int(a + b + c > 0)
+                             for a, b, c in zip(em, ph, ip)], pa.int32()),
+    })
+
+
+def pii_scan_sql(table_expr: str = "documents", col: str = "text") -> str:
+    e = EMAIL_SQL.format(col=col)
+    p = PHONE_SQL.format(col=col)
+    i = IPV4_SQL.format(col=col)
+    return f"""
+SELECT doc_id,
+       {e}::BIGINT AS email_count,
+       {p}::BIGINT AS phone_count,
+       {i}::BIGINT AS ipv4_count,
+       CAST(CASE WHEN {e} + {p} + {i} > 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_pii
+FROM {table_expr} ORDER BY doc_id"""

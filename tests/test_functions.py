@@ -717,3 +717,36 @@ def test_chunk_documents_window_rule(docs_ds):
             piece = ws[start:start + 16]
             assert row["chunk_text"] == " ".join(piece)
             assert row["n_tokens"] == len(piece)
+
+
+def test_pii_scan_counts(docs_ds):
+    import pyarrow as pa
+
+    from librecrawl_ray.functions.text import pii_scan_batch
+
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "mail a.b@c.io or x@y.org, call +1 (555) 123-4567",
+                      "server at 192.168.0.1 and 10.0.0.2",
+                      "clean words only here"])})
+    out = pii_scan_batch(b).to_pylist()
+    assert out[0]["email_count"] == 2 and out[0]["phone_count"] == 1
+    assert out[1]["ipv4_count"] == 2 and out[1]["has_pii"] == 1
+    assert out[2] == {"doc_id": 3, "email_count": 0, "phone_count": 0,
+                      "ipv4_count": 0, "has_pii": 0}
+
+
+def test_label_centroids_match_numpy(emb_ds):
+    import numpy as np
+
+    from librecrawl_ray.functions.similarity import label_centroids
+
+    got = label_centroids(emb_ds)
+    df = emb_ds.to_pandas()
+    for lab, n, cen in zip(got.column("label").to_pylist(),
+                           got.column("n_vectors").to_pylist(),
+                           got.column("centroid").to_pylist()):
+        sub = df[df["label"] == lab]["embedding"]
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in sub])
+        assert n == len(sub)
+        assert np.allclose(np.asarray(cen), m.mean(axis=0), atol=1e-12)
