@@ -300,12 +300,17 @@ def bucketed_url_counts(ds: rd.Dataset, url_col: str, out_col: str,
 
 
 def inlink_counts(links: rd.Dataset) -> rd.Dataset:
-    """A8: inlinks per normalized target URL."""
-    return bucketed_url_counts(links, "target_url", "norm_target")
+    """A8: inlinks per normalized target URL. Projects to the one column
+    the count reads before anything executes — with a parquet-backed
+    dataset the select pushes into the read, so the other 11 edge columns
+    never leave storage."""
+    return bucketed_url_counts(links.select_columns(["target_url"]),
+                               "target_url", "norm_target")
 
 
 def outlink_counts(links: rd.Dataset) -> rd.Dataset:
-    return bucketed_url_counts(links, "source_url", "norm_source")
+    return bucketed_url_counts(links.select_columns(["source_url"]),
+                               "source_url", "norm_source")
 
 
 def linked_from(pages: rd.Dataset, links: rd.Dataset,
