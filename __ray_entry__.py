@@ -142,6 +142,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows, columns=["label", "dim", "value"]) \
             .sort_values(["label", "dim"]).reset_index(drop=True)
 
+    def q_decontaminate(sf_dir):
+        from librecrawl_ray.functions.decontam import decontaminate
+        return decontaminate(_docs(sf_dir), n=5).to_pandas()
+
+    def q_dataset_stats(sf_dir):
+        from librecrawl_ray.functions.stats import dataset_stats
+        return dataset_stats(_docs(sf_dir)).to_pandas()
+
+    def q_semantic_dedup(sf_dir):
+        return D.semantic_dedup(_emb(sf_dir)).to_pandas()
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -184,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
+        "decontaminate": q_decontaminate,
+        "dataset_stats": q_dataset_stats,
+        "semantic_dedup": q_semantic_dedup,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -208,8 +222,10 @@ def oracle_sql() -> dict[str, str]:
     # generation is idempotent and seeded (same bytes every call)
     cp = {}
     sim = {}
+    sem = {}
     crawl_out = {}
-    from librecrawl_ray.functions.dedup import write_simhashes
+    from librecrawl_ray.functions.dedup import (write_cluster_assignments,
+                                                write_simhashes)
     for sf in ("sf0.001", "sf0.01"):
         d = f"/root/testdata/{sf}"
         if os.path.isdir(d):
@@ -220,6 +236,12 @@ def oracle_sql() -> dict[str, str]:
             sim[sf] = write_simhashes(
                 os.path.join(d, "documents.parquet"),
                 f"/tmp/graft_corpus/simhash/{sf}.parquet")
+            # k-means assignment side-table for the semantic_dedup oracle
+            # (within-cluster pairs + closure + keeper checked in SQL;
+            # the k-means itself is pinned by pytest determinism)
+            sem[sf] = write_cluster_assignments(
+                os.path.join(d, "embeddings.parquet"),
+                f"/tmp/graft_corpus/semdedup/{sf}.parquet")
             # crawl-output side tables for the pagerank oracle (the SQL
             # twin reads the crawl's own pages/links parquet; no-op when
             # the lineage already says complete)
@@ -228,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
     sim_path = sim.get("sf0.01") or next(iter(sim.values()), "")
+    sem_path = sem.get("sf0.01") or next(iter(sem.values()), "")
     pr_dir = crawl_out.get("sf0.01") or next(iter(crawl_out.values()), "")
 
     text_annotations_sql = f"""
@@ -402,10 +425,19 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "label_centroids": __import__(
             "librecrawl_ray.functions.similarity",
             fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,
+        "decontaminate": __import__(
+            "librecrawl_ray.functions.decontam",
+            fromlist=["decontaminate_sql"]).decontaminate_sql(n=5),
+        "dataset_stats": __import__(
+            "librecrawl_ray.functions.stats",
+            fromlist=["dataset_stats_sql"]).dataset_stats_sql(),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references
     }
+    if sem_path:
+        from librecrawl_ray.functions.dedup import semantic_dedup_sql
+        out["semantic_dedup"] = semantic_dedup_sql(sem_path)
     if sim_path:
         # pair validity AND pigeonhole completeness verified in SQL over
         # the persisted sketches; the simhash computation itself is pinned

@@ -452,6 +452,140 @@ def winnow_neardup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                                 preserve_index=False)
 
 
+# ---------------------------------------------------- semantic dedup
+
+SEMANTIC_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                             ("cluster", pa.int64()),
+                             ("dup_group", pa.int64()),
+                             ("is_kept", pa.bool_())])
+
+
+def assign_clusters(ds: rd.Dataset, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> rd.Dataset:
+    """Append a ``cluster`` column: argmax-cosine centroid assignment.
+    Centroids are broadcast once via ray.put; assignment streams."""
+    cent_ref = ray.put(centroids)
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        from .similarity import _as_matrix, _normalize
+        c = ray.get(cent_ref)
+        m = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        assign = (m @ c.T).argmax(axis=1).astype("int64")
+        return batch.append_column("cluster", pa.array(assign, pa.int64()))
+
+    return ds.map_batches(add_cluster, batch_format="pyarrow")
+
+
+def write_cluster_assignments(embeddings_parquet: str, out_path: str,
+                              num_centroids: int = 8, seed: int = 5,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """Persist the k-means assignment (vec_id, cluster) to parquet (atomic
+    tmp+rename) — the DuckDB side-table for the ``semantic_dedup`` oracle.
+    With assignments on disk, the within-cluster pair generation, the
+    transitive closure, and the keeper election are all SQL-checkable;
+    the k-means itself (not SQL-expressible) is pinned by determinism
+    pytest. Same pattern as ``write_simhashes``."""
+    import os
+
+    import pyarrow.parquet as pq
+    from .similarity import train_centroids
+    ds = rd.read_parquet(embeddings_parquet)
+    cent = train_centroids(ds, num_centroids, seed=seed, vec_col=vec_col)
+    out = (assign_clusters(ds, cent, id_col, vec_col)
+           .select_columns([id_col, "cluster"]).to_pandas()
+           .sort_values(id_col).reset_index(drop=True))
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def semantic_dedup(ds: rd.Dataset, id_col: str = "vec_id",
+                   vec_col: str = "embedding", num_centroids: int = 8,
+                   threshold: float = 0.42, seed: int = 5) -> pa.Table:
+    """SemDedup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    cosine ≥ τ pairs WITHIN each cluster only (the clusters bound the
+    O(N²) — the whole point of the method), take connected components,
+    keep the min-id representative per component.
+
+    Output: (vec_id, cluster, dup_group, is_kept) for every vector —
+    ``dup_group`` = min vec_id of the component (self if unpaired),
+    ``is_kept`` marks the rows a dedup pass retains.
+
+    Distributed shape: centroids train on a bounded driver sample and
+    broadcast; assignment streams (map_batches); within-cluster pairs via
+    groupby(cluster) → per-group matmul (embedding_neardup_pairs); the
+    component root map is pair-sized, broadcast once; labeling streams.
+    The only corpus-sized shuffle is the cluster groupby.
+
+    Note: τ defaults low because the synthetic fixture embeddings are
+    near-orthogonal (max within-cluster cosine ≈ 0.51); on real text
+    embeddings SemDedup operates at τ ≈ 0.95+ — τ is the caller's knob.
+    """
+    from .similarity import train_centroids
+    cent = train_centroids(ds, num_centroids, seed=seed, vec_col=vec_col)
+    assigned = assign_clusters(ds.select_columns([id_col, vec_col]), cent,
+                               id_col, vec_col)
+    pairs = embedding_neardup_pairs(assigned, id_col=id_col,
+                                    vec_col=vec_col, block_col="cluster",
+                                    threshold=threshold)
+    roots_ref = ray.put(connected_components(pairs))
+
+    def label(batch: pa.Table) -> pa.Table:
+        roots = ray.get(roots_ref)
+        ids = [int(i) for i in batch.column(id_col).to_pylist()]
+        grp = [roots.get(i, i) for i in ids]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": batch.column("cluster"),
+            "dup_group": pa.array(grp, pa.int64()),
+            "is_kept": pa.array([g == i for i, g in zip(ids, grp)],
+                                pa.bool_())})
+
+    out = (assigned.select_columns([id_col, "cluster"])
+           .map_batches(label, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, schema=SEMANTIC_SCHEMA,
+                                preserve_index=False)
+
+
+def semantic_dedup_sql(assign_parquet: str, threshold: float = 0.42,
+                       emb_table: str = "embeddings") -> str:
+    """DuckDB twin over the persisted assignment side-table: within-cluster
+    cosine ≥ τ pairs, recursive-CTE transitive closure, min-id keeper —
+    verifies everything downstream of the (pytest-pinned) k-means."""
+    return f"""
+WITH RECURSIVE a AS (
+  SELECT vec_id, cluster FROM read_parquet('{assign_parquet}')),
+e AS (
+  SELECT x.vec_id, x.embedding, a.cluster
+  FROM {emb_table} x JOIN a ON x.vec_id = a.vec_id),
+p AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM e l JOIN e r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+  WHERE list_cosine_similarity(l.embedding::DOUBLE[],
+                               r.embedding::DOUBLE[]) >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.src, e2.d FROM reach r JOIN edges e2 ON r.dst = e2.s),
+lab AS (
+  SELECT a.vec_id, a.cluster,
+         least(a.vec_id, coalesce(min(r.dst), a.vec_id)) AS dup_group
+  FROM a LEFT JOIN reach r ON r.src = a.vec_id
+  GROUP BY a.vec_id, a.cluster)
+SELECT vec_id, cluster, dup_group, vec_id = dup_group AS is_kept
+FROM lab ORDER BY vec_id
+"""
+
+
 # ------------------------------------------------- near-dup clustering
 
 CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()),

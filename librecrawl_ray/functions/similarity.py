@@ -75,10 +75,19 @@ def hyperplane_buckets(ds: rd.Dataset, num_planes: int = 8, seed: int = 11,
 
 def train_centroids(ds: rd.Dataset, num_centroids: int = 16,
                     sample_limit: int = 10_000, iters: int = 10,
-                    seed: int = 5, vec_col: str = "embedding") -> np.ndarray:
+                    seed: int = 5, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
     """Driver-side mini k-means on a bounded sample (the IVF train step —
-    at 100 TB you train on the same bounded sample; assignment streams)."""
-    sample = ds.select_columns([vec_col]).limit(sample_limit).to_pandas()
+    at 100 TB you train on the same bounded sample; assignment streams).
+
+    The sample is sorted by ``id_col`` before training: Ray's block gather
+    order is NOT stable across reads (measured: the first read of a file
+    in a session can permute rows vs later reads), and k-means results
+    depend on row order via the seeded initial pick — sorting makes the
+    centroids a pure function of the sampled row SET, so side-table
+    writers and query paths in different processes agree bit-for-bit."""
+    sample = ds.select_columns([id_col, vec_col]) \
+               .limit(sample_limit).to_pandas().sort_values(id_col)
     m = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(num_centroids, len(m)),

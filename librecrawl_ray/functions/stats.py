@@ -1,0 +1,99 @@
+"""Dataset-card statistics over a document table.
+
+``dataset_stats`` — per (source, lang): document count, total word tokens,
+total characters, and the EXACT distinct-document count (by content
+fingerprint). The per-group token/byte totals are what a training-mixture
+card reports; the distinct count is the dedup-aware size the mixture
+weights actually apply to. Generalizes the reference's per-crawl summary
+counters (crawler.py:574-576, crawl_db stats) to a corpus-scale pass.
+
+Ray-Data-first shape (two streaming passes, one narrow shuffle):
+- Totals: per-batch pandas partial aggregation (the combiner) → tiny
+  partial frames → final sum on the collected partials. The shuffle-free
+  partial-aggregate shape: block count × group count rows, never
+  corpus-sized.
+- Exact distinct: (source, lang, fingerprint) narrow rows bucketed by
+  crc32(fingerprint) — identical fingerprints collocate, so per-bucket
+  drop_duplicates is globally correct — then per-bucket group counts sum.
+  This is the scale path for count(DISTINCT) that an approximate engine
+  would do with HLL; here exactness is required for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .text import fingerprint, token_count
+
+
+def dataset_stats(ds: rd.Dataset, text_col: str = "text",
+                  group_cols: tuple[str, str] = ("source", "lang"),
+                  chars_col: str = "n_chars",
+                  buckets: int = 32) -> pa.Table:
+    """(source, lang, n_docs, total_tokens, total_chars, n_unique_docs),
+    sorted by the group key."""
+    g0, g1 = group_cols
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__tok=[token_count(t) for t in df[text_col]])
+        out = (df.groupby([g0, g1], sort=False)
+               .agg(n_docs=(text_col, "size"), total_tokens=("__tok", "sum"),
+                    total_chars=(chars_col, "sum")).reset_index())
+        return out
+
+    partials = (ds.select_columns([g0, g1, text_col, chars_col])
+                .map_batches(partial, batch_format="pandas").to_pandas())
+    totals = (partials.groupby([g0, g1], sort=False)
+              .agg(n_docs=("n_docs", "sum"),
+                   total_tokens=("total_tokens", "sum"),
+                   total_chars=("total_chars", "sum")).reset_index())
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in batch.column(text_col).to_pylist()]
+        bk = [zlib.crc32(f.encode()) % buckets for f in fps]
+        return pa.table({
+            g0: batch.column(g0), g1: batch.column(g1),
+            "fp": pa.array(fps, pa.string()),
+            "__bucket": pa.array(bk, pa.int32())})
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([g0, g1, "fp"])
+        return (d.groupby([g0, g1], sort=False)
+                .size().reset_index(name="n_unique_docs"))
+
+    uniq_parts = (ds.select_columns([g0, g1, text_col])
+                  .map_batches(to_fp, batch_format="pyarrow")
+                  .groupby("__bucket")
+                  .map_groups(lambda df: bucket_distinct(
+                      df.drop(columns="__bucket")), batch_format="pandas")
+                  .to_pandas())
+    uniq = (uniq_parts.groupby([g0, g1], sort=False)
+            .agg(n_unique_docs=("n_unique_docs", "sum")).reset_index())
+
+    out = (totals.merge(uniq, on=[g0, g1], how="left")
+           .sort_values([g0, g1]).reset_index(drop=True))
+    schema = pa.schema([(g0, pa.string()), (g1, pa.string()),
+                        ("n_docs", pa.int64()),
+                        ("total_tokens", pa.int64()),
+                        ("total_chars", pa.int64()),
+                        ("n_unique_docs", pa.int64())])
+    return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+
+def dataset_stats_sql(table: str = "documents") -> str:
+    from .text import FINGERPRINT_SQL, TOKEN_COUNT_SQL
+    return f"""
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum({TOKEN_COUNT_SQL.format(col='text')})::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT {FINGERPRINT_SQL.format(col='text')})::BIGINT
+         AS n_unique_docs
+FROM {table}
+GROUP BY source, lang
+ORDER BY source, lang
+"""

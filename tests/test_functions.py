@@ -750,3 +750,101 @@ def test_label_centroids_match_numpy(emb_ds):
         m = np.stack([np.asarray(v, dtype=np.float64) for v in sub])
         assert n == len(sub)
         assert np.allclose(np.asarray(cen), m.mean(axis=0), atol=1e-12)
+
+
+def test_decontaminate_counts_and_exclusion(docs_ds):
+    from librecrawl_ray.functions.decontam import decontaminate
+    from librecrawl_ray.functions.dedup import _shingles
+
+    out = decontaminate(docs_ds, n=5).to_pandas()
+    df = docs_ds.to_pandas()
+    bench_ids = {int(i) for i in df["doc_id"] if int(i) % 37 == 0}
+    assert bench_ids and bench_ids.isdisjoint(set(out["doc_id"]))
+    assert len(out) == len(df) - len(bench_ids)
+    # independent recount: distinct shared 5-grams per training doc
+    bset: set[str] = set()
+    for _, r in df.iterrows():
+        if int(r["doc_id"]) % 37 == 0:
+            bset |= set(_shingles(r["text"], 5))
+    exp = {int(r["doc_id"]): len(set(_shingles(r["text"], 5)) & bset)
+           for _, r in df.iterrows() if int(r["doc_id"]) % 37 != 0}
+    assert dict(zip(out["doc_id"], out["overlap"])) == exp
+    assert (out["contaminated"] == (out["overlap"] > 0)).all()
+
+
+def test_dataset_stats_matches_pandas(docs_ds):
+    from librecrawl_ray.functions.stats import dataset_stats
+    from librecrawl_ray.functions.text import fingerprint, token_count
+
+    got = dataset_stats(docs_ds).to_pandas()
+    df = docs_ds.to_pandas()
+    df["tok"] = [token_count(t) for t in df["text"]]
+    df["fp"] = [fingerprint(t) for t in df["text"]]
+    exp = (df.groupby(["source", "lang"])
+           .agg(n_docs=("text", "size"), total_tokens=("tok", "sum"),
+                total_chars=("n_chars", "sum"),
+                n_unique_docs=("fp", "nunique"))
+           .reset_index().sort_values(["source", "lang"])
+           .reset_index(drop=True))
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_train_centroids_order_invariant(emb_ds):
+    from librecrawl_ray.functions.similarity import train_centroids
+
+    c1 = train_centroids(emb_ds, 8)
+    c2 = train_centroids(emb_ds.random_shuffle(seed=123), 8)
+    assert np.array_equal(c1, c2)
+
+
+def test_semantic_dedup_deterministic_and_correct(emb_ds):
+    from librecrawl_ray.functions.dedup import semantic_dedup
+    from librecrawl_ray.functions.similarity import (_as_matrix, _normalize,
+                                                     train_centroids)
+
+    out = semantic_dedup(emb_ds, threshold=0.42).to_pandas()
+    out2 = semantic_dedup(emb_ds, threshold=0.42).to_pandas()
+    assert out.equals(out2)
+
+    # exactly one keeper per group, and it is the min id
+    for grp, sub in out.groupby("dup_group"):
+        assert int(sub["is_kept"].sum()) == 1
+        assert int(sub.loc[sub["is_kept"], "vec_id"].iloc[0]) == grp
+        assert int(sub["vec_id"].min()) == grp
+        # components are cluster-contained (edges never cross clusters)
+        assert sub["cluster"].nunique() == 1
+
+    # brute-force twin: same centroids -> per-cluster all-pairs cosine ->
+    # naive BFS closure -> min-id labels
+    df = emb_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    cent = train_centroids(emb_ds, 8)
+    m = _normalize(_as_matrix(df["embedding"].to_numpy()))
+    ids = df["vec_id"].to_numpy()
+    assign = (m @ cent.T).argmax(axis=1)
+    adj: dict[int, set[int]] = {}
+    for c in set(assign.tolist()):
+        sel = np.where(assign == c)[0]
+        sims = m[sel] @ m[sel].T
+        for x in range(len(sel)):
+            for y in range(x + 1, len(sel)):
+                if sims[x, y] >= 0.42:
+                    a, b = int(ids[sel[x]]), int(ids[sel[y]])
+                    adj.setdefault(a, set()).add(b)
+                    adj.setdefault(b, set()).add(a)
+    exp_group = {}
+    for i in ids:
+        i = int(i)
+        seen, stack = {i}, [i]
+        while stack:
+            for nb in adj.get(stack.pop(), ()):
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        exp_group[i] = min(seen)
+    got_group = dict(zip(out["vec_id"], out["dup_group"]))
+    assert got_group == exp_group
+    got_cluster = dict(zip(out["vec_id"], out["cluster"]))
+    exp_cluster = dict(zip((int(i) for i in ids), (int(a) for a in assign)))
+    assert got_cluster == exp_cluster
