@@ -1,0 +1,97 @@
+"""Document-table ingestion from non-parquet source formats.
+
+The engine's canonical document table is the TESTDATA.md `documents`
+schema: (doc_id int64, text string, lang string, source string,
+n_chars int64). Real corpora arrive as JSONL dumps or CSV exports;
+these readers normalize either into that schema so every downstream
+operator (dedup, curation, decontamination, stats) runs unchanged.
+
+Ray-Data-first: `ray.data.read_json` / `read_csv` stream the files as
+blocks; normalization is one zero-copy-ish `map_batches` pass that
+renames/derives columns. Missing ids are derived deterministically from
+the content fingerprint (stable across re-ingestion and resumable runs —
+NOT a row counter, which would depend on block order).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+DOCUMENT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+    ("source", pa.string()), ("n_chars", pa.int64())])
+
+# column aliases accepted from foreign dumps, first match wins
+_TEXT_ALIASES = ("text", "content", "body", "raw_content", "document")
+_LANG_ALIASES = ("lang", "language", "lang_id")
+_SOURCE_ALIASES = ("source", "subset", "dataset", "origin", "url_host")
+_ID_ALIASES = ("doc_id", "id", "docid")
+
+
+def _first_present(names, cols) -> str | None:
+    for n in names:
+        if n in cols:
+            return n
+    return None
+
+
+def _fingerprint_id(texts: list[str]) -> list[int]:
+    """Deterministic int64 id from the content fingerprint (md5 low 63
+    bits): stable across re-ingestion, independent of row/block order."""
+    from ..functions.text import fingerprint
+    return [int(fingerprint(t)[:16], 16) & 0x7FFFFFFFFFFFFFFF
+            for t in texts]
+
+
+def normalize_documents(ds: rd.Dataset, default_source: str = "ingest",
+                        default_lang: str = "und") -> rd.Dataset:
+    """Map any alias-named document dump onto DOCUMENT_SCHEMA."""
+    def norm(batch: pa.Table) -> pa.Table:
+        cols = set(batch.column_names)
+        tcol = _first_present(_TEXT_ALIASES, cols)
+        if tcol is None:
+            raise ValueError(
+                f"no text column among {sorted(cols)}; "
+                f"expected one of {_TEXT_ALIASES}")
+        text = pc.cast(batch.column(tcol), pa.string())
+        texts = text.to_pylist()
+        icol = _first_present(_ID_ALIASES, cols)
+        if icol is not None:
+            ids = pc.cast(batch.column(icol), pa.int64())
+        else:
+            ids = pa.array(_fingerprint_id(texts), pa.int64())
+        lcol = _first_present(_LANG_ALIASES, cols)
+        lang = (pc.cast(batch.column(lcol), pa.string()) if lcol else
+                pa.array([default_lang] * len(batch), pa.string()))
+        scol = _first_present(_SOURCE_ALIASES, cols)
+        source = (pc.cast(batch.column(scol), pa.string()) if scol else
+                  pa.array([default_source] * len(batch), pa.string()))
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        return pa.table({"doc_id": ids, "text": text, "lang": lang,
+                         "source": source, "n_chars": n_chars})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def read_documents_jsonl(paths: str | list[str], **kwargs) -> rd.Dataset:
+    """JSONL corpus dump → canonical documents Dataset (streaming read,
+    one normalization pass)."""
+    return normalize_documents(rd.read_json(paths), **kwargs)
+
+
+def read_documents_csv(paths: str | list[str], **kwargs) -> rd.Dataset:
+    """CSV corpus export → canonical documents Dataset."""
+    return normalize_documents(rd.read_csv(paths), **kwargs)
+
+
+def write_documents_sharded(ds: rd.Dataset, out_dir: str,
+                            shard_rows: int = 250_000) -> None:
+    """Write a document table as a directory of bounded-size parquet
+    shards (never one giant file): the resumable-output layout the crawl
+    checkpointer already uses — a re-run can diff existing shard files
+    and skip completed ones."""
+    n = ds.count()
+    blocks = max(1, (n + shard_rows - 1) // shard_rows)
+    ds.repartition(blocks).write_parquet(out_dir)

@@ -102,3 +102,42 @@ def test_pagespeed_stage_with_fake_client(ray_session, t1_crawl):
     import pyarrow as pa
     with pytest.raises(NotImplementedError):
         PageSpeedAuditor()(pa.table({"url": ["https://x.example/"]}))
+
+
+def test_ingest_jsonl_and_csv_normalize(ray_session, tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+
+    from librecrawl_ray.sources.ingest import (DOCUMENT_SCHEMA,
+                                               read_documents_csv,
+                                               read_documents_jsonl)
+
+    rows = [
+        {"content": "hello world one", "language": "en", "subset": "webA"},
+        {"content": "bonjour le monde", "language": "fr", "subset": "webB"},
+        {"content": "hello world one", "language": "en", "subset": "webA"},
+    ]
+    jl = tmp_path / "dump.jsonl"
+    jl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    ds = read_documents_jsonl(str(jl))
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    assert tbl.schema.equals(DOCUMENT_SCHEMA)
+    got = sorted(tbl.to_pylist(), key=lambda r: (r["lang"], r["doc_id"]))
+    assert [r["lang"] for r in got] == ["en", "en", "fr"]
+    assert got[0]["n_chars"] == len("hello world one")
+    # fingerprint-derived ids: identical content -> identical id,
+    # stable across re-ingestion
+    assert got[0]["doc_id"] == got[1]["doc_id"]
+    ds2 = read_documents_jsonl(str(jl))
+    assert sorted(r["doc_id"] for r in ds2.to_pandas().to_dict("records")) \
+        == sorted(r["doc_id"] for r in got)
+
+    csvp = tmp_path / "dump.csv"
+    csvp.write_text("id,text,lang,source\n7,alpha beta,en,s1\n"
+                    "9,gamma,de,s2\n")
+    t2 = pa.Table.from_pandas(read_documents_csv(str(csvp)).to_pandas(),
+                              preserve_index=False)
+    assert t2.schema.equals(DOCUMENT_SCHEMA)
+    recs = {r["doc_id"]: r for r in t2.to_pylist()}
+    assert recs[7]["text"] == "alpha beta" and recs[9]["lang"] == "de"
