@@ -153,6 +153,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_semantic_dedup(sf_dir):
         return D.semantic_dedup(_emb(sf_dir)).to_pandas()
 
+    def q_pack_sequences(sf_dir):
+        from librecrawl_ray.functions.packing import pack_sequences
+        out = pack_sequences(_docs(sf_dir)).to_pandas()
+        return out.sort_values(["start_offset", "doc_id"]) \
+            .reset_index(drop=True)
+
+    def q_segment_dedup(sf_dir):
+        from librecrawl_ray.functions.packing import segment_dedup
+        out = segment_dedup(_docs(sf_dir)).to_pandas()
+        return out.sort_values(["doc_id", "seg_idx"]) \
+            .reset_index(drop=True)
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -193,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shuffle": q_train_shuffle,
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
@@ -421,6 +435,12 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "chunk_documents": __import__(
             "librecrawl_ray.functions.chunking",
             fromlist=["chunk_documents_sql"]).chunk_documents_sql(),
+        "pack_sequences": __import__(
+            "librecrawl_ray.functions.packing",
+            fromlist=["pack_sequences_sql"]).pack_sequences_sql(),
+        "segment_dedup": __import__(
+            "librecrawl_ray.functions.packing",
+            fromlist=["segment_dedup_sql"]).segment_dedup_sql(),
         "pii_scan": T.pii_scan_sql("documents"),
         "label_centroids": __import__(
             "librecrawl_ray.functions.similarity",

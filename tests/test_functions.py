@@ -848,3 +848,63 @@ def test_semantic_dedup_deterministic_and_correct(emb_ds):
     got_cluster = dict(zip(out["vec_id"], out["cluster"]))
     exp_cluster = dict(zip((int(i) for i in ids), (int(a) for a in assign)))
     assert got_cluster == exp_cluster
+
+
+def test_pack_sequences_contiguous_and_deterministic(docs_ds):
+    """Concat-and-chunk packing: offsets tile the shuffled token stream
+    with no gaps/overlaps, pack indices are the offset math, and the
+    layout is identical across runs and bucket counts (the bucket count
+    is a parallelism knob, not a semantics knob)."""
+    from librecrawl_ray.functions.packing import pack_sequences
+    from librecrawl_ray.functions.text import token_count
+
+    S = 64
+    got = pack_sequences(docs_ds, seq_tokens=S).to_pandas() \
+        .sort_values(["start_offset", "doc_id"]).reset_index(drop=True)
+    full = docs_ds.to_pandas()
+    assert len(got) == len(full)
+    # token counts match the engine convention
+    want_n = {r.doc_id: token_count(r.text) for r in full.itertuples()}
+    assert {r.doc_id: r.n_tokens for r in got.itertuples()} == want_n
+    # contiguous tiling: each start == previous start + previous length
+    starts = got["start_offset"].to_numpy()
+    lens = got["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+    # pack bounds are pure offset math
+    assert (got["pack_first"] == starts // S).all()
+    assert (got["pack_last"] ==
+            (starts + np.maximum(lens, 1) - 1) // S).all()
+    # deterministic, and invariant to the bucket count
+    again = pack_sequences(docs_ds, seq_tokens=S, buckets=16).to_pandas() \
+        .sort_values(["start_offset", "doc_id"]).reset_index(drop=True)
+    assert again.equals(got)
+
+
+def test_segment_dedup_first_wins(docs_ds):
+    """Segment dedup == naive single-process recount: one keeper per
+    distinct fingerprint, the (doc_id, seg_idx)-minimal occurrence."""
+    import hashlib
+    import re
+
+    from librecrawl_ray.functions.packing import segment_dedup
+
+    W = 8  # small window so the fixture corpus has real duplicates
+    got = segment_dedup(docs_ds, segment_tokens=W).to_pandas() \
+        .sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+    seen: set[str] = set()
+    want_kept = []
+    rows = docs_ds.to_pandas().sort_values("doc_id")
+    naive = []
+    for r in rows.itertuples():
+        ws = re.findall(r"[a-z0-9]+", (r.text or "").lower())
+        for k in range(0, (len(ws) + W - 1) // W):
+            piece = ws[k * W:(k + 1) * W]
+            fp = hashlib.md5(" ".join(piece).encode()).hexdigest()
+            naive.append((r.doc_id, k, len(piece)))
+            want_kept.append(fp not in seen)
+            seen.add(fp)
+    assert [(r.doc_id, r.seg_idx, r.n_tokens)
+            for r in got.itertuples()] == naive
+    assert got["is_kept"].tolist() == want_kept
+    assert (~got["is_kept"]).sum() > 0  # fixture actually exercises dedup
