@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.stats import dataset_stats
         return dataset_stats(_docs(sf_dir)).to_pandas()
 
+    def q_length_quantiles(sf_dir):
+        from librecrawl_ray.functions.stats import length_quantiles
+        return length_quantiles(_docs(sf_dir)).to_pandas()
+
     def q_semantic_dedup(sf_dir):
         return D.semantic_dedup(_emb(sf_dir)).to_pandas()
 
@@ -211,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
+        "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
@@ -451,6 +456,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "dataset_stats": __import__(
             "librecrawl_ray.functions.stats",
             fromlist=["dataset_stats_sql"]).dataset_stats_sql(),
+        "length_quantiles": __import__(
+            "librecrawl_ray.functions.stats",
+            fromlist=["length_quantiles_sql"]).length_quantiles_sql(),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

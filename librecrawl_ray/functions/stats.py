@@ -97,3 +97,78 @@ FROM {table}
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+DEFAULT_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(ds: rd.Dataset, qs: tuple = DEFAULT_QUANTILES,
+                     group_col: str = "source", text_col: str = "text",
+                     buckets: int = 32) -> pa.Table:
+    """EXACT per-group token-length quantiles (DuckDB ``quantile_disc``
+    semantics: sorted value at index ``max(ceil(q·n)−1, 0)``), as
+    (group, q, tokens) long-format rows.
+
+    Scale shape: exact quantiles normally need a global per-group sort,
+    but token lengths are small bounded integers, so the value HISTOGRAM
+    is tiny. Per-batch (group, length) Counter partials compress each
+    block to its distinct lengths; the shuffle ships (group, length,
+    count) — never rows — and one vectorized pass per group walks the
+    cumulative histogram to read off every quantile exactly. (The
+    approximate-engine alternative is t-digest; exactness here is what
+    lets the DuckDB oracle verify bit-for-bit.)"""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch.column(group_col).to_pylist(),
+                        (token_count(t)
+                         for t in batch.column(text_col).to_pylist())))
+        gs, ls, ns = [], [], []
+        for (g, ln), cnt in c.items():
+            gs.append(g)
+            ls.append(ln)
+            ns.append(cnt)
+        return pa.table({group_col: pa.array(gs, pa.string()),
+                         "__len": pa.array(ls, pa.int64()),
+                         "__cnt": pa.array(ns, pa.int64())})
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+        out_g, out_q, out_t = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = (sub.groupby("__len", sort=True)["__cnt"].sum()
+                 .reset_index())
+            cum = h["__cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            for q in qs:
+                idx = max(math.ceil(q * n) - 1, 0)
+                pos = int((cum <= idx).sum())  # first cum > idx
+                out_g.append(g)
+                out_q.append(q)
+                out_t.append(int(h["__len"].iloc[pos]))
+        return pd.DataFrame({group_col: out_g, "q": out_q,
+                             "tokens": out_t})
+
+    from ..pipelines.reports import bucketed_groups
+    res = bucketed_groups(
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        group_col, per_group, buckets=buckets).to_pandas()
+    res = res.sort_values([group_col, "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def length_quantiles_sql(table: str = "documents",
+                         qs: tuple = DEFAULT_QUANTILES,
+                         group_col: str = "source",
+                         text_col: str = "text") -> str:
+    """DuckDB twin: quantile_disc with parallel-unnest zip."""
+    from .text import TOKEN_COUNT_SQL
+    n = TOKEN_COUNT_SQL.format(col=text_col)
+    qlist = "[" + ", ".join(str(q) for q in qs) + "]"
+    return f"""
+WITH __t AS (SELECT {group_col}, {n} AS n FROM {table}),
+__q AS (SELECT {group_col}, quantile_disc(n, {qlist}) AS tq
+        FROM __t GROUP BY {group_col})
+SELECT {group_col}, unnest({qlist}) AS q, unnest(tq)::BIGINT AS tokens
+FROM __q ORDER BY {group_col}, q"""

@@ -908,3 +908,20 @@ def test_segment_dedup_first_wins(docs_ds):
             for r in got.itertuples()] == naive
     assert got["is_kept"].tolist() == want_kept
     assert (~got["is_kept"]).sum() > 0  # fixture actually exercises dedup
+
+
+def test_length_quantiles_exact(docs_ds):
+    """Histogram-walk quantiles == naive sorted-index formula
+    (quantile_disc semantics: sorted value at max(ceil(q*n)-1, 0))."""
+    import math
+
+    from librecrawl_ray.functions.stats import length_quantiles
+    from librecrawl_ray.functions.text import token_count
+
+    got = length_quantiles(docs_ds).to_pandas()
+    full = docs_ds.to_pandas()
+    full["n"] = [token_count(t) for t in full["text"]]
+    for (src, q), sub in got.groupby(["source", "q"]):
+        vals = sorted(full.loc[full.source == src, "n"])
+        idx = max(math.ceil(q * len(vals)) - 1, 0)
+        assert sub["tokens"].iloc[0] == vals[idx], (src, q)
