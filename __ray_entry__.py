@@ -150,6 +150,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.stats import dataset_stats
         return dataset_stats(_docs(sf_dir)).to_pandas()
 
+    def q_normalize_text(sf_dir):
+        from librecrawl_ray.functions.normalize import normalize_text
+        out = normalize_text(_docs(sf_dir)) \
+            .select_columns(["doc_id", "norm_text"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_length_quantiles(sf_dir):
         from librecrawl_ray.functions.stats import length_quantiles
         return length_quantiles(_docs(sf_dir)).to_pandas()
@@ -216,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
         "length_quantiles": q_length_quantiles,
+        "normalize_text": q_normalize_text,
         "semantic_dedup": q_semantic_dedup,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
@@ -459,6 +466,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "length_quantiles": __import__(
             "librecrawl_ray.functions.stats",
             fromlist=["length_quantiles_sql"]).length_quantiles_sql(),
+        "normalize_text": __import__(
+            "librecrawl_ray.functions.normalize",
+            fromlist=["normalize_text_sql"]).normalize_text_sql(),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

@@ -925,3 +925,33 @@ def test_length_quantiles_exact(docs_ds):
         vals = sorted(full.loc[full.source == src, "n"])
         idx = max(math.ceil(q * len(vals)) - 1, 0)
         assert sub["tokens"].iloc[0] == vals[idx], (src, q)
+
+
+def test_normalize_text_matches_duckdb_edge_cases(ray_session):
+    """normalize_one mirrors the SQL twin char-for-char on unicode edge
+    cases: precomposed + combining accents, NBSP (NOT collapsed — RE2 \\s
+    is ASCII), \\v (not whitespace in RE2), mixed-case non-ASCII."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from librecrawl_ray.functions.normalize import (normalize_text,
+                                                    normalize_text_sql)
+
+    cases = [
+        "Café  du   Mondé",      # é precomposed + combining
+        "  A\tB\nC\fD\rE  ",                     # every RE2 \s char
+        "a b",                              # NBSP stays
+        "a\x0bb",                                # \v is not RE2 \s
+        "STRAßE İstanbul",             # ß, dotted capital I
+        "ñ ö",                       # bare combining marks
+        "", " ", "\t\t",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                    "text": pa.array(cases, pa.string())})
+    got = normalize_text(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id")["norm_text"].tolist()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = [r[1] for r in con.execute(normalize_text_sql()).fetchall()]
+    assert got == want
