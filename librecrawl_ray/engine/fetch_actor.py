@@ -169,10 +169,10 @@ class CorpusFetcher:
                 edges = [extract_edges(u, sp or [], self.base_domain)
                          for u, sp in zip(f_urls, spans_py)]
             else:
-                kinds, texts, mrefs, offs = flat
+                kinds, texts, mrefs, offs, wcounts = flat
                 parsed = [parse_doc_flat(u, kinds, texts, mrefs,
                                          offs[j], offs[j + 1],
-                                         self.base_domain)
+                                         self.base_domain, wcounts)
                           for j, u in enumerate(f_urls)]
                 edges = [extract_edges_flat(u, kinds, texts, mrefs,
                                             offs[j], offs[j + 1],

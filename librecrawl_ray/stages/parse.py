@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ..canonical import (classify_scope, clean_url, is_internal, strip_www,
@@ -73,7 +74,8 @@ def parse_doc(url: str, spans: list[dict],
 
 def parse_doc_flat(url: str, kinds: list[str], texts: list[str],
                    mrefs: list[str], lo: int, hi: int,
-                   base_domain: str | None = None) -> dict:
+                   base_domain: str | None = None,
+                   wcounts=None) -> dict:
     """parse_doc over column-major span storage: ``kinds/texts/mrefs`` are
     the flattened child arrays of a whole batch's ``spans`` column and
     ``[lo, hi)`` is this document's slice. The hot path — converting the
@@ -134,7 +136,8 @@ def parse_doc_flat(url: str, kinds: list[str], texts: list[str],
             elif lvl == 3 and len(h3) < 10:
                 h3.append(text)
         elif kind == "text":
-            word_count += len(_WORD_RE.findall(text))
+            word_count += (len(_WORD_RE.findall(text))
+                           if wcounts is None else int(wcounts[i]))
             # literal-substring gates before the anchored regex scans:
             # "G-"/"GTM-" are absent from almost all text spans, and a
             # memchr `in` is ~15× cheaper than re.search (measured
@@ -319,9 +322,9 @@ def parse_documents_batch(batch: pa.Table,
         parsed = [parse_doc(u, s or [], base_domain)
                   for u, s in zip(urls, spans_col)]
     else:
-        kinds, texts, mrefs, offs = flat
+        kinds, texts, mrefs, offs, wcounts = flat
         parsed = [parse_doc_flat(u, kinds, texts, mrefs, offs[i],
-                                 offs[i + 1], base_domain)
+                                 offs[i + 1], base_domain, wcounts)
                   for i, u in enumerate(urls)]
     out = batch
     for name, typ in _PARSE_FIELDS:
@@ -332,19 +335,73 @@ def parse_documents_batch(batch: pa.Table,
 
 # ------------------------------------------------------------------- edges
 
-def flatten_spans(col) -> tuple[list, list, list, "object"] | None:
-    """spans column → (kinds, texts, mrefs, offsets) flat child lists for
-    the *_flat parsers, or None when the column has null rows (caller
-    falls back to the dict path — offsets under nulls are unspecified)."""
+# bytes python's ASCII \w matches — the LUT word-run counter below is
+# exact for pure-ASCII buffers; spans containing non-ASCII bytes are
+# recomputed with re.findall (python \w is unicode-aware there)
+_WORD_BYTE_LUT = np.zeros(256, dtype=bool)
+_WORD_BYTE_LUT[np.frombuffer(
+    b"0123456789_abcdefghijklmnopqrstuvwxyz"
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZ", np.uint8)] = True
+
+
+def word_run_counts(arr: pa.Array) -> "np.ndarray | None":
+    """Per-string ``len(re.findall(r'\\w+', s))`` computed vectorized over
+    the Arrow string buffer: LUT-classify every byte, count word-run
+    starts with one diff, read per-string totals off the offsets — ~100×
+    the throughput of per-string findall (1.9 ms vs 239 ms on a 54k-span
+    bench2 block, the former #1 cost of the parse worker). Exact: strings
+    containing non-ASCII bytes fall back to findall individually; returns
+    None (caller falls back wholesale) only when the array has nulls."""
+    if arr.null_count:
+        return None
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    o = arr.offset
+    offs = np.frombuffer(bufs[1], odt)[o:o + n + 1].astype(np.int64)
+    base = int(offs[0])
+    buf = np.frombuffer(bufs[2], np.uint8)[base:int(offs[-1])]
+    rel = offs - base
+    isw = _WORD_BYTE_LUT[buf]
+    starts = isw.copy()
+    starts[1:] &= ~isw[:-1]
+    cum = np.concatenate(([0], np.cumsum(starts)))
+    counts = cum[rel[1:]] - cum[rel[:-1]]
+    # a string beginning mid-run (its first byte AND the previous buffer
+    # byte are both word bytes) owns a run start the global diff missed
+    first = rel[:-1]
+    inner = (first > 0) & (rel[1:] > first)  # non-empty, not buffer-first
+    if inner.any():
+        fi = first[inner]
+        counts[inner] += (isw[fi] & isw[fi - 1]).astype(np.int64)
+    nonascii = np.nonzero(buf >= 0x80)[0]
+    if nonascii.size:
+        hit = np.unique(np.searchsorted(rel, nonascii, side="right") - 1)
+        for i in hit:
+            counts[i] = len(_WORD_RE.findall(arr[int(i)].as_py()))
+    return counts
+
+
+def flatten_spans(col) \
+        -> "tuple[list, list, list, object, object] | None":
+    """spans column → (kinds, texts, mrefs, offsets, word_counts) flat
+    child lists for the *_flat parsers, or None when the column has null
+    rows (caller falls back to the dict path — offsets under nulls are
+    unspecified). ``word_counts[i]`` is the \\w+-token count of span i's
+    text (vectorized; None when the child array has nulls)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.null_count:
         return None
     vals = col.values
+    txt = vals.field("text")
     return (vals.field("kind").to_pylist(),
-            vals.field("text").to_pylist(),
+            txt.to_pylist(),
             vals.field("media_ref").to_pylist(),
-            col.offsets.to_numpy())
+            col.offsets.to_numpy(),
+            word_run_counts(txt))
 
 
 def extract_edges(url: str, spans: list[dict], base_domain: str,
@@ -424,7 +481,7 @@ def make_edge_extractor(base_domain: str):
             for u, s in zip(urls, spans_col):
                 rows.extend(extract_edges(u, s or [], base_domain))
         else:
-            kinds, texts, mrefs, offs = flat
+            kinds, texts, mrefs, offs, _ = flat
             for i, u in enumerate(urls):
                 rows.extend(extract_edges_flat(
                     u, kinds, texts, mrefs, offs[i], offs[i + 1],

@@ -685,11 +685,12 @@ def test_parse_flat_equals_dict_path(ray_session, t1_corpus_dir):
     tbl = pq.read_table(part)
     urls = tbl.column("norm_url").to_pylist()
     spans_py = tbl.column("spans").to_pylist()
-    kinds, texts, mrefs, offs = flatten_spans(tbl.column("spans"))
+    kinds, texts, mrefs, offs, wcounts = flatten_spans(tbl.column("spans"))
+    assert wcounts is not None
     for i, u in enumerate(urls):
         assert parse_doc(u, spans_py[i] or [], C.BASE_DOMAIN) == \
             parse_doc_flat(u, kinds, texts, mrefs, offs[i], offs[i + 1],
-                           C.BASE_DOMAIN)
+                           C.BASE_DOMAIN, wcounts)
         assert extract_edges(u, spans_py[i] or [], C.BASE_DOMAIN) == \
             extract_edges_flat(u, kinds, texts, mrefs, offs[i],
                                offs[i + 1], C.BASE_DOMAIN)
@@ -955,3 +956,39 @@ def test_normalize_text_matches_duckdb_edge_cases(ray_session):
     con.register("documents", tbl)
     want = [r[1] for r in con.execute(normalize_text_sql()).fetchall()]
     assert got == want
+
+
+def test_word_run_counts_exact_vs_findall():
+    """LUT word-run counter == re.findall(r'\\w+') count on every edge:
+    empty strings, leading/trailing runs, run-boundary string splits,
+    non-ASCII fallback spans, sliced arrays, large_string."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from librecrawl_ray.stages.parse import word_run_counts
+
+    W = re.compile(r"\w+")
+
+    def check(strings, typ=pa.string()):
+        arr = pa.array(strings, typ)
+        got = word_run_counts(arr)
+        assert got.tolist() == [len(W.findall(s)) for s in strings]
+        if len(strings) > 2:  # sliced array exercises arr.offset
+            sl = arr.slice(1, len(strings) - 2)
+            assert word_run_counts(sl).tolist() == \
+                [len(W.findall(s)) for s in strings[1:-1]]
+
+    check([])
+    check(["", " ", "a", "_", "a b", "ab", " a ", "a-b", "--", "a_b c"])
+    check(["héllo wörld", "café", "naïve plan", "日本語 text", "a b"])
+    check(["x" * 5000, "", "word " * 1000], pa.large_string())
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=9, max_codepoint=0x2603),
+        max_size=40), max_size=12))
+    def prop(strings):
+        check(strings)
+    prop()
