@@ -95,3 +95,30 @@ def write_documents_sharded(ds: rd.Dataset, out_dir: str,
     n = ds.count()
     blocks = max(1, (n + shard_rows - 1) // shard_rows)
     ds.repartition(blocks).write_parquet(out_dir)
+
+
+def write_documents_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Training-data JSONL export: one .json file per block (Ray Data's
+    native streamed JSONL writer — each worker writes its own shard, no
+    driver funnel; the same resumable many-small-files layout as the
+    parquet writers)."""
+    ds.write_json(out_dir)
+
+
+def filter_blocklist(ds: rd.Dataset, blocked: set[str] | list[str],
+                     col: str = "source") -> rd.Dataset:
+    """Drop rows whose ``col`` value is on a blocklist (the URL/domain
+    blocklist gate of a crawl-corpus pipeline, e.g. UT1-style category
+    lists). The list is broadcast ONCE via ray.put and read per actor
+    task — never re-shipped per batch; lookups are a vectorized
+    ``pc.is_in`` over the Arrow column."""
+    import ray
+    blocked_arr = pa.array(sorted(set(blocked)), pa.string())
+    ref = ray.put(blocked_arr)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(col), value_set=bl)))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

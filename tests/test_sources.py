@@ -141,3 +141,28 @@ def test_ingest_jsonl_and_csv_normalize(ray_session, tmp_path):
     assert t2.schema.equals(DOCUMENT_SCHEMA)
     recs = {r["doc_id"]: r for r in t2.to_pylist()}
     assert recs[7]["text"] == "alpha beta" and recs[9]["lang"] == "de"
+
+
+def test_blocklist_filter_and_jsonl_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from librecrawl_ray.sources.ingest import (filter_blocklist,
+                                               read_documents_jsonl,
+                                               write_documents_jsonl)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    srcs = set(ds.to_pandas()["source"])
+    drop = set(sorted(srcs)[:2])
+    kept = filter_blocklist(ds, drop).to_pandas()
+    assert set(kept["source"]) == srcs - drop
+    assert len(kept) == sum(1 for s in ds.to_pandas()["source"]
+                            if s not in drop)
+
+    # JSONL export → re-ingest roundtrip preserves the document table
+    out = str(tmp_path / "jsonl")
+    write_documents_jsonl(rd.from_pandas(kept), out)
+    back = read_documents_jsonl(out).to_pandas()
+    a = kept.sort_values("doc_id").reset_index(drop=True)
+    b = back[a.columns].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
