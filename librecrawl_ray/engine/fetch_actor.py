@@ -174,9 +174,10 @@ class CorpusFetcher:
                                          offs[j], offs[j + 1],
                                          self.base_domain, wcounts)
                           for j, u in enumerate(f_urls)]
+                memo: dict = {}   # shared per batch: nav links resolve once
                 edges = [extract_edges_flat(u, kinds, texts, mrefs,
                                             offs[j], offs[j + 1],
-                                            self.base_domain)
+                                            self.base_domain, memo=memo)
                          for j, u in enumerate(f_urls)]
             nf = len(f_urls)
             base_core = strip_www(self.base_domain.lower())

@@ -21,8 +21,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..canonical import (classify_scope, clean_url, is_internal, strip_www,
-                         url_host)
+from ..canonical import (_base_parts, classify_scope, clean_url,
+                         is_internal, strip_www, url_host)
 from .issues import analyze_structured_data
 
 _WORD_RE = re.compile(r"\w+")
@@ -416,28 +416,63 @@ def extract_edges(url: str, spans: list[dict], base_domain: str,
 
 def extract_edges_flat(url: str, kinds: list[str], texts: list[str],
                        mrefs: list[str], lo: int, hi: int,
-                       base_domain: str, dedup: set | None = None) \
-        -> list[dict]:
+                       base_domain: str, dedup: set | None = None,
+                       memo: dict | None = None) -> list[dict]:
     """extract_edges over column-major span storage (same flat layout as
-    parse_doc_flat; ``pos`` stays document-relative)."""
+    parse_doc_flat; ``pos`` stays document-relative).
+
+    ``memo`` (optional, shared across a batch's calls) caches the resolved
+    (target, scope, is_internal, domain) per href: absolute hrefs resolve
+    identically everywhere and root-relative hrefs depend only on the
+    page's scheme+host, so site-wide nav links (the dominant href class)
+    resolve once per batch instead of once per page. Path-relative and
+    dot-segment hrefs bypass the memo (their resolution needs the full
+    base path)."""
     out = []
     seen = dedup if dedup is not None else set()
+    base_sh = None  # lazy scheme://host of this page, for memo keys
     for i in range(lo, hi):
         kind = kinds[i]
         if not kind.startswith("link"):
             continue
         pos = i - lo
         flags = kind.split("|")
-        target = clean_url(mrefs[i], url)
-        # Reference (link_manager.py collect_all_links) skips non-http(s)
-        # targets (mailto:, tel:, javascript:) at discovery time.
-        if not target.startswith(("http://", "https://")):
+        mref = mrefs[i]
+        mk = None
+        hit = None
+        if memo is not None:
+            if mref.startswith(("http://", "https://")):
+                mk = mref
+            elif (mref.startswith("/") and not mref.startswith("//")
+                  and "/." not in mref):
+                if base_sh is None:
+                    s, n = _base_parts(url)
+                    base_sh = s + "://" + n
+                mk = base_sh + "\x00" + mref
+            if mk is not None:
+                hit = memo.get(mk)
+        if hit is None:
+            target = clean_url(mref, url)
+            # Reference (link_manager.py collect_all_links) skips
+            # non-http(s) targets (mailto:, tel:, javascript:) at
+            # discovery time.
+            if not target.startswith(("http://", "https://")):
+                res = None
+            else:
+                scope = classify_scope(target, base_domain)
+                res = (target, scope, scope in ("root", "sub"),
+                       strip_www(url_host(target)))
+            hit = (res,)
+            if mk is not None:
+                memo[mk] = hit
+        res = hit[0]
+        if res is None:
             continue
+        target, scope, scope_internal, target_dom = res
         key = (url, target)
         if key in seen:
             continue
         seen.add(key)
-        scope = classify_scope(target, base_domain)
         out.append({
             "source_url": url,
             "target_url": target,
@@ -445,8 +480,8 @@ def extract_edges_flat(url: str, kinds: list[str], texts: list[str],
             # Reference sets link is_internal from scope (root OR
             # subdomain) — link_manager.py collect_all_links; the pages-row
             # is_internal stays root-only (issue_detector.py semantics).
-            "is_internal": scope in ("root", "sub"),
-            "target_domain": strip_www(url_host(target)),
+            "is_internal": scope_internal,
+            "target_domain": target_dom,
             "target_status": None,
             "placement": flags[1] if len(flags) > 1 else "body",
             "nofollow": "nofollow" in flags,
@@ -482,10 +517,11 @@ def make_edge_extractor(base_domain: str):
                 rows.extend(extract_edges(u, s or [], base_domain))
         else:
             kinds, texts, mrefs, offs, _ = flat
+            memo: dict = {}
             for i, u in enumerate(urls):
                 rows.extend(extract_edges_flat(
                     u, kinds, texts, mrefs, offs[i], offs[i + 1],
-                    base_domain))
+                    base_domain, memo=memo))
         if not rows:
             return EDGES_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=EDGES_SCHEMA)

@@ -687,13 +687,18 @@ def test_parse_flat_equals_dict_path(ray_session, t1_corpus_dir):
     spans_py = tbl.column("spans").to_pylist()
     kinds, texts, mrefs, offs, wcounts = flatten_spans(tbl.column("spans"))
     assert wcounts is not None
+    memo: dict = {}   # shared across all pages, like the fetch worker
     for i, u in enumerate(urls):
         assert parse_doc(u, spans_py[i] or [], C.BASE_DOMAIN) == \
             parse_doc_flat(u, kinds, texts, mrefs, offs[i], offs[i + 1],
                            C.BASE_DOMAIN, wcounts)
-        assert extract_edges(u, spans_py[i] or [], C.BASE_DOMAIN) == \
+        want_edges = extract_edges(u, spans_py[i] or [], C.BASE_DOMAIN)
+        assert want_edges == \
             extract_edges_flat(u, kinds, texts, mrefs, offs[i],
                                offs[i + 1], C.BASE_DOMAIN)
+        assert want_edges == \
+            extract_edges_flat(u, kinds, texts, mrefs, offs[i],
+                               offs[i + 1], C.BASE_DOMAIN, memo=memo)
 
 
 def test_chunk_documents_window_rule(docs_ds):
