@@ -106,3 +106,86 @@ def list_crawls(out_root: str, status_filter: str | None = None,
         out.append(st)
     out.sort(key=lambda s: (-s["num_waves_committed"], s["out_dir"]))
     return out[offset:offset + limit]
+
+
+DIFF_SIGNAL_COLUMNS = ("status_code", "size", "word_count", "title")
+
+
+def crawl_diff(prev_pages, new_pages):
+    """Crawl-over-crawl comparison: one row per URL seen in either crawl,
+    classified added / removed / changed / unchanged (changed = any of
+    ``DIFF_SIGNAL_COLUMNS`` differs). The recrawl-monitoring surface on
+    top of the reference's crawl history (crawl_db.py:505-530 lists
+    crawls; this compares two of them).
+
+    Both sides are projected to url + the four signal columns before the
+    join — the join ships a handful of scalars per URL, never spans or
+    meta maps — and the classification is one vectorized pandas pass per
+    joined batch. Scale: ``hash_join`` broadcast under threshold,
+    bucketed shuffle above.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .reports import _add_norm, hash_join
+
+    cols = ["url", *DIFF_SIGNAL_COLUMNS]
+
+    def keyed(ds, prefix):
+        ds = _add_norm(ds.select_columns(cols), "url", "__n")
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                ["__n" if c == "__n" else prefix + c
+                 for c in b.column_names]),
+            batch_format="pyarrow")
+
+    prev = keyed(prev_pages, "prev_")
+    new = keyed(new_pages, "new_")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        present_prev = df["prev_url"].notna() if "prev_url" in df \
+            else pd.Series(False, index=df.index)
+        if "new_url" in df:
+            present_new = df["new_url"].notna()
+        else:
+            present_new = pd.Series(False, index=df.index)
+        changed = pd.Series(False, index=df.index)
+        for c in DIFF_SIGNAL_COLUMNS:
+            pc_, nc = "prev_" + c, "new_" + c
+            if pc_ in df and nc in df:
+                changed |= df[pc_].astype("object") \
+                    .ne(df[nc].astype("object"))
+        change = np.where(
+            present_prev & present_new,
+            np.where(changed, "changed", "unchanged"),
+            np.where(present_new, "added", "removed"))
+        url = df["new_url"].where(present_new, df.get("prev_url")) \
+            if "new_url" in df else df["prev_url"]
+        out = pd.DataFrame({"url": url, "change": change})
+        for c in DIFF_SIGNAL_COLUMNS:
+            for side in ("prev_", "new_"):
+                col = side + c
+                if col in df:
+                    out[col] = df[col]
+        return out
+
+    both = hash_join(new, prev, "__n", how="left_outer")
+    fwd = both.map_batches(classify, batch_format="pandas")
+    # URLs only in prev (removed): prev anti-join new
+    import pyarrow.compute as pc
+
+    removed = hash_join(prev, new.select_columns(["__n", "new_url"]),
+                        "__n", how="left_outer") \
+        .map_batches(lambda b: b.filter(pc.is_null(b.column("new_url"))),
+                     batch_format="pyarrow") \
+        .map_batches(classify, batch_format="pandas")
+    return fwd.union(removed)
+
+
+def crawl_diff_dirs(prev_dir: str, new_dir: str):
+    from .reports import load_pages
+    cols = ["url", *DIFF_SIGNAL_COLUMNS]
+    return crawl_diff(load_pages(prev_dir, columns=cols),
+                      load_pages(new_dir, columns=cols))

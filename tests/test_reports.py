@@ -303,3 +303,42 @@ def test_is_excluded_equals_naive_fnmatch(t1_fixture):
     urls = t1_fixture["documents"].column("doc_id").to_pylist() + probes
     for u in urls:
         assert is_excluded(u) == naive(u), u
+
+
+def test_crawl_diff(ray_session):
+    """added / removed / changed / unchanged classification over two
+    synthetic pages tables (the crawl-comparison surface)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from librecrawl_ray.pipelines.meta import crawl_diff
+
+    def pages(rows):
+        df = pd.DataFrame(rows, columns=["url", "status_code", "size",
+                                         "word_count", "title"])
+        return rd.from_pandas(df)
+
+    prev = pages([
+        ("https://s.example/", 200, 10, 5, "home"),
+        ("https://s.example/a", 200, 20, 9, "a"),
+        ("https://s.example/gone", 404, 0, 0, ""),
+        ("https://s.example/same", 200, 7, 3, "same"),
+    ])
+    new = pages([
+        ("https://s.example/", 200, 10, 5, "home NEW"),   # changed
+        ("https://s.example/a", 301, 20, 9, "a"),          # changed
+        ("https://s.example/same", 200, 7, 3, "same"),     # unchanged
+        ("https://s.example/brand-new", 200, 1, 1, "n"),   # added
+    ])
+    out = crawl_diff(prev, new).to_pandas()
+    got = dict(zip(out["url"], out["change"]))
+    assert got == {
+        "https://s.example/": "changed",
+        "https://s.example/a": "changed",
+        "https://s.example/same": "unchanged",
+        "https://s.example/brand-new": "added",
+        "https://s.example/gone": "removed",
+    }
+    # prev/new signal columns survive for drill-down
+    row = out[out["url"] == "https://s.example/a"].iloc[0]
+    assert row["prev_status_code"] == 200 and row["new_status_code"] == 301
