@@ -451,3 +451,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ----------------------------------------------------- per-key top-N
+
+def top_orders_per_customer(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Top-``n`` orders by value per customer — the per-key top-N shuffle
+    pattern: each batch reduces itself to at most n rows per key it has
+    seen (a per-batch partial top-N combiner, so the shuffle ships
+    ≤ n·keys-per-block rows, not all rows), then one vectorized
+    rank-and-trim pass per hash bucket makes it exact."""
+    import pyarrow as pa
+
+    from .reports import bucketed_groups
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return df.groupby("o_custkey", sort=False).head(n)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_custkey", sort=False).head(n).copy()
+        out["rank"] = out.groupby("o_custkey", sort=False).cumcount() + 1
+        return out
+
+    out = bucketed_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        "o_custkey", per_bucket).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    return (out.sort_values(["o_custkey", "rank"])
+            .reset_index(drop=True)[["o_custkey", "rank", "o_orderkey",
+                                     "o_totalprice"]])
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank
+  FROM orders)
+WHERE rank <= 3 ORDER BY o_custkey, rank
+"""

@@ -55,8 +55,10 @@ def _add_norm(ds: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _bucket_of(vals: list[str], buckets: int) -> pa.Array:
+def _bucket_of(vals: list, buckets: int) -> pa.Array:
     import zlib
+    if vals and isinstance(vals[0], int):
+        return pa.array([v % buckets for v in vals], pa.int32())
     return pa.array([zlib.crc32(v.encode()) % buckets for v in vals],
                     pa.int32())
 

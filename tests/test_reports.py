@@ -342,3 +342,23 @@ def test_crawl_diff(ray_session):
     # prev/new signal columns survive for drill-down
     row = out[out["url"] == "https://s.example/a"].iloc[0]
     assert row["prev_status_code"] == 200 and row["new_status_code"] == 301
+
+
+def test_top_orders_per_customer_partial_combiner(ray_session):
+    """Per-key top-N == pandas groupby-head recount at sf0.001, and the
+    per-batch partial combiner never changes the result (block-size
+    invariance)."""
+    import duckdb
+
+    from librecrawl_ray.pipelines.relational import (
+        TOP_ORDERS_PER_CUSTOMER_SQL, top_orders_per_customer)
+
+    sf = "/root/testdata/sf0.001"
+    got = top_orders_per_customer(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(TOP_ORDERS_PER_CUSTOMER_SQL).fetchdf()
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
