@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nationkeys_union": R.nationkeys_union,
         "part_brand_stats": R.part_brand_stats,
         "top_orders_per_customer": R.top_orders_per_customer,
+        "events_funnel": R.events_funnel,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -424,6 +425,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "nationkeys_union": R.NATIONKEYS_UNION_SQL,
         "part_brand_stats": R.PART_BRAND_SQL,
         "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "events_funnel": R.EVENTS_FUNNEL_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

@@ -499,3 +499,84 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
   FROM orders)
 WHERE rank <= 3 ORDER BY o_custkey, rank
 """
+
+
+# ----------------------------------------------------- session funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session funnel: per session (30-min-gap windows, the
+    ``events_sessionize`` rule), count sessions reaching each ordered
+    step — a 'view' event, then a 'click' strictly after it, then a
+    'purchase' strictly after that. Per-user groups compute their own
+    session funnels (groupby(user).map_groups — user event streams are
+    small); the per-user partials (3 rows each) reduce through a
+    Dataset-level groupby sum, so no per-event data reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    steps = FUNNEL_STEPS
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds().fillna(1e12)
+        sess = (gaps > gap_minutes * 60).cumsum()
+        reached = [0] * len(steps)
+        for _, g in df.groupby(sess, sort=False):
+            t_prev = None
+            for si, st in enumerate(steps):
+                sub = g[g["event_type"] == st]
+                if t_prev is not None:
+                    sub = sub[sub["ts"] > t_prev]
+                if sub.empty:
+                    break
+                t_prev = sub["ts"].min()
+                reached[si] += 1
+        return pd.DataFrame({
+            "step_idx": pd.array(range(1, len(steps) + 1), dtype="int32"),
+            "step": steps,
+            "n_sessions": pd.array(reached, dtype="int64")})
+
+    partials = ds.groupby("user_id").map_groups(
+        funnel, batch_format="pandas")
+    out = (partials.groupby("step_idx")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+           .to_pandas().sort_values("step_idx").reset_index(drop=True))
+    out["step"] = [steps[i - 1] for i in out["step_idx"]]
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out[["step_idx", "step", "n_sessions"]]
+
+
+EVENTS_FUNNEL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), s1 AS (
+  SELECT user_id, session_id, min(ts) AS ts1 FROM sessioned
+  WHERE event_type = 'view' GROUP BY 1, 2
+), s2 AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS ts2
+  FROM sessioned s JOIN s1 USING (user_id, session_id)
+  WHERE s.event_type = 'click' AND s.ts > s1.ts1 GROUP BY 1, 2
+), s3 AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS ts3
+  FROM sessioned s JOIN s2 USING (user_id, session_id)
+  WHERE s.event_type = 'purchase' AND s.ts > s2.ts2 GROUP BY 1, 2
+)
+SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_sessions FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+ORDER BY step_idx
+"""

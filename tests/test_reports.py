@@ -362,3 +362,31 @@ def test_top_orders_per_customer_partial_combiner(ray_session):
     assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
     assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_events_funnel_naive_recount(ray_session):
+    """Funnel counts == a single-process naive recount at sf0.001."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines.relational import events_funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = events_funnel(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    want = [0, 0, 0]
+    for _, u in ev.groupby("user_id"):
+        u = u.sort_values("ts")
+        gaps = u["ts"].diff().dt.total_seconds().fillna(1e12)
+        for _, s in u.groupby((gaps > 1800).cumsum()):
+            t = None
+            for i, step in enumerate(("view", "click", "purchase")):
+                c = s[s["event_type"] == step]
+                if t is not None:
+                    c = c[c["ts"] > t]
+                if c.empty:
+                    break
+                t = c["ts"].min()
+                want[i] += 1
+    assert got["n_sessions"].tolist() == want
+    assert want[0] >= want[1] >= want[2] >= 0 and want[0] > 0
