@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_analytics": C.crawl_analytics,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_host_sizes": C.crawl_host_sizes,
+        "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_neardup": C.crawl_neardup,
         "crawl_full": C.full_crawl_pages,
@@ -499,5 +500,6 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         out["crawl_analytics"] = C.crawl_analytics_sql(path)
         out["crawl_status_counts"] = C.crawl_status_counts_sql(path)
         out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
+        out["crawl_span_kinds"] = C.crawl_span_kinds_sql(path)
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)
     return out

@@ -502,3 +502,87 @@ FROM (SELECT DISTINCT url, {norm('url')} AS n FROM __p) p
 JOIN {prev} r USING (n)
 ORDER BY rank DESC, url LIMIT 50""")
     return "WITH " + "".join(parts)
+
+
+def crawl_span_kinds(sf_dir: str) -> pd.DataFrame:
+    """Per-host span-kind histogram over the interleaved text+media
+    payload (host, kind, n_spans, total_text_chars): the corpus-shape
+    profiling pass a mixed-media pipeline runs before sizing its decode /
+    parse stages. Zero-copy shape: each batch reads the spans child
+    arrays directly (no list<struct> → python dicts), reduces itself to
+    a (host, kind) Counter partial, and the partials sum through one
+    small groupby — spans never leave their block."""
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["host", "spans"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values
+        kinds = vals.field("kind").to_pylist()
+        # chars of each span's text, vectorized
+        import pyarrow.compute as pc
+        chars = pc.utf8_length(vals.field("text")).to_pylist()
+        offs = col.offsets.to_numpy()
+        hosts = batch.column("host").to_pylist()
+        n_c: Counter = Counter()
+        ch_c: Counter = Counter()
+        for j, h in enumerate(hosts):
+            for i in range(int(offs[j]), int(offs[j + 1])):
+                k = (h, kinds[i])
+                n_c[k] += 1
+                ch_c[k] += chars[i]
+        keys = list(n_c.keys())
+        return pa.table({
+            "host": pa.array([k[0] for k in keys], pa.string()),
+            "kind": pa.array([k[1] for k in keys], pa.string()),
+            "n_spans": pa.array([n_c[k] for k in keys], pa.int64()),
+            "total_text_chars": pa.array([ch_c[k] for k in keys],
+                                         pa.int64()),
+        })
+
+    out = (rd_groupby_two(ds.map_batches(partial, batch_format="pyarrow"))
+           .to_pandas())
+    return out.sort_values(["host", "kind"]).reset_index(drop=True)
+
+
+def rd_groupby_two(ds):
+    """Sum partials per (host, kind): Ray Data groupby is single-key, so
+    the composite key packs into one string for the (small) reduce."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def pack(batch: pa.Table) -> pa.Table:
+        keys = [h + "\x1f" + k
+                for h, k in zip(batch.column("host").to_pylist(),
+                                batch.column("kind").to_pylist())]
+        return pa.table({
+            "__hk": pa.array(keys, pa.string()),
+            "n_spans": batch.column("n_spans"),
+            "total_text_chars": batch.column("total_text_chars")})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        hk = [s.split("\x1f") for s in batch.column("__hk").to_pylist()]
+        return pa.table({
+            "host": pa.array([x[0] for x in hk], pa.string()),
+            "kind": pa.array([x[1] for x in hk], pa.string()),
+            "n_spans": batch.column("sum(n_spans)"),
+            "total_text_chars": batch.column("sum(total_text_chars)")})
+
+    return (ds.map_batches(pack, batch_format="pyarrow")
+            .groupby("__hk")
+            .aggregate(Sum("n_spans"), Sum("total_text_chars"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def crawl_span_kinds_sql(path: str) -> str:
+    return f"""
+SELECT host, s.kind AS kind, count(*) AS n_spans,
+       sum(length(s.text))::BIGINT AS total_text_chars
+FROM (SELECT host, unnest(spans) AS s FROM read_parquet('{path}'))
+GROUP BY host, s.kind ORDER BY host, kind"""
