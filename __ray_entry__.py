@@ -160,6 +160,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.stats import length_quantiles
         return length_quantiles(_docs(sf_dir)).to_pandas()
 
+    def q_incremental_dedup(sf_dir):
+        from librecrawl_ray.functions.dedup import (incremental_dedup,
+                                                    write_seen_fingerprints)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        snap = write_seen_fingerprints(
+            os.path.join(sf_dir, "documents.parquet"),
+            f"/tmp/graft_corpus/seen_fp/{tag}.parquet")
+        out = incremental_dedup(_docs(sf_dir), snap) \
+            .select_columns(["doc_id", "source", "lang"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_semantic_dedup(sf_dir):
         return D.semantic_dedup(_emb(sf_dir)).to_pandas()
 
@@ -226,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q_length_quantiles,
         "normalize_text": q_normalize_text,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup": q_incremental_dedup,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -252,8 +264,10 @@ def oracle_sql() -> dict[str, str]:
     cp = {}
     sim = {}
     sem = {}
+    snap = {}
     crawl_out = {}
     from librecrawl_ray.functions.dedup import (write_cluster_assignments,
+                                                write_seen_fingerprints,
                                                 write_simhashes)
     for sf in ("sf0.001", "sf0.01"):
         d = f"/root/testdata/{sf}"
@@ -268,6 +282,10 @@ def oracle_sql() -> dict[str, str]:
             # k-means assignment side-table for the semantic_dedup oracle
             # (within-cluster pairs + closure + keeper checked in SQL;
             # the k-means itself is pinned by pytest determinism)
+            # 'previously ingested shard' snapshot for incremental_dedup
+            snap[sf] = write_seen_fingerprints(
+                os.path.join(d, "documents.parquet"),
+                f"/tmp/graft_corpus/seen_fp/{sf}.parquet")
             sem[sf] = write_cluster_assignments(
                 os.path.join(d, "embeddings.parquet"),
                 f"/tmp/graft_corpus/semdedup/{sf}.parquet")
@@ -278,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
             crawl_out[sf] = os.path.join("/tmp/graft_crawl", C.tier_for(d))
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
+    snap_path = snap.get("sf0.01") or next(iter(snap.values()), "")
     sim_path = sim.get("sf0.01") or next(iter(sim.values()), "")
     sem_path = sem.get("sf0.01") or next(iter(sem.values()), "")
     pr_dir = crawl_out.get("sf0.01") or next(iter(crawl_out.values()), "")
@@ -478,6 +497,12 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references
     }
+    if snap_path:
+        out["incremental_dedup"] = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {T.FINGERPRINT_SQL.format(col='text')} NOT IN
+      (SELECT fingerprint FROM read_parquet('{snap_path}'))
+ORDER BY doc_id"""
     if sem_path:
         from librecrawl_ray.functions.dedup import semantic_dedup_sql
         out["semantic_dedup"] = semantic_dedup_sql(sem_path)

@@ -662,3 +662,62 @@ def neardup_clusters(ds: rd.Dataset, id_col: str = "doc_id",
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(out, schema=CLUSTER_SCHEMA,
                                 preserve_index=False)
+
+
+def write_seen_fingerprints(documents_parquet: str, out_path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            modulus: int = 7) -> str:
+    """Persist the fingerprint snapshot of a 'previously ingested' shard
+    (docs with ``doc_id % modulus == 0``) — the side-table
+    ``incremental_dedup`` and its DuckDB oracle both read. Atomic
+    tmp+rename, recomputed on every call (cheap, never stale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .text import fingerprint
+    tbl = pq.read_table(documents_parquet, columns=[id_col, text_col])
+    keep = [i % modulus == 0 for i in tbl.column(id_col).to_pylist()]
+    tbl = tbl.filter(pa.array(keep, pa.bool_()))
+    fps = sorted({fingerprint(t)
+                  for t in tbl.column(text_col).to_pylist()})
+    out = pa.table({"fingerprint": pa.array(fps, pa.string())})
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def incremental_dedup(ds: rd.Dataset, seen_parquet: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> rd.Dataset:
+    """Drop documents whose content fingerprint is already in a persisted
+    snapshot (the incremental-ingest dedup pass: each new shard dedups
+    against all previously ingested data without re-reading it).
+
+    The snapshot ships as ONE broadcast Arrow array (``ray.put`` once,
+    ``pc.is_in`` per batch — the same broadcast-set shape as
+    ``filter_blocklist``). At 10^10-fingerprint scale the snapshot becomes
+    a bucketed anti-join on fingerprint ranges (or the SeenShard bloom
+    actors the crawl already uses); the broadcast form is exact and right
+    whenever the snapshot fits a worker heap (~10^8 fingerprints)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .text import fingerprint
+
+    seen = pq.read_table(seen_parquet).column("fingerprint") \
+        .combine_chunks()
+    ref = ray.put(seen)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        seen_arr = ray.get(ref)
+        fps = pa.array(
+            [fingerprint(t) for t in batch.column(text_col).to_pylist()],
+            pa.string())
+        return batch.filter(
+            pc.invert(pc.is_in(fps, value_set=seen_arr)))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -997,3 +997,21 @@ def test_word_run_counts_exact_vs_findall():
     def prop(strings):
         check(strings)
     prop()
+
+
+def test_incremental_dedup_snapshot(docs_ds, tmp_path):
+    """New-shard rows whose fingerprint is in the persisted snapshot are
+    dropped; everything else survives (naive set recount)."""
+    from librecrawl_ray.functions.dedup import (incremental_dedup,
+                                                write_seen_fingerprints)
+    from librecrawl_ray.functions.text import fingerprint
+
+    snap = write_seen_fingerprints(f"{SF}/documents.parquet",
+                                   str(tmp_path / "seen.parquet"))
+    got = incremental_dedup(docs_ds, snap).to_pandas()
+    full = docs_ds.to_pandas()
+    seen = {fingerprint(t) for t in
+            full.loc[full.doc_id % 7 == 0, "text"]}
+    want = full[[fingerprint(t) not in seen for t in full["text"]]]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert 0 < len(got) < len(full)
