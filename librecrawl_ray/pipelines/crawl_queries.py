@@ -515,7 +515,6 @@ def crawl_span_kinds(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, ["host", "spans"])
 
@@ -546,12 +545,12 @@ def crawl_span_kinds(sf_dir: str) -> pd.DataFrame:
                                          pa.int64()),
         })
 
-    out = (rd_groupby_two(ds.map_batches(partial, batch_format="pyarrow"))
+    out = (_sum_host_kind_partials(ds.map_batches(partial, batch_format="pyarrow"))
            .to_pandas())
     return out.sort_values(["host", "kind"]).reset_index(drop=True)
 
 
-def rd_groupby_two(ds):
+def _sum_host_kind_partials(ds):
     """Sum partials per (host, kind): Ray Data groupby is single-key, so
     the composite key packs into one string for the (small) reduce."""
     import pyarrow as pa

@@ -427,7 +427,8 @@ def extract_edges_flat(url: str, kinds: list[str], texts: list[str],
     page's scheme+host, so site-wide nav links (the dominant href class)
     resolve once per batch instead of once per page. Path-relative and
     dot-segment hrefs bypass the memo (their resolution needs the full
-    base path)."""
+    base path). A memo must not be shared across different
+    ``base_domain`` values (scope classification is cached in it)."""
     out = []
     seen = dedup if dedup is not None else set()
     base_sh = None  # lazy scheme://host of this page, for memo keys
