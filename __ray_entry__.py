@@ -186,6 +186,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "seg_idx"]) \
             .reset_index(drop=True)
 
+    def q_reservoir_sample(sf_dir):
+        from librecrawl_ray.functions.sampling import reservoir_sample
+        out = reservoir_sample(_docs(sf_dir)).to_pandas()
+        return out.sort_values(["source", "sample_key", "doc_id"]) \
+            .reset_index(drop=True)[["doc_id", "source", "sample_key"]]
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -226,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
+        "reservoir_sample": q_reservoir_sample,
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -465,6 +472,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "repetition_stats": T.repetition_stats_sql("documents"),
         "mixture_sample": mixture_sample_sql,
         "train_shuffle": train_shuffle_sql,
+        "reservoir_sample": __import__(
+            "librecrawl_ray.functions.sampling",
+            fromlist=["reservoir_sample_sql"]).reservoir_sample_sql(),
         "curate_corpus": __import__(
             "librecrawl_ray.pipelines.curate",
             fromlist=["curate_corpus_sql"]).curate_corpus_sql(),

@@ -87,3 +87,55 @@ def deterministic_shuffle(ds: rd.Dataset, id_col: str = "doc_id",
         return batch.append_column(key_col, pa.array(keys, pa.string()))
 
     return ds.map_batches(add_key, batch_format="pyarrow").sort(key_col)
+
+
+def reservoir_sample(ds, k: int = 5, group_col: str = "source",
+                     id_col: str = "doc_id", buckets: int = 32):
+    """Exact-k uniform sample per group, deterministic: the k rows with
+    the smallest md5(id) per group (a fixed random permutation, so the
+    choice is uniform over the group yet reproducible across runs and
+    block layouts — the distributed stand-in for reservoir sampling,
+    whose sequential state doesn't shard). Same shuffle shape as per-key
+    top-N: each batch keeps ≤k rows per group it has seen (partial
+    combiner), then one vectorized rank-trim per hash bucket is exact."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..pipelines.reports import bucketed_groups
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch.column(id_col).to_pylist()]
+        return batch.append_column("sample_key",
+                                   pa.array(keys, pa.string()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "sample_key", id_col])
+        return df.groupby(group_col, sort=False).head(k)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "sample_key", id_col])
+        return df.groupby(group_col, sort=False).head(k)
+
+    return bucketed_groups(
+        ds.select_columns([id_col, group_col])
+        .map_batches(add_key, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas"),
+        group_col, per_bucket, buckets=buckets)
+
+
+def reservoir_sample_sql(table: str = "documents", k: int = 5,
+                         group_col: str = "source",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin: row_number over md5(id) per group."""
+    return f"""
+SELECT {id_col}, {group_col}, sample_key FROM (
+  SELECT {id_col}, {group_col},
+         md5(CAST({id_col} AS VARCHAR)) AS sample_key,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY md5(CAST({id_col} AS VARCHAR)),
+                                     {id_col}) AS rn
+  FROM {table})
+WHERE rn <= {k} ORDER BY {group_col}, sample_key, {id_col}"""

@@ -1015,3 +1015,24 @@ def test_incremental_dedup_snapshot(docs_ds, tmp_path):
     want = full[[fingerprint(t) not in seen for t in full["text"]]]
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
     assert 0 < len(got) < len(full)
+
+
+def test_reservoir_sample_uniform_and_stable(docs_ds):
+    """Exact k per group, deterministic across runs and bucket counts,
+    equals the naive smallest-k-md5 recount."""
+    import hashlib
+
+    from librecrawl_ray.functions.sampling import reservoir_sample
+
+    got = reservoir_sample(docs_ds, k=3).to_pandas() \
+        .sort_values(["source", "sample_key"]).reset_index(drop=True)
+    full = docs_ds.to_pandas()
+    for src, sub in full.groupby("source"):
+        want = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i in sub["doc_id"])[:3]
+        g = got[got["source"] == src]
+        assert list(zip(g["sample_key"], g["doc_id"])) == want
+    again = reservoir_sample(docs_ds, k=3, buckets=8).to_pandas() \
+        .sort_values(["source", "sample_key"]).reset_index(drop=True)
+    assert again[["doc_id", "source"]].equals(got[["doc_id", "source"]])
