@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_neardup": C.crawl_neardup,
         "crawl_full": C.full_crawl_pages,
         "crawl_pagerank": C.crawl_pagerank,
+        "crawl_anchor_texts": C.crawl_anchor_texts,
     }
 
 
@@ -527,6 +528,7 @@ ORDER BY doc_id"""
         # own pages/links parquet — verifies the PageRank transform in
         # SQL; the crawl itself is pinned by the conformance suite
         out["crawl_pagerank"] = C.crawl_pagerank_sql(pr_dir)
+        out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
     if path:
         out["crawl_parse"] = C.crawl_parse_sql(path)
         out["crawl_edges"] = C.crawl_edges_sql(path)

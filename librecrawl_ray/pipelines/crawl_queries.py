@@ -585,3 +585,63 @@ SELECT host, s.kind AS kind, count(*) AS n_spans,
        sum(length(s.text))::BIGINT AS total_text_chars
 FROM (SELECT host, unnest(spans) AS s FROM read_parquet('{path}'))
 GROUP BY host, s.kind ORDER BY host, kind"""
+
+
+def crawl_anchor_texts(sf_dir: str, k: int = 3,
+                       out_root: str = "/tmp/graft_crawl") -> pd.DataFrame:
+    """Top-``k`` anchor texts per internal link target over the crawl
+    output (the reference UI's per-URL inlink anchor view, as a
+    corpus-scale aggregate): (target_url, rank, anchor_text, n_links).
+    Two-stage shuffle-lean shape: per-batch (target, anchor) Counter
+    partials, then one bucketed reduce that sums counts and rank-trims
+    per target — raw link rows never cross the shuffle twice."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from . import reports
+    from .reports import bucketed_groups
+
+    full_crawl_pages(sf_dir, out_root)   # no-op if lineage says complete
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    links = reports.load_links(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch.column("is_internal"))
+        c = Counter(zip(b.column("target_url").to_pylist(),
+                        b.column("anchor_text").to_pylist()))
+        keys = list(c.keys())
+        return pa.table({
+            "target_url": pa.array([t for t, _ in keys], pa.string()),
+            "anchor_text": pa.array([a for _, a in keys], pa.string()),
+            "n_links": pa.array([c[x] for x in keys], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (df.groupby(["target_url", "anchor_text"], sort=False)
+               ["n_links"].sum().reset_index())
+        agg = agg.sort_values(["target_url", "n_links", "anchor_text"],
+                              ascending=[True, False, True])
+        out = agg.groupby("target_url", sort=False).head(k).copy()
+        out["rank"] = out.groupby("target_url", sort=False) \
+            .cumcount().astype("int64") + 1
+        return out[["target_url", "rank", "anchor_text", "n_links"]]
+
+    res = bucketed_groups(
+        links.select_columns(["target_url", "anchor_text",
+                              "is_internal"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "target_url", per_bucket).to_pandas()
+    return (res.sort_values(["target_url", "rank"])
+            .reset_index(drop=True))
+
+
+def crawl_anchor_texts_sql(out_dir: str, k: int = 3) -> str:
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+SELECT target_url, rank, anchor_text, n_links FROM (
+  SELECT target_url, anchor_text, count(*) AS n_links,
+         row_number() OVER (PARTITION BY target_url
+                            ORDER BY count(*) DESC, anchor_text) AS rank
+  FROM read_parquet('{links_glob}') WHERE is_internal
+  GROUP BY target_url, anchor_text)
+WHERE rank <= {k} ORDER BY target_url, rank"""
