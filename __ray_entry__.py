@@ -277,9 +277,14 @@ def oracle_sql() -> dict[str, str]:
     from librecrawl_ray.functions.dedup import (write_cluster_assignments,
                                                 write_seen_fingerprints,
                                                 write_simhashes)
-    for sf in ("sf0.001", "sf0.01"):
+    # the driver runs correctness at sf0.01 only — prep just that tier
+    # (fall back to sf0.001 when it is absent, e.g. smoke environments);
+    # entry() builds its own sf0.001 state on demand
+    tiers = [sf for sf in ("sf0.01", "sf0.001")
+             if os.path.isdir(f"/root/testdata/{sf}")][:1]
+    for sf in tiers:
         d = f"/root/testdata/{sf}"
-        if os.path.isdir(d):
+        if True:
             C.ensure_corpus(d)
             cp[sf] = C.corpus_parquet(d)
             # simhash side-table for the simhash_pairs oracle (pair
@@ -380,25 +385,41 @@ ORDER BY id_a, id_b
     # near-identical, where 32x4 minhash banding has recall ~1 (verified
     # empirically: engine==SQL at sf0.01 and sf0.001); pytest additionally
     # pins recall vs brute force.
-    _TOKS = "regexp_extract_all(lower(text), '\\w+')"
-    _minhash_pair_ctes = f"""sh AS (
-  SELECT doc_id,
-    CASE WHEN len({_TOKS}) = 0 THEN []
-         WHEN len({_TOKS}) < 3
-         THEN [array_to_string({_TOKS}, ' ')]
-         ELSE list_distinct(list_transform(
-            generate_series(1, greatest(len({_TOKS}) - 2, 0)),
-            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
-    END AS s
+    # |A∩B| via unnest + equi-join + group-by (shingles are distinct per
+    # doc, so count(*) == intersection size) instead of all-pairs
+    # list_intersect — same result, ~70x faster in DuckDB (0.5s vs 38s at
+    # sf0.01, measured; MATERIALIZED stops the tokenizer CTE from being
+    # re-inlined 6x). Pairs with no shared shingle have jac 0 (< any
+    # threshold) except the both-empty case (jac 1.0 by the engine's
+    # convention), appended separately.
+    _minhash_pair_ctes = """tok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
   FROM documents),
-j AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
-         WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
-         ELSE len(list_intersect(a.s, b.s))::DOUBLE /
-              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-    END AS jac
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 0)),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END AS s
+  FROM tok),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+flat AS (SELECT doc_id, unnest(s) AS f FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+  FROM flat a JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS MATERIALIZED (
+  SELECT id_a, id_b,
+         cnt::DOUBLE / (sa.n + sb.n - cnt) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, 1.0 AS jac
+  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+  WHERE a.n = 0 AND b.n = 0)"""
     minhash_sql = f"""
 WITH {_minhash_pair_ctes}
 SELECT id_a, id_b, round(jac, 6) AS jaccard

@@ -199,14 +199,125 @@ def visualization_graph(pages_rows: list[dict], links_rows: list[dict],
 
 def export_pages_ds(pages_ds, fmt: str, fields: list[str] | None = None,
                     export_date: str | None = None,
-                    sort_by: tuple = ("wave", "depth", "seq")) -> str:
-    """Dataset → export string; rows ordered by crawl order so exports are
-    deterministic (the reference's row order is thread-completion order)."""
-    rows = pages_ds.to_pandas().sort_values(list(sort_by)).to_dict("records")
-    if fmt == "csv":
-        return pages_csv(rows, fields)
-    if fmt == "json":
-        return pages_json(rows, fields, export_date)
-    if fmt == "xml":
-        return pages_xml(rows, fields, export_date)
-    raise ValueError(f"unknown format {fmt}")
+                    sort_by: tuple = ("wave", "depth", "seq"),
+                    out_path: str | None = None,
+                    batch_size: int = 4096) -> str:
+    """Dataset → export, streamed. Rows are ordered by crawl order
+    (``seq`` is unique, so the order is total and deterministic; the
+    reference's row order is thread-completion order).
+
+    Scale shape: the sort is a cluster-side range shuffle and the driver
+    consumes one ``iter_batches`` batch at a time through the same row
+    formatters as the list-based writers — the dataset is never
+    materialized on the driver. JSON/XML need ``total_urls`` in their
+    envelope header, which is only known once the stream ends, so their
+    row section spools to a temp file on disk (O(1) driver heap) and is
+    copied behind the header. Output is byte-identical to formatting
+    ``to_pandas()`` rows.
+
+    With ``out_path`` the export is written to that file and the path is
+    returned; otherwise the string is returned (report-sized use).
+    """
+    import shutil
+    import tempfile
+    import textwrap
+
+    fields = fields or DEFAULT_PAGE_FIELDS
+    ed = export_date or time.strftime("%Y-%m-%d %H:%M:%S")
+    if fmt not in ("csv", "json", "xml"):
+        raise ValueError(f"unknown format {fmt}")
+    ds = pages_ds.sort(list(sort_by))
+
+    def rows_iter():
+        for df in ds.iter_batches(batch_size=batch_size,
+                                  batch_format="pandas"):
+            yield from df.to_dict("records")
+
+    out = open(out_path, "w", encoding="utf-8", newline="") \
+        if out_path else io.StringIO()
+    try:
+        if fmt == "csv":
+            w = csv.DictWriter(out, fieldnames=fields)
+            w.writeheader()
+            for r in rows_iter():
+                w.writerow({f: _fmt_page_value(f, r.get(f, ""))
+                            for f in fields})
+        elif fmt == "json":
+            n = 0
+            with tempfile.TemporaryFile("w+", encoding="utf-8") as spool:
+                for r in rows_iter():
+                    if n:
+                        spool.write(",\n")
+                    body = json.dumps({f: r.get(f, "") for f in fields},
+                                      indent=2, default=str)
+                    spool.write(textwrap.indent(body, "    "))
+                    n += 1
+                head = json.dumps({"export_date": ed, "total_urls": n,
+                                   "fields": fields, "data": []}, indent=2)
+                marker = '"data": []'
+                idx = head.rindex(marker)
+                if n == 0:
+                    out.write(head)
+                else:
+                    out.write(head[:idx] + '"data": [\n')
+                    spool.seek(0)
+                    shutil.copyfileobj(spool, out)
+                    out.write("\n  ]" + head[idx + len(marker):])
+        else:  # xml
+            n = 0
+            with tempfile.TemporaryFile("w+", encoding="utf-8") as spool:
+                for r in rows_iter():
+                    url_el = ET.Element("url")
+                    for f in fields:
+                        fe = ET.SubElement(url_el, f)
+                        fe.text = str(r.get(f, ""))
+                    spool.write(ET.tostring(url_el, encoding="unicode"))
+                    n += 1
+                root = ET.Element("librecrawl_export")
+                root.set("export_date", ed)
+                root.set("total_urls", str(n))
+                ET.SubElement(root, "urls")
+                skel = ET.tostring(root, encoding="unicode")
+                pre, post = skel.split("<urls />")
+                out.write(pre)
+                if n:
+                    out.write("<urls>")
+                    spool.seek(0)
+                    shutil.copyfileobj(spool, out)
+                    out.write("</urls>")
+                else:
+                    out.write("<urls />")
+                out.write(post)
+        if out_path:
+            return out_path
+        return out.getvalue()
+    finally:
+        if out_path:
+            out.close()
+
+
+def export_pages_sharded(pages_ds, out_dir: str,
+                         fields: list[str] | None = None,
+                         sort_by: tuple = ("wave", "depth", "seq")):
+    """Fully distributed CSV export: each row is formatted to the
+    reference summarization strings inside ``map_batches`` (cluster-side)
+    and parts are written by Ray's CSV datasink — the driver never sees a
+    row. Parts under ``out_dir`` follow global sort order (range-
+    partitioned sorted blocks). Each part carries the header row; a
+    consumer concatenates parts dropping repeated headers. Part quoting
+    is Arrow's RFC-4180 writer; the byte-identical-to-reference path is
+    ``export_pages_ds``. Returns ``out_dir``."""
+    import pandas as pd
+
+    fields = fields or DEFAULT_PAGE_FIELDS
+
+    def fmt_batch(df: pd.DataFrame) -> pd.DataFrame:
+        recs = df.to_dict("records")
+        return pd.DataFrame(
+            {f: [str(_fmt_page_value(f, r.get(f, ""))) for r in recs]
+             for f in fields})
+
+    pages_ds.sort(list(sort_by)) \
+        .map_batches(fmt_batch, batch_format="pandas") \
+        .write_csv(out_dir)
+    return out_dir

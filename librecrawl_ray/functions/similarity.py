@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -80,14 +81,32 @@ def train_centroids(ds: rd.Dataset, num_centroids: int = 16,
     """Driver-side mini k-means on a bounded sample (the IVF train step —
     at 100 TB you train on the same bounded sample; assignment streams).
 
-    The sample is sorted by ``id_col`` before training: Ray's block gather
-    order is NOT stable across reads (measured: the first read of a file
-    in a session can permute rows vs later reads), and k-means results
-    depend on row order via the seeded initial pick — sorting makes the
-    centroids a pure function of the sampled row SET, so side-table
-    writers and query paths in different processes agree bit-for-bit."""
+    Both the sampled row SET and its order are deterministic: the set is
+    the ``sample_limit`` rows with smallest ``md5(str(id))`` (a fixed
+    random permutation — ``limit()`` alone selects rows in Ray's unstable
+    block-gather order, so above the limit two processes could train on
+    different sets), pruned per batch before a sort+limit over the pruned
+    stream so no full-data shuffle happens; the sample is then sorted by
+    ``id_col`` because k-means depends on row order via the seeded
+    initial pick. Together the centroids are a pure function of the
+    input rows, so side-table writers and query paths in different
+    processes agree bit-for-bit."""
+    import hashlib
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keys = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                         for i in batch.column(id_col).to_pylist()])
+        batch = batch.append_column("__skey", keys)
+        if batch.num_rows > sample_limit:
+            idx = pc.sort_indices(batch, sort_keys=[("__skey",
+                                                     "ascending")])
+            batch = batch.take(idx[:sample_limit])
+        return batch
+
     sample = ds.select_columns([id_col, vec_col]) \
-               .limit(sample_limit).to_pandas().sort_values(id_col)
+               .map_batches(prune, batch_format="pyarrow") \
+               .sort("__skey").limit(sample_limit) \
+               .to_pandas().sort_values(id_col)
     m = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(num_centroids, len(m)),

@@ -420,7 +420,27 @@ def crawl_neardup(sf_dir: str, sample: int = 1200) -> pd.DataFrame:
     the gate bounded on template-heavy corpora where the reference's 0.85
     metric legitimately matches huge page families."""
     from ..stages.neardup import near_duplicate_pairs
-    ds = _docs(sf_dir, ["doc_id", "spans"]).sort("doc_id").limit(sample)
+
+    # cutoff-id selection instead of sort().limit(): sorting would range-
+    # shuffle the full spans payload just to keep the first ``sample``
+    # rows. Prune the id column per batch to its smallest ``sample`` ids,
+    # sort only the pruned stream, and filter the full table by the
+    # resulting cutoff — the spans column never moves.
+    import pyarrow.compute as _pc
+
+    def _prune_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > sample:
+            idx = _pc.sort_indices(batch, sort_keys=[("doc_id",
+                                                      "ascending")])
+            batch = batch.take(idx[:sample])
+        return batch
+
+    sampled_ids = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(_prune_ids, batch_format="pyarrow") \
+        .sort("doc_id").limit(sample).to_pandas()["doc_id"]
+    cutoff = sampled_ids.max()
+    ds = _docs(sf_dir, ["doc_id", "spans"]) \
+        .filter(expr=f"doc_id <= {cutoff!r}")
     parsed = ds.map_batches(
         lambda b: parse_documents_batch(b, BASE_DOMAIN),
         batch_format="pyarrow").map_batches(

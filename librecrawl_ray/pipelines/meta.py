@@ -109,6 +109,10 @@ def list_crawls(out_root: str, status_filter: str | None = None,
 
 
 DIFF_SIGNAL_COLUMNS = ("status_code", "size", "word_count", "title")
+# canonical per-column dtypes (numeric sides may carry nulls when a URL is
+# only in one crawl, so numerics are float64; titles stay object/string)
+DIFF_SIGNAL_DTYPES = {"status_code": "float64", "size": "float64",
+                      "word_count": "float64", "title": "object"}
 
 
 def crawl_diff(prev_pages, new_pages):
@@ -155,8 +159,10 @@ def crawl_diff(prev_pages, new_pages):
         for c in DIFF_SIGNAL_COLUMNS:
             pc_, nc = "prev_" + c, "new_" + c
             if pc_ in df and nc in df:
-                changed |= df[pc_].astype("object") \
-                    .ne(df[nc].astype("object"))
+                a = df[pc_].astype("object")
+                b = df[nc].astype("object")
+                # null-safe: two missing values are equal, not a change
+                changed |= a.ne(b) & ~(a.isna() & b.isna())
         change = np.where(
             present_prev & present_new,
             np.where(changed, "changed", "unchanged"),
@@ -164,11 +170,16 @@ def crawl_diff(prev_pages, new_pages):
         url = df["new_url"].where(present_new, df.get("prev_url")) \
             if "new_url" in df else df["prev_url"]
         out = pd.DataFrame({"url": url, "change": change})
+        # every block emits the full prev_*/new_* signal schema with one
+        # canonical dtype per column (null-filled when the side is
+        # absent) so union blocks are homogeneous
         for c in DIFF_SIGNAL_COLUMNS:
+            dt = DIFF_SIGNAL_DTYPES[c]
             for side in ("prev_", "new_"):
                 col = side + c
-                if col in df:
-                    out[col] = df[col]
+                src = df[col] if col in df \
+                    else pd.Series(None, index=df.index, dtype="object")
+                out[col] = src.astype(dt)
         return out
 
     both = hash_join(new, prev, "__n", how="left_outer")

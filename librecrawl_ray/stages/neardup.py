@@ -78,17 +78,57 @@ def pair_score(d1: dict, d2: dict, threshold: float) -> float | None:
     return score if score >= threshold else None
 
 
+def _candidate_pairs(rows: list[dict], threshold: float):
+    """Vectorized exactness-preserving prefilter: for every pair compute
+    an upper bound on the reference score — exact wc_sim plus, per text
+    field, SequenceMatcher.quick_ratio (char-multiset bound, >= ratio)
+    weighted as pair_score weights it. Pairs whose bound is below the
+    threshold can never score >= threshold, so only survivors reach the
+    per-pair staged scorer. numpy over an n x vocab char-count matrix —
+    no Python pair loop for the pruned majority."""
+    import numpy as np
+    n = len(rows)
+    wc = np.array([r["word_count"] or 0 for r in rows], dtype=np.float64)
+    mn = np.minimum.outer(wc, wc)
+    mx = np.maximum.outer(wc, wc)
+    wc_sim = np.where(mn > 0, mn / np.where(mx > 0, mx, 1.0), 0.0)
+    bound = wc_sim * WEIGHTS["word_count"]
+    from collections import Counter
+    for f, w in (("title", WEIGHTS["title"]), ("desc", WEIGHTS["desc"]),
+                 ("h1", WEIGHTS["h1"])):
+        texts = [r[f] for r in rows]
+        counters = [Counter(t) for t in texts]
+        vocab: dict[str, int] = {}
+        for c in counters:
+            for ch in c:
+                vocab.setdefault(ch, len(vocab))
+        C = np.zeros((n, max(len(vocab), 1)), dtype=np.int32)
+        lens = np.zeros(n)
+        for i, c in enumerate(counters):
+            lens[i] = len(texts[i])
+            for ch, k in c.items():
+                C[i, vocab[ch]] = k
+        summin = np.empty((n, n))
+        for i in range(n):
+            summin[i] = np.minimum(C[i], C).sum(axis=1)
+        lsum = lens[:, None] + lens[None, :]
+        qr = np.where((lens[:, None] > 0) & (lens[None, :] > 0),
+                      2.0 * summin / np.where(lsum > 0, lsum, 1.0), 0.0)
+        bound += np.minimum(qr, 1.0) * w
+    ii, jj = np.nonzero(np.triu(bound >= threshold, k=1))
+    return zip(ii.tolist(), jj.tolist())
+
+
 def _pairs_in_block(rows: list[dict], threshold: float) -> list[dict]:
     out = []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            s = pair_score(rows[i], rows[j], threshold)
-            if s is not None:
-                a, b = rows[i]["url"], rows[j]["url"]
-                if a > b:
-                    a, b = b, a
-                out.append({"url_a": a, "url_b": b,
-                            "score": round(s, 6)})
+    for i, j in _candidate_pairs(rows, threshold):
+        s = pair_score(rows[i], rows[j], threshold)
+        if s is not None:
+            a, b = rows[i]["url"], rows[j]["url"]
+            if a > b:
+                a, b = b, a
+            out.append({"url_a": a, "url_b": b,
+                        "score": round(s, 6)})
     return out
 
 
