@@ -255,10 +255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_issue_counts": C.crawl_issue_counts,
-        "crawl_neardup": C.crawl_neardup,
-        "crawl_full": C.full_crawl_pages,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
+        # rows-only entries (no SQL twin) deliberately last: if the
+        # driver's sweep budget cuts the tail, full-oracle rows survive
+        "crawl_neardup": C.crawl_neardup,
+        "crawl_full": C.full_crawl_pages,
     }
 
 

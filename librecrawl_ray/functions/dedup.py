@@ -175,36 +175,47 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         stats["text_replicated_bytes"] = tb_total  # already ×bands
         stats["amplification_removed"] = round(
             tb_total / max(1, key_bytes + 8 * n_rows), 1)
-    cand = bucketed_groups(band_ds.select_columns(["id", "band"]),
-                           "band", per_bucket).to_pandas()
-    if cand.empty:
+    cand_ds = bucketed_groups(band_ds.select_columns(["id", "band"]),
+                              "band", per_bucket)
+
+    # pair dedup stays distributed: bucket by id_a (both members of a
+    # duplicate pair share id_a) and drop duplicates per bucket —
+    # the candidate list never lands on the driver
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    # materialize the (pair-sized) candidate set in plasma: it feeds two
+    # joins, and the count() empty-guard must not re-run the band pass
+    cand_ds = bucketed_groups(cand_ds, "id_a", dedup_bucket).materialize()
+    if cand_ds.count() == 0:
         return PAIR_SCHEMA.empty_table()
-    cand = cand.drop_duplicates(["id_a", "id_b"])
 
-    # gather texts for candidate ids only, then verify distributed
-    idset = set(cand["id_a"]).union(cand["id_b"])
-    idset_ref = ray.put(idset)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        want = ray.get(idset_ref)
-        mask = [i in want for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    texts = ds.select_columns([id_col, text_col]) \
-              .map_batches(pick, batch_format="pyarrow").to_pandas()
-    tmap_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+    # verify via two bucketed pair⋈text hash joins (by id_a then id_b):
+    # candidate texts are attached inside join buckets — the old shape
+    # gathered a driver-side {id: text} map for every candidate id,
+    # unbounded on near-dup-heavy corpora (VERDICT r3 #3). hash_join
+    # broadcasts the text side only when it is small; above the
+    # threshold it bucket-shuffles, so driver heap stays O(1).
+    from ..pipelines.reports import hash_join
+    txt = ds.select_columns([id_col, text_col])
+    j1 = hash_join(cand_ds, txt, "id_a", right_key=id_col) \
+        .map_batches(lambda b: b.rename_columns(
+            ["__ta" if c == text_col else c for c in b.column_names]),
+            batch_format="pyarrow")
+    j2 = hash_join(j1, txt, "id_b", right_key=id_col)
+    if stats is not None:
+        stats["verify_shape"] = "bucketed_join"
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tm = ray.get(tmap_ref)
         rows = []
-        for a, b in zip(df["id_a"], df["id_b"]):
-            jac = jaccard(tm.get(a, ""), tm.get(b, ""), ngram)
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"],
+                                df["__ta"], df[text_col]):
+            jac = jaccard(ta or "", tb or "", ngram)
             if jac >= threshold:
                 rows.append((int(a), int(b), round(jac, 6)))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    pairs = rd.from_pandas(cand.reset_index(drop=True)) \
-              .map_batches(verify, batch_format="pandas").to_pandas()
+    pairs = j2.map_batches(verify, batch_format="pandas").to_pandas()
     if pairs.empty:
         return PAIR_SCHEMA.empty_table()
     pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

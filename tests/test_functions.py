@@ -461,6 +461,9 @@ def test_minhash_band_shuffle_carries_no_text(docs_ds):
     per_row = stats["band_shuffle_bytes"] / stats["band_rows"]
     assert per_row < 32
     assert stats["text_replicated_bytes"] > 10 * stats["band_shuffle_bytes"]
+    # verify runs through bucketed pair⋈text joins, not a driver-side
+    # {id: text} gather (VERDICT r3 #3: unbounded on near-dup-heavy input)
+    assert stats["verify_shape"] == "bucketed_join"
 
 
 def test_embedding_neardup_lsh_recall(ray_session):

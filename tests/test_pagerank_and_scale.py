@@ -98,6 +98,43 @@ def test_exports_over_engine_output(ray_session, t1_crawl):
     assert len(lines) == summary["fetched_total"] + 1
     assert lines[1].startswith("https://site.example/,200,")
 
+    # the streamed sink is byte-identical to formatting driver-side rows
+    from librecrawl_ray.exports.formats import (pages_csv, pages_json,
+                                                pages_xml)
+    rows = pages.to_pandas().sort_values(["wave", "depth", "seq"]) \
+        .to_dict("records")
+    assert csv_text == pages_csv(rows)
+    ed = "2026-01-01 00:00:00"
+    assert export_pages_ds(pages, "json", export_date=ed) == \
+        pages_json(rows, export_date=ed)
+    assert export_pages_ds(pages, "xml", export_date=ed) == \
+        pages_xml(rows, export_date=ed)
+
+
+def test_export_out_path_and_sharded(ray_session, t1_crawl, tmp_path):
+    import glob
+
+    from librecrawl_ray.exports.formats import (export_pages_ds,
+                                                export_pages_sharded)
+    _, summary = t1_crawl
+    pages = reports.load_pages(
+        summary["out_dir"], columns=["url", "status_code", "title",
+                                     "word_count", "depth", "seq", "wave"])
+    fields = ["url", "status_code", "title", "word_count", "depth"]
+    p = export_pages_ds(pages, "csv", fields=fields,
+                        out_path=str(tmp_path / "pages.csv"))
+    text = open(p, newline="").read()
+    assert text == export_pages_ds(pages, "csv", fields=fields)
+    # sharded mode: same row count across parts, one header line each
+    out_dir = str(tmp_path / "parts")
+    export_pages_sharded(pages, out_dir, fields=fields)
+    n = 0
+    for f in glob.glob(out_dir + "/*"):
+        lines = open(f).read().strip().splitlines()
+        assert lines[0].split(",")[0].strip('"') == "url"
+        n += len(lines) - 1
+    assert n == summary["fetched_total"]
+
 
 def test_pagerank_distributed_equals_pandas(ray_session, t1_crawl):
     """The scale path (Datasets end-to-end) matches the driver-resident

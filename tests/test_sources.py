@@ -99,6 +99,11 @@ def test_pagespeed_stage_with_fake_client(ray_session, t1_crawl):
     # homepage-first selection
     assert "https://site.example/" in set(out["url"])
     assert select_pagespeed_pages([]) == []
+    # distributed selection == driver-list heuristic on the same pages
+    from librecrawl_ray.sources.pagespeed import select_pages_ds
+    all_urls = [r["url"] for r in pages.take_all()]
+    assert select_pages_ds(pages, max_pages=5) == \
+        select_pagespeed_pages(all_urls, max_pages=5)
     import pyarrow as pa
     with pytest.raises(NotImplementedError):
         PageSpeedAuditor()(pa.table({"url": ["https://x.example/"]}))
