@@ -133,6 +133,35 @@ def run_bench() -> None:
         print(json.dumps(result))
         return
 
+    # ---- distributed-admission (cells) crawl: the 10^10-shape path
+    # (dedup-split tasks → trap-gate actors → seq-finalize; frontier stays
+    # in plasma cells, driver memory O(cells+hosts+shards)). Forced on by
+    # dropping the measured 2M-row crossover to 1 so the bench corpus
+    # exercises _run_wave_cells end-to-end (VERDICT r3 #7). min-of-2:
+    # this path's fixed per-wave round latency dominates variance.
+    cells_out = out_dir + "-cells"
+    cells_ts, cells_sums = [], []
+    for _ in range(2):
+        shutil.rmtree(cells_out, ignore_errors=True)
+        eng = WaveCrawler(cdir, cells_out, cfg,
+                          fetch_concurrency=max(2, num_cpus
+                                                - max(2, num_cpus // 4)),
+                          fetch_batch_size=768,
+                          small_wave_threshold=0)
+        eng.distributed_dedup_threshold = 1
+        eng.warm_pool()
+        t0 = time.perf_counter()
+        cells_sums.append(eng.run(["https://site.example/"]))
+        cells_ts.append(time.perf_counter() - t0)
+    cells_sec = min(cells_ts)
+    cells_sum = cells_sums[cells_ts.index(cells_sec)]
+    assert cells_sum["fetched_total"] == fetched, \
+        "cells path fetched a different page set"
+    queries["crawl_full_cells"] = round(cells_sec, 3)
+    runs["crawl_full_cells"] = [round(t, 3) for t in cells_ts]
+    big_c = max(cells_sum["waves"], key=lambda w: w["fetched"])
+    cells_sustained = round(big_c["fetched"] / big_c["elapsed_s"], 1)
+
     # ---- report / relational / parse queries: warm median-of-N each
     # (VERDICT r2 #1 — a single cold-ish run let one noisy hypervisor
     # window become the round's official number)
@@ -194,6 +223,8 @@ def run_bench() -> None:
         "frontier_admitted": admitted,
         "issues": n_issues,
         "num_waves": summary["num_waves"],
+        "cells_crawl_pages_per_sec": round(fetched / cells_sec, 1),
+        "cells_sustained_pages_per_sec": cells_sustained,
     }
     ray.shutdown()
     print(json.dumps(result))

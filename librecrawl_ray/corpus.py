@@ -145,6 +145,10 @@ class Doc:
     x_robots_tag: str = ""
     # S4: ("same"|"changed", growth_factor) — None = no JS-rendered variant
     rendered: tuple | None = None
+    # S1 fault model: consecutive 429s served before the real response,
+    # plus the 429's Retry-After header value ("" = absent)
+    fault_429: int = 0
+    retry_after: str = ""
 
     def add(self, kind: str, text: str = "", media_ref: str = "") -> None:
         self.spans.append((kind, text, media_ref))
@@ -166,9 +170,18 @@ def _page_url(i: int) -> str:
     return f"{BASE}/page/{b26(i)}"
 
 
-def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
+def generate_corpus(tier: str = "t1", seed: int = 42,
+                    faults: bool = False) -> dict:
     """Build the full fixture: returns dict with arrow tables
-    ``documents``, ``robots``, ``sitemaps``, ``seeds`` and dict ``config``."""
+    ``documents``, ``robots``, ``sitemaps``, ``seeds`` and dict ``config``.
+
+    ``faults=True`` deterministically injects S1 rate-limit faults
+    (reference crawler.py:941-976): ~1/13 of eligible docs serve 1-3
+    429s before succeeding (cycling absent / numeric / malformed
+    Retry-After headers), ~1/127 serve retries+2 429s and are recorded
+    as 429 pages. The homepage seed, 3xx rows and redirect targets are
+    never faulted (faults apply at the entry URL of a fetch; chain
+    resolution models one requests.get with allow_redirects)."""
     t = TIERS[tier]
     S, K, n = t.sections, t.fanout, TIERS[tier].n_tree
     docs: list[Doc] = []
@@ -628,6 +641,24 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
     orph.add("text", words_for(777, 320))
     docs.append(orph)
 
+    # ---------------------------------------------------------- faults
+    if faults:
+        from .canonical import norm_url as _nu
+        redirect_targets = {_nu(d.redirect_to) for d in docs
+                            if d.redirect_to}
+        give_up_429 = DEFAULT_CONFIG["retries"] + 2
+        for d in docs:
+            if (d.url == f"{BASE}/" or d.redirect_to
+                    or _nu(d.url) in redirect_targets):
+                continue
+            h = int(hashlib.md5(d.url.encode()).hexdigest()[:8], 16)
+            if h % 13 == 3:
+                d.fault_429 = 1 + h % 3
+                d.retry_after = ("", "2", "soon")[h % 3]
+            elif h % 127 == 5:
+                d.fault_429 = give_up_429
+                d.retry_after = "1"
+
     # ---------------------------------------------------------- assemble
     seen_ids: set[str] = set()
     rows = []
@@ -666,6 +697,8 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
             "raw_content_hash": raw_hash,
             "rendered_content_hash": rendered_hash,
             "rendered_size": rendered_size,
+            "fault_429": d.fault_429,
+            "retry_after": d.retry_after,
         })
     documents = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
 
@@ -717,7 +750,7 @@ def generate_corpus(tier: str = "t1", seed: int = 42) -> dict:
 
 # bump when generator output changes: the on-disk cache key includes it, so
 # stale fixtures from an older generator can never leak into tests/oracles
-FIXTURE_VERSION = 12
+FIXTURE_VERSION = 13
 
 
 def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:
@@ -725,7 +758,8 @@ def corpus_dir(tier: str, root: str = "/tmp/graft_corpus") -> str:
 
 
 def write_corpus(tier: str = "t1", root: str = "/tmp/graft_corpus",
-                 num_parts: int | None = None, force: bool = False) -> str:
+                 num_parts: int | None = None, force: bool = False,
+                 faults: bool = False) -> str:
     """Write the fixture to ``root/tier``: documents/ (16k-row parquet
     files — one Ray read task each; DuckDB oracles read the same files via
     glob), hash-partitioned parts/part-NNN.parquet sorted by norm url
@@ -733,11 +767,11 @@ def write_corpus(tier: str = "t1", root: str = "/tmp/graft_corpus",
     the partition-affine fetch stage reads with row-group pruning), plus
     robots/sitemaps/seeds parquet and config.json. Idempotent via a _DONE
     marker; safe to call from queries() and oracle_sql() concurrently."""
-    out = corpus_dir(tier, root)
+    out = corpus_dir(tier + "-faults" if faults else tier, root)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done) and not force:
         return out
-    fix = generate_corpus(tier)
+    fix = generate_corpus(tier, faults=faults)
     nparts = num_parts or fix["config"]["num_parts"]
     tmp = out + ".tmp"
     os.makedirs(os.path.join(tmp, "parts"), exist_ok=True)

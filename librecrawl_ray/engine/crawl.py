@@ -838,6 +838,11 @@ class WaveCrawler:
         self._busy_all = [round(b, 3) for b in busy]
         self._skipped_oversize = sum(c["skipped_oversize"]
                                      for c in counters)
+        self._rate_limited = sum(c.get("rate_limited", 0) for c in counters)
+        self._retries_total = sum(c.get("retries_total", 0)
+                                  for c in counters)
+        self._retry_wait_s = sum(c.get("retry_wait_s", 0.0)
+                                 for c in counters)
         if presplit is not None:
             return groups, count_refs
         return chunk_refs
@@ -892,14 +897,20 @@ class WaveCrawler:
                 self._local_fetcher = CorpusFetcher(
                     self.corpus_dir, self.cfg.base_domain, self.num_parts,
                     pages_dir, links_dir,
-                    max_file_size=self.cfg.max_file_size)
+                    max_file_size=self.cfg.max_file_size,
+                    retries=self.cfg.retries,
+                    retry_base_delay=self.cfg.retry_base_delay)
             else:
                 self._local_fetcher.pages_dir = pages_dir
                 self._local_fetcher.links_dir = links_dir
-            skip0 = self._local_fetcher.skipped_oversize
+            lf = self._local_fetcher
+            skip0, rl0 = lf.skipped_oversize, lf.rate_limited
+            rt0, rw0 = lf.retries_total, lf.retry_wait_s
             cand = self._local_fetcher(frontier_tbl)
-            self._skipped_oversize = (self._local_fetcher.skipped_oversize
-                                      - skip0)
+            self._skipped_oversize = lf.skipped_oversize - skip0
+            self._rate_limited = lf.rate_limited - rl0
+            self._retries_total = lf.retries_total - rt0
+            self._retry_wait_s = lf.retry_wait_s - rw0
             raw_tbl = canonicalize_candidates(
                 cand, self.cfg,
                 self.robots if self.cfg.respect_robots else None,
@@ -1102,6 +1113,9 @@ class WaveCrawler:
         metrics = {
             "wave": k, "fetched": n_gated - n_skipped,
             "skipped_oversize": n_skipped, "candidates": n_candidates,
+            "rate_limited": getattr(self, "_rate_limited", 0),
+            "retries_total": getattr(self, "_retries_total", 0),
+            "retry_wait_s": round(getattr(self, "_retry_wait_s", 0.0), 3),
             "admitted": n_adm, "deferred": n_deferred,
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
@@ -1229,6 +1243,9 @@ class WaveCrawler:
         metrics = {
             "wave": k, "fetched": n_gated - n_skipped,
             "skipped_oversize": n_skipped, "candidates": n_candidates,
+            "rate_limited": getattr(self, "_rate_limited", 0),
+            "retries_total": getattr(self, "_retries_total", 0),
+            "retry_wait_s": round(getattr(self, "_retry_wait_s", 0.0), 3),
             "admitted": n_adm, "deferred": n_deferred,
             "trap_rejected": trap_rejected, "elapsed_s": round(elapsed, 3),
             "t_fetch": round(t_fetch, 3), "t_dedup": round(t_dedup, 3),
@@ -1373,6 +1390,10 @@ class WaveCrawler:
             "fetched_total": self.fetched_total,
             "waves": waves,
             "num_waves": len(waves),
+            "rate_limited": sum(w.get("rate_limited", 0) for w in waves),
+            "retries_total": sum(w.get("retries_total", 0) for w in waves),
+            "retry_wait_s": round(
+                sum(w.get("retry_wait_s", 0.0) for w in waves), 3),
             "elapsed_s": round(time.perf_counter() - t0, 3),
             "out_dir": self.out_dir,
         }

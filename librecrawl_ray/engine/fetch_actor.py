@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -49,7 +50,8 @@ class CorpusFetcher:
     def __init__(self, corpus_dir: str, base_domain: str, num_parts: int,
                  pages_dir: str | None = None, links_dir: str | None = None,
                  max_cached_parts: int = 512,
-                 max_file_size: int | None = None):
+                 max_file_size: int | None = None,
+                 retries: int = 3, retry_base_delay: float = 1.0):
         self.corpus_dir = corpus_dir
         self.base_domain = base_domain
         self.num_parts = num_parts
@@ -61,6 +63,14 @@ class CorpusFetcher:
         # edges, no frontier candidates. None disables the check.
         self.max_file_size = max_file_size
         self.skipped_oversize = 0
+        # S1 fault model (reference crawler.py:941-976): 429 retry loop.
+        # Counters reset per wave via busy_reset (rate_limited pages DO
+        # produce a pages row — only oversize skips don't)
+        self.retries = retries
+        self.retry_base_delay = retry_base_delay
+        self.retries_total = 0
+        self.rate_limited = 0
+        self.retry_wait_s = 0.0
         self._parts: dict[int, tuple[pa.Table, dict[str, int]]] = {}
 
     def _partition(self, part: int) -> tuple[pa.Table, dict[str, int]]:
@@ -98,6 +108,8 @@ class CorpusFetcher:
                                     extract_edges_flat, flatten_spans,
                                     parse_doc, parse_doc_flat)
 
+        from ..policy import resolve_retry
+
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
         seqs = batch.column("seq").to_pylist()
@@ -110,6 +122,8 @@ class CorpusFetcher:
                                []).append(i)
         sub_tables: list[pa.Table] = []
         fast_pairs: list[tuple[int, int]] = []   # (global sub row, batch i)
+        fast_waits: list[tuple[int, float]] = []  # (fast_pairs pos, wait ms)
+        limited: list[tuple[int, float]] = []    # (batch i, response_time)
         slow_idx: list[int] = []
         offset = 0
         for part, idxs in by_part.items():
@@ -129,17 +143,46 @@ class CorpusFetcher:
             rto = sub.column("redirect_to").to_pylist()
             sizes = sub.column("size").to_pylist()
             limit = self.max_file_size
+            # S1 faults: one vectorized max() gates the slow columns —
+            # fault-free corpora (and fault-free partitions) pay nothing
+            faults = ras = rts = None
+            if ("fault_429" in sub.column_names
+                    and pc.max(sub.column("fault_429")).as_py()):
+                faults = sub.column("fault_429").to_pylist()
+                ras = sub.column("retry_after").to_pylist()
+                rts = sub.column("response_time_ms").to_pylist()
             for j, i in enumerate(present):
                 # redirect check FIRST: the S2 size gate applies to the
                 # redirect-resolved final document (slow path re-checks it
                 # there), so an oversized 3xx row is still followed
-                # (ADVICE r2 — paths previously disagreed)
+                # (ADVICE r2 — paths previously disagreed). Entry faults on
+                # 3xx rows are handled inside fetch_and_parse (none exist
+                # by corpus construction).
                 if status[j] in REDIRECT_STATUSES and rto[j]:
                     slow_idx.append(i)
-                elif limit is not None and (sizes[j] or 0) > limit:
+                    continue
+                wait_s = 0.0
+                if faults is not None and faults[j]:
+                    gave_up, rc, wait_s = resolve_retry(
+                        faults[j], ras[j], self.retries,
+                        self.retry_base_delay)
+                    self.retries_total += rc
+                    self.retry_wait_s += wait_s
+                    if gave_up:
+                        # attempts exhausted: the 429 response itself is
+                        # recorded (reference crawler.py:950-953); no
+                        # content, no outlinks
+                        self.rate_limited += 1
+                        limited.append(
+                            (i, (rts[j] or 0.0) + wait_s * 1000.0))
+                        continue
+                if limit is not None and (sizes[j] or 0) > limit:
                     self.skipped_oversize += 1
                 else:
                     fast_pairs.append((offset + j, i))
+                    if wait_s:
+                        fast_waits.append(
+                            (len(fast_pairs) - 1, wait_s * 1000.0))
             sub_tables.append(sub)
             offset += sub.num_rows
 
@@ -182,13 +225,22 @@ class CorpusFetcher:
             nf = len(f_urls)
             base_core = strip_www(self.base_domain.lower())
             status_py = csel.column("status_code").to_pylist()
+            rt_col = csel.column("response_time_ms")
+            if fast_waits:
+                # retried-then-succeeded rows: backoff sleeps count into
+                # response_time (the reference measures elapsed wall time)
+                import numpy as np
+                add = np.zeros(nf)
+                for pos, ms in fast_waits:
+                    add[pos] = ms
+                rt_col = pc.add(rt_col, pa.array(add, pa.float64()))
             cols: dict[str, object] = {
                 "url": pa.array(f_urls, pa.string()),
                 "final_url": pa.array(f_urls, pa.string()),
                 "status_code": csel.column("status_code"),
                 "content_type": csel.column("content_type"),
                 "size": csel.column("size"),
-                "response_time": csel.column("response_time_ms"),
+                "response_time": rt_col,
                 "is_internal": pa.array(
                     [strip_www(url_host(u)) == base_core for u in f_urls],
                     pa.bool_()),
@@ -231,9 +283,27 @@ class CorpusFetcher:
             all_edges.extend(edges)
             all_depth.extend(depths[i] for i in bsel)
             all_seq.extend(seqs[i] for i in bsel)
+        if limited:
+            from ..stages.fetch import rate_limited_row
+            lrows = [rate_limited_row(urls[i], depths[i], seqs[i], waves[i],
+                                      self.base_domain, rt)
+                     for i, rt in limited]
+            all_depth.extend(depths[i] for i, _ in limited)
+            all_seq.extend(seqs[i] for i, _ in limited)
+            all_edges.extend([] for _ in lrows)
+            if self.pages_dir is not None:
+                for r in lrows:
+                    r.pop("edges")
+                tables.append(pa.Table.from_pylist(
+                    lrows, schema=PAGES_ONLY_SCHEMA))
+            else:
+                tables.append(pa.Table.from_pylist(
+                    lrows, schema=FETCHED_SCHEMA))
         if slow_idx:
             rows = [fetch_and_parse(urls[i], depths[i], seqs[i], waves[i],
-                                    self.lookup, self.base_domain)
+                                    self.lookup, self.base_domain,
+                                    retries=self.retries,
+                                    retry_base_delay=self.retry_base_delay)
                     for i in slow_idx]
             if self.max_file_size is not None:
                 kept = [(r, i) for r, i in zip(rows, slow_idx)
@@ -316,7 +386,9 @@ class FetchWorker:
         pa.set_io_thread_count(2)
         self.fetcher = CorpusFetcher(
             corpus_dir, base_domain, num_parts,
-            max_file_size=getattr(cfg, "max_file_size", None))
+            max_file_size=getattr(cfg, "max_file_size", None),
+            retries=getattr(cfg, "retries", 3),
+            retry_base_delay=getattr(cfg, "retry_base_delay", 1.0))
         self.cfg = cfg
         self.robots = robots
         self.num_parts = num_parts
@@ -351,9 +423,16 @@ class FetchWorker:
         (pages rows == fetched_total) holds when max_file_size fires."""
         b = getattr(self, "_busy", 0.0)
         self._busy = 0.0
-        s = self.fetcher.skipped_oversize
-        self.fetcher.skipped_oversize = 0
-        return {"busy": b, "skipped_oversize": s}
+        f = self.fetcher
+        out = {"busy": b, "skipped_oversize": f.skipped_oversize,
+               "retries_total": f.retries_total,
+               "rate_limited": f.rate_limited,
+               "retry_wait_s": round(f.retry_wait_s, 3)}
+        f.skipped_oversize = 0
+        f.retries_total = 0
+        f.rate_limited = 0
+        f.retry_wait_s = 0.0
+        return out
 
     def prefetch(self, parts: list[int]) -> int:
         """Warm this worker's partition caches (fired asynchronously at

@@ -128,7 +128,9 @@ def simulate(documents_table, robots_table, seeds: list[str],
 
         discoveries: list[tuple[int, int, str, int]] = []  # parent_seq,pos,url,depth
         for depth, seq, url in gated:
-            row = fetch_and_parse(url, depth, seq, wave, lookup, cfg.base_domain)
+            row = fetch_and_parse(url, depth, seq, wave, lookup,
+                                  cfg.base_domain, retries=cfg.retries,
+                                  retry_base_delay=cfg.retry_base_delay)
             fetched += 1
             res.crawl_order.append(
                 {"url": url, "depth": depth, "seq": seq, "wave": wave})

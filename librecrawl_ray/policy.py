@@ -44,6 +44,8 @@ class CrawlConfig:
     duplication_threshold: float = 0.85
     max_file_size: int = 50 * 1024 * 1024
     use_sitemap: bool = False
+    retries: int = 3                    # S1: attempts = retries + 1
+    retry_base_delay: float = 1.0       # backoff base (reference 'delay')
     _inc_re: list = field(default_factory=list, repr=False)
     _exc_re: list = field(default_factory=list, repr=False)
 
@@ -69,6 +71,8 @@ class CrawlConfig:
             duplication_threshold=cfg.get("duplication_threshold", 0.85),
             max_file_size=cfg.get("max_file_size", 50 * 1024 * 1024),
             use_sitemap=cfg.get("use_sitemap", False),
+            retries=cfg.get("retries", 3),
+            retry_base_delay=cfg.get("retry_base_delay", 1.0),
         )
 
 
@@ -114,6 +118,43 @@ def should_crawl(url: str, cfg: CrawlConfig,
         if rules is not None and not rules.is_allowed(url):
             return False
     return True
+
+
+def resolve_retry(n429: int, retry_after: str, retries: int,
+                  base_delay: float) -> tuple[bool, int, float]:
+    """S1 retry/backoff spec (reference crawler.py:941-976).
+
+    A corpus document that serves ``n429`` consecutive 429 responses
+    before its real one, with an optional ``retry_after`` header value.
+    Returns ``(gave_up, retry_count, wait_seconds)``:
+
+    - each 429 seen with attempts remaining waits ``int(Retry-After)``
+      when the header parses, else ``base_delay * 2^attempt``
+      (1s, 2s, 4s, ...), every wait capped at 30 s, then retries;
+    - after ``retries`` retries (attempts = retries + 1) the 429 response
+      itself is recorded (``gave_up`` — the reference breaks out of the
+      loop and stores the 429 row so it surfaces as an issue).
+
+    The corpus engine doesn't sleep: the accumulated wait is added to the
+    page's ``response_time`` (the reference measures elapsed wall time,
+    sleeps included) and counted in the wave metrics.
+    """
+    n429 = int(n429 or 0)
+    if n429 <= 0:
+        return False, 0, 0.0
+    served = min(n429, retries)
+    total = 0.0
+    for attempt in range(served):
+        wait = None
+        if retry_after:
+            try:
+                wait = float(int(retry_after))
+            except ValueError:
+                wait = None                 # malformed header → backoff
+        if wait is None:
+            wait = base_delay * (2 ** attempt)
+        total += min(wait, 30.0)
+    return n429 > retries, served, total
 
 
 @dataclass

@@ -45,6 +45,12 @@ DOCUMENTS_SCHEMA = pa.schema(
         ("raw_content_hash", pa.string()),
         ("rendered_content_hash", pa.string()),
         ("rendered_size", pa.int64()),
+        # S1 fault model (reference crawler.py:941-976): the document
+        # serves fault_429 consecutive 429 responses before the real one;
+        # retry_after carries the 429's Retry-After header ("" = absent,
+        # non-numeric values exercise the int() ValueError fallback)
+        ("fault_429", pa.int32()),
+        ("retry_after", pa.string()),
     ]
 )
 
