@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             T.pii_scan_batch, batch_format="pyarrow").to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_unigram_lm(sf_dir):
+        from librecrawl_ray.functions.lm import unigram_lm_scores
+        out = unigram_lm_scores(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_label_centroids(sf_dir):
         import pandas as pd
         tbl = S.label_centroids(_emb(sf_dir)).to_pandas()
@@ -238,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
+        "unigram_lm": q_unigram_lm,
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
@@ -512,6 +518,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.packing",
             fromlist=["segment_dedup_sql"]).segment_dedup_sql(),
         "pii_scan": T.pii_scan_sql("documents"),
+        "unigram_lm": __import__(
+            "librecrawl_ray.functions.lm",
+            fromlist=["unigram_lm_sql"]).unigram_lm_sql(),
         "label_centroids": __import__(
             "librecrawl_ray.functions.similarity",
             fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,

@@ -123,6 +123,11 @@ def run_bench() -> None:
             "sustained_pages_per_sec": sustained,
             "sustained_wave_sec": big["elapsed_s"],
             "sustained_wave_pages": big["fetched"],
+            # contention decomposition: worker-seconds for identical
+            # deterministic work at each level (BASELINE.md protocol)
+            "sustained_wave_busy_sum": big.get("busy_sum"),
+            "sustained_wave_busy_max": big.get("busy_max"),
+            "sustained_wave_t_gather": big.get("t_gather"),
             "frontier_candidates": candidates,
             "frontier_urls_deduped_per_sec": round(candidates / crawl_sec,
                                                    1),
@@ -268,6 +273,13 @@ def run_scaling(lo: int = 8, hi: int = 32, repeats: int = 3) -> None:
         f"sustained_pages_per_sec_{lo}": sus_lo,
         f"sustained_pages_per_sec_{hi}": sus_hi,
         "sustained_scaling_efficiency": round(sus_eff, 3),
+        # identical deterministic work at both levels: worker-seconds of
+        # the dominant wave (memory-bus contention term — a multi-node
+        # cluster runs lo-level worker counts per node)
+        f"big_wave_busy_sum_{lo}": [r.get("sustained_wave_busy_sum")
+                                    for r in lo_runs],
+        f"big_wave_busy_sum_{hi}": [r.get("sustained_wave_busy_sum")
+                                    for r in hi_runs],
         "lo_cpus": lo, "hi_cpus": hi,
     }))
 

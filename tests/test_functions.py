@@ -1039,3 +1039,75 @@ def test_reservoir_sample_uniform_and_stable(docs_ds):
     again = reservoir_sample(docs_ds, k=3, buckets=8).to_pandas() \
         .sort_values(["source", "sample_key"]).reset_index(drop=True)
     assert again[["doc_id", "source"]].equals(got[["doc_id", "source"]])
+
+
+def test_unigram_lm_scores(docs_ds):
+    """Mean token log-prob per doc == a from-scratch Counter recount, and
+    == the DuckDB SQL twin on the same parquet (CCNet-style quality
+    scoring; train pass broadcasts the vocab once)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from librecrawl_ray.functions.lm import (_TOKEN_RE, unigram_lm_scores,
+                                             unigram_lm_sql)
+
+    got = unigram_lm_scores(docs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    vocab: Counter = Counter()
+    for r in rows:
+        vocab.update(_TOKEN_RE.findall((r["text"] or "").lower()))
+    total = sum(vocab.values())
+    want = {}
+    for r in rows:
+        toks = _TOKEN_RE.findall((r["text"] or "").lower())
+        if not toks:
+            continue
+        s = sum(math.log(vocab[t] / total) for t in toks) / len(toks)
+        want[r["doc_id"]] = (len(toks), round(s, 4))
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        n, s = want[row["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["lm_score"] == pytest.approx(s, abs=2e-4)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = con.execute(unigram_lm_sql()).fetchdf()
+    assert len(sql) == len(got)
+    m = dict(zip(sql["doc_id"], zip(sql["n_tokens"], sql["lm_score"])))
+    for _, row in got.iterrows():
+        n, s = m[row["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["lm_score"] == pytest.approx(s, abs=2e-4)
+
+
+def test_unigram_lm_min_count_oov(ray_session):
+    """min_count drops rare tokens to the OOV floor ln(1/total)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from librecrawl_ray.functions.lm import lm_score, train_unigram_lm
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "common common common rare"},
+        {"doc_id": 2, "text": "common common"},
+        {"doc_id": 3, "text": ""},
+    ])
+    ref, ln_total = train_unigram_lm(ds, min_count=2)
+    assert "rare" not in ray.get(ref)
+    out = lm_score(ds, ref, ln_total).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # empty doc dropped
+    assert out["doc_id"].tolist() == [1, 2]
+    total = 6
+    s1 = (3 * math.log(5) + 1 * math.log(1)) / 4 - math.log(total)
+    assert out.loc[0, "lm_score"] == pytest.approx(round(s1, 4))
+    assert out.loc[1, "lm_score"] == pytest.approx(
+        round(math.log(5 / total), 4))
