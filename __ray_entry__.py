@@ -137,6 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = unigram_lm_scores(_docs(sf_dir)).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_tfidf_top_terms(sf_dir):
+        from librecrawl_ray.functions.tfidf import tfidf_top_terms
+        out = tfidf_top_terms(_docs(sf_dir)).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
     def q_label_centroids(sf_dir):
         import pandas as pd
         tbl = S.label_centroids(_emb(sf_dir)).to_pandas()
@@ -244,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
         "unigram_lm": q_unigram_lm,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
@@ -521,6 +527,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "unigram_lm": __import__(
             "librecrawl_ray.functions.lm",
             fromlist=["unigram_lm_sql"]).unigram_lm_sql(),
+        "tfidf_top_terms": __import__(
+            "librecrawl_ray.functions.tfidf",
+            fromlist=["tfidf_sql"]).tfidf_sql(),
         "label_centroids": __import__(
             "librecrawl_ray.functions.similarity",
             fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,

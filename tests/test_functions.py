@@ -1111,3 +1111,46 @@ def test_unigram_lm_min_count_oov(ray_session):
     assert out.loc[0, "lm_score"] == pytest.approx(round(s1, 4))
     assert out.loc[1, "lm_score"] == pytest.approx(
         round(math.log(5 / total), 4))
+
+
+def test_tfidf_top_terms(docs_ds):
+    """Top-k terms by tf·ln(N/df) == a from-scratch recount AND the
+    DuckDB SQL twin (round-before-rank makes ordering engine-stable)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from librecrawl_ray.functions.lm import _TOKEN_RE
+    from librecrawl_ray.functions.tfidf import tfidf_sql, tfidf_top_terms
+
+    got = tfidf_top_terms(docs_ds, k=5).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    n = len(rows)
+    df: Counter = Counter()
+    for r in rows:
+        df.update(set(_TOKEN_RE.findall((r["text"] or "").lower())))
+    want_rows = []
+    for r in rows:
+        tf = Counter(_TOKEN_RE.findall((r["text"] or "").lower()))
+        scored = sorted(((round(c * math.log(n / df[t]), 6), t, c)
+                         for t, c in tf.items()),
+                        key=lambda s: (-s[0], s[1]))[:5]
+        for rank, (sc, t, c) in enumerate(scored, start=1):
+            want_rows.append((r["doc_id"], rank, t, c, df[t], sc))
+    want_rows.sort()
+    got_rows = list(got.itertuples(index=False, name=None))
+    got_rows.sort()
+    assert got_rows == want_rows
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = con.execute(tfidf_sql()).fetchdf()
+    assert len(sql) == len(got)
+    sql_rows = sorted(
+        (r[0], int(r[1]), r[2], int(r[3]), int(r[4]), float(r[5]))
+        for r in sql.itertuples(index=False, name=None))
+    assert sql_rows == want_rows
