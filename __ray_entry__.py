@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
+        "crawl_slow_hosts": C.crawl_slow_hosts,
         # rows-only entries (no SQL twin) deliberately last: if the
         # driver's sweep budget cuts the tail, full-oracle rows survive
         "crawl_neardup": C.crawl_neardup,
@@ -570,6 +571,7 @@ ORDER BY doc_id"""
         # SQL; the crawl itself is pinned by the conformance suite
         out["crawl_pagerank"] = C.crawl_pagerank_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
+        out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:
         out["crawl_parse"] = C.crawl_parse_sql(path)
         out["crawl_edges"] = C.crawl_edges_sql(path)

@@ -665,3 +665,77 @@ SELECT target_url, rank, anchor_text, n_links FROM (
   FROM read_parquet('{links_glob}') WHERE is_internal
   GROUP BY target_url, anchor_text)
 WHERE rank <= {k} ORDER BY target_url, rank"""
+
+
+def crawl_slow_hosts(sf_dir: str, q: float = 0.95,
+                     out_root: str = "/tmp/graft_crawl") -> pd.DataFrame:
+    """Per-host p95 response time + count of pages above it over the crawl
+    output — the latency-outlier report a recrawl scheduler consumes.
+
+    Exact quantile without a per-host sort: per-batch (host, rt) Counter
+    partials compress each block to its distinct timings, the shuffle
+    ships (host, rt, count) histogram rows, and one walk per host reads
+    the quantile off the cumulative histogram (quantile_disc semantics:
+    sorted value at index max(ceil(q·n)−1, 0) — same convention as
+    functions/stats.length_quantiles). At 100 TB the timing column
+    quantizes to ms buckets, keeping the histogram bounded per host."""
+    from collections import Counter
+    import math
+
+    from ..canonical import url_host
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)     # no-op if lineage complete
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url", "response_time"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip((url_host(u).lower()
+                         for u in batch.column("url").to_pylist()),
+                        batch.column("response_time").to_pylist()))
+        hs, rs, ns = [], [], []
+        for (h, r), n in c.items():
+            hs.append(h)
+            rs.append(float(r))
+            ns.append(n)
+        return pa.table({"host": pa.array(hs, pa.string()),
+                         "rt": pa.array(rs, pa.float64()),
+                         "cnt": pa.array(ns, pa.int64())})
+
+    hist = (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["host", "rt"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    rows = []
+    for h, sub in hist.groupby("host", sort=True):
+        sub = sub.sort_values("rt")
+        cum = sub["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        idx = max(math.ceil(q * n) - 1, 0)
+        pos = int((cum <= idx).sum())
+        p95 = float(sub["rt"].iloc[pos])
+        over = int(sub.loc[sub["rt"] > p95, "cnt"].sum())
+        rows.append((h, n, round(p95, 3), over))
+    return pd.DataFrame(rows, columns=["host", "n_pages",
+                                       "p95_response_time", "n_over_p95"])
+
+
+def crawl_slow_hosts_sql(out_dir: str, q: float = 0.95) -> str:
+    glob_ = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+    return f"""
+WITH p AS (
+  SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         response_time AS rt
+  FROM read_parquet('{glob_}')
+),
+qt AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         quantile_disc(rt, {q}) AS p95
+  FROM p GROUP BY host
+)
+SELECT qt.host, qt.n_pages,
+       ROUND(qt.p95, 3) AS p95_response_time,
+       SUM(CASE WHEN p.rt > qt.p95 THEN 1 ELSE 0 END)::BIGINT AS n_over_p95
+FROM p JOIN qt USING (host)
+GROUP BY qt.host, qt.n_pages, qt.p95
+ORDER BY qt.host
+"""

