@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": R.part_brand_stats,
         "top_orders_per_customer": R.top_orders_per_customer,
         "events_funnel": R.events_funnel,
+        "events_transitions": R.events_transitions,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -490,6 +491,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "part_brand_stats": R.PART_BRAND_SQL,
         "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
+        "events_transitions": R.EVENTS_TRANSITIONS_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

@@ -609,3 +609,55 @@ UNION ALL SELECT 2, 'click', count(*) FROM s2
 UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 ORDER BY step_idx
 """
+
+
+def events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition counts (the Markov matrix a session-model or
+    anomaly detector trains on): for each user's time-ordered stream,
+    count (event_type → next event_type) pairs.
+
+    Users hash-bucket through ``bucketed_groups``; each bucket is one
+    vectorized pass (sort by user/ts/event_id, shift(-1), invalidate the
+    last row of each user) that emits its LOCAL pair counts — the second
+    shuffle ships (type, next_type, n) partials, never event rows, so the
+    exchange is O(type²·buckets) whatever the stream size."""
+    from ray.data.aggregate import Sum
+
+    from .reports import bucketed_groups
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        nxt = df["event_type"].shift(-1)
+        same_user = df["user_id"].eq(df["user_id"].shift(-1))
+        keep = same_user.to_numpy()
+        pairs = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy()[keep],
+            "next_type": nxt.to_numpy()[keep]})
+        out = (pairs.groupby(["event_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucketed_groups(ds, "user_id", per_bucket)
+    out = (partials.groupby(["event_type", "next_type"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    return out.sort_values(["event_type", "next_type"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+"""

@@ -471,3 +471,30 @@ def test_crawl_slow_hosts_quantile_walk(ray_session):
         vals = df.loc[df["host"] == h, "rt"]
         assert (vals <= p95).sum() >= math.ceil(0.95 * n)
         assert over == (vals > p95).sum()
+
+
+def test_events_transitions_match_duckdb(ray_session):
+    """Bucket-local pair counts + merge == the LEAD window twin at
+    sf0.001 (block layout differs from the driver's sf0.01 gate)."""
+    import duckdb
+
+    from librecrawl_ray.pipelines.relational import (
+        EVENTS_TRANSITIONS_SQL, events_transitions)
+
+    sf = "/root/testdata/sf0.001"
+    got = events_transitions(sf)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(EVENTS_TRANSITIONS_SQL).fetchdf()
+    assert list(got.columns) == list(want.columns)
+    assert got.values.tolist() == want.values.tolist()
+    # transition totals == events minus one per multi-event user
+    n_events, n_users = con.execute(
+        "SELECT count(*), count(DISTINCT user_id) FROM events").fetchone()
+    single = con.execute("""
+        SELECT count(*) FROM (SELECT user_id FROM events
+                              GROUP BY user_id HAVING count(*) = 1)
+    """).fetchone()[0]
+    assert got["n"].sum() == n_events - n_users
+    assert single >= 0
