@@ -202,6 +202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["source", "sample_key", "doc_id"]) \
             .reset_index(drop=True)[["doc_id", "source", "sample_key"]]
 
+    def q_stratified_split(sf_dir):
+        from librecrawl_ray.functions.sampling import stratified_split
+        out = stratified_split(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_train_shuffle(sf_dir):
         from librecrawl_ray.functions.sampling import deterministic_shuffle
         return deterministic_shuffle(
@@ -244,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
         "reservoir_sample": q_reservoir_sample,
+        "stratified_split": q_stratified_split,
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -511,6 +517,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "repetition_stats": T.repetition_stats_sql("documents"),
         "mixture_sample": mixture_sample_sql,
         "train_shuffle": train_shuffle_sql,
+        "stratified_split": __import__(
+            "librecrawl_ray.functions.sampling",
+            fromlist=["stratified_split_sql"]).stratified_split_sql(),
         "reservoir_sample": __import__(
             "librecrawl_ray.functions.sampling",
             fromlist=["reservoir_sample_sql"]).reservoir_sample_sql(),

@@ -139,3 +139,79 @@ SELECT {id_col}, {group_col}, sample_key FROM (
                                      {id_col}) AS rn
   FROM {table})
 WHERE rn <= {k} ORDER BY {group_col}, sample_key, {id_col}"""
+
+
+def stratified_split(ds, frac: float = 0.125, group_col: str = "source",
+                     id_col: str = "doc_id", buckets: int = 32):
+    """Exact stratified train/validation split: per group, the
+    ``ceil(frac · n)`` rows with the smallest md5(id) become ``val``.
+
+    Scale shape: the selection reduces to ONE THRESHOLD per group (the
+    quota-th smallest key) — per-batch partial quota-trims feed a bucketed
+    exact per-group trim, the driver sees only {group: threshold}, and the
+    labels come from a final stateless pass (``key <= threshold``), so the
+    val set itself never funnels through the driver. Deterministic across
+    runs and block layouts; exact because md5 keys of distinct ids are
+    collision-free in practice (the oracle comparison would surface one).
+    Default frac 0.125 is binary-exact, keeping ceil(frac·n) identical
+    across engines for every n."""
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max
+
+    from ..pipelines.reports import bucketed_groups
+
+    counts = ds.groupby(group_col).count().to_pandas()
+    quota = {g: math.ceil(frac * int(n))
+             for g, n in zip(counts[group_col], counts["count()"])}
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch.column(id_col).to_pylist()]
+        return batch.append_column("__key", pa.array(keys, pa.string()))
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "__key", id_col])
+        rn = df.groupby(group_col, sort=False).cumcount()
+        return df[rn < df[group_col].map(quota).to_numpy()]
+
+    keyed = ds.select_columns([id_col, group_col]) \
+        .map_batches(add_key, batch_format="pyarrow")
+    chosen = bucketed_groups(keyed.map_batches(trim, batch_format="pandas"),
+                             group_col, trim, buckets=buckets)
+    thr = (chosen.groupby(group_col)
+           .aggregate(Max("__key", alias_name="thr")).to_pandas())
+    thr_ref = ray.put(dict(zip(thr[group_col], thr["thr"])))
+
+    def label(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        splits = ["val" if k <= t.get(g, "") else "train"
+                  for g, k in zip(batch.column(group_col).to_pylist(),
+                                  batch.column("__key").to_pylist())]
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return keyed.map_batches(label, batch_format="pyarrow")
+
+
+def stratified_split_sql(table: str = "documents", frac: float = 0.125,
+                         group_col: str = "source",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin: row_number over md5(id) per group vs ceil(frac·n)."""
+    return f"""
+SELECT {id_col}, {group_col},
+       CASE WHEN rn <= CEIL({frac} * n) THEN 'val' ELSE 'train' END AS split
+FROM (
+  SELECT {id_col}, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY md5(CAST({id_col} AS VARCHAR)),
+                                     {id_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table})
+ORDER BY {id_col}
+"""

@@ -1154,3 +1154,34 @@ def test_tfidf_top_terms(docs_ds):
         (r[0], int(r[1]), r[2], int(r[3]), int(r[4]), float(r[5]))
         for r in sql.itertuples(index=False, name=None))
     assert sql_rows == want_rows
+
+
+def test_stratified_split(docs_ds):
+    """Exact ceil(frac·n) val rows per group, threshold labeling ==
+    row_number twin, deterministic across block layouts."""
+    import math
+
+    import duckdb
+
+    from librecrawl_ray.functions.sampling import (stratified_split,
+                                                   stratified_split_sql)
+
+    got = stratified_split(docs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sizes = got.groupby("source").agg(
+        n=("split", "size"),
+        val=("split", lambda s: int((s == "val").sum())))
+    for _, r in sizes.iterrows():
+        assert r["val"] == math.ceil(0.125 * r["n"])
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(stratified_split_sql()).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["split"].tolist() == want["split"].tolist()
+
+    # block-layout invariance: a repartitioned input picks the same rows
+    got2 = stratified_split(docs_ds.repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2["split"].tolist() == got["split"].tolist()
