@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows, columns=["label", "dim", "value"]) \
             .sort_values(["label", "dim"]).reset_index(drop=True)
 
+    def q_embedding_outliers(sf_dir):
+        from librecrawl_ray.functions.similarity import embedding_outliers
+        out = embedding_outliers(_emb(sf_dir)).to_pandas()
+        return out.sort_values(["label", "rank"]).reset_index(drop=True)
+
     def q_decontaminate(sf_dir):
         from librecrawl_ray.functions.decontam import decontaminate
         return decontaminate(_docs(sf_dir), n=5).to_pandas()
@@ -258,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": q_unigram_lm,
         "tfidf_top_terms": q_tfidf_top_terms,
         "label_centroids": q_label_centroids,
+        "embedding_outliers": q_embedding_outliers,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
         "length_quantiles": q_length_quantiles,
@@ -545,6 +551,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "label_centroids": __import__(
             "librecrawl_ray.functions.similarity",
             fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,
+        "embedding_outliers": __import__(
+            "librecrawl_ray.functions.similarity",
+            fromlist=["embedding_outliers_sql"]).embedding_outliers_sql(),
         "decontaminate": __import__(
             "librecrawl_ray.functions.decontam",
             fromlist=["decontaminate_sql"]).decontaminate_sql(n=5),

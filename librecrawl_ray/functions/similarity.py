@@ -238,3 +238,101 @@ WITH __ex AS (
 SELECT label::BIGINT AS label, dim::BIGINT AS dim,
        (sum(v::DOUBLE) / count(*)) AS value
 FROM __ex GROUP BY label, dim ORDER BY label, dim"""
+
+
+def embedding_outliers(ds: rd.Dataset, k: int = 10,
+                       label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> rd.Dataset:
+    """Per-label embedding outliers: the k vectors FARTHEST (lowest
+    cosine) from their label's centroid — the mislabeled-example /
+    contamination triage pass of an embedding-curation pipeline.
+
+    Shape: centroids come from ``label_centroids`` (partial sum-vectors,
+    label-sized driver reduce) and broadcast once; scoring is a stateless
+    vectorized matmul per batch; the per-label bottom-k uses the per-key
+    top-N discipline (per-batch partial trim → bucketed exact trim), so
+    the shuffle moves ≤ k·labels·blocks scored rows, never embeddings.
+    Cosines are rounded to 6 dp BEFORE ranking (rank ties break on id) so
+    the order is reproducible against the SQL twin despite summation-order
+    FP noise."""
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_groups
+
+    cents = label_centroids(ds, label_col, vec_col)
+    cmap = {int(lab): np.asarray(c, dtype=np.float64)
+            for lab, c in zip(cents.column("label").to_pylist(),
+                              cents.column("centroid").to_pylist())}
+    cref = ray.put(cmap)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(vec_col).to_pylist())
+        cos = np.empty(len(labels))
+        for lab in np.unique(labels):
+            sel = labels == lab
+            c = cm[int(lab)]
+            sub = m[sel]
+            denom = np.linalg.norm(sub, axis=1) * np.linalg.norm(c)
+            denom[denom == 0] = 1.0
+            cos[sel] = sub @ c / denom
+        return pa.table({
+            id_col: batch.column(id_col),
+            label_col: pa.array([int(x) for x in labels], pa.int64()),
+            "cosine": pa.array(np.round(cos, 6), pa.float64()),
+        })
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([label_col, "cosine", id_col])
+        return df.groupby(label_col, sort=False).head(k)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = trim(df)
+        df["rank"] = df.groupby(label_col, sort=False).cumcount() + 1
+        return df[[label_col, "rank", id_col, "cosine"]]
+
+    scored = ds.map_batches(score, batch_format="pyarrow") \
+        .map_batches(trim, batch_format="pandas")
+    return bucketed_groups(scored, label_col, per_bucket)
+
+
+def embedding_outliers_sql(table: str = "embeddings", k: int = 10,
+                           label_col: str = "label",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB twin: centroid per (label, dim), cosine per vector,
+    round-before-rank."""
+    return f"""
+WITH ex AS (
+  SELECT {id_col}, {label_col},
+         unnest({vec_col})::DOUBLE AS v,
+         generate_subscripts({vec_col}, 1) AS dim
+  FROM {table}
+),
+cent AS (
+  SELECT {label_col}, dim, SUM(v) / COUNT(*) AS c
+  FROM ex GROUP BY {label_col}, dim
+),
+dots AS (
+  SELECT e.{id_col}, e.{label_col},
+         SUM(e.v * c.c) AS dot, SUM(e.v * e.v) AS vv, SUM(c.c * c.c) AS cc
+  FROM ex e JOIN cent c USING ({label_col}, dim)
+  GROUP BY e.{id_col}, e.{label_col}
+),
+scored AS (
+  SELECT {id_col}, {label_col},
+         ROUND(dot / (CASE WHEN SQRT(vv) * SQRT(cc) = 0 THEN 1
+                           ELSE SQRT(vv) * SQRT(cc) END), 6) AS cosine
+  FROM dots
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {label_col}
+                               ORDER BY cosine, {id_col}) AS rank
+  FROM scored
+)
+SELECT {label_col}::BIGINT AS {label_col}, rank, {id_col}, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY {label_col}, rank
+"""

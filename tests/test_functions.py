@@ -1185,3 +1185,43 @@ def test_stratified_split(docs_ds):
     got2 = stratified_split(docs_ds.repartition(7)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got2["split"].tolist() == got["split"].tolist()
+
+
+def test_embedding_outliers(emb_ds):
+    """Farthest-k per label == numpy brute force AND the DuckDB twin
+    (round-before-rank absorbs summation-order FP noise)."""
+    import duckdb
+    import numpy as np
+
+    from librecrawl_ray.functions.similarity import (embedding_outliers,
+                                                     embedding_outliers_sql)
+
+    got = embedding_outliers(emb_ds, k=10).to_pandas() \
+        .sort_values(["label", "rank"]).reset_index(drop=True)
+
+    rows = emb_ds.take_all()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append(
+            (int(r["vec_id"]), np.asarray(r["embedding"], np.float64)))
+    want = []
+    for lab in sorted(by_label):
+        ids, vecs = zip(*by_label[lab])
+        m = np.stack(vecs)
+        c = m.sum(axis=0) / len(ids)
+        cos = np.round(m @ c / (np.linalg.norm(m, axis=1)
+                                * np.linalg.norm(c)), 6)
+        order = sorted(zip(cos, ids))[:10]
+        for rk, (s, i) in enumerate(order, start=1):
+            want.append((lab, rk, i, float(s)))
+    got_rows = [(int(a), int(b), int(c), float(d))
+                for a, b, c, d in got.itertuples(index=False, name=None)]
+    assert got_rows == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    sql = con.execute(embedding_outliers_sql()).fetchdf()
+    sql_rows = [(int(a), int(b), int(c), float(d))
+                for a, b, c, d in sql.itertuples(index=False, name=None)]
+    assert sql_rows == want
