@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows, columns=["label", "dim", "value"]) \
             .sort_values(["label", "dim"]).reset_index(drop=True)
 
+    def q_source_vocab_overlap(sf_dir):
+        from librecrawl_ray.functions.stats import source_vocab_overlap
+        return source_vocab_overlap(_docs(sf_dir))
+
     def q_embedding_outliers(sf_dir):
         from librecrawl_ray.functions.similarity import embedding_outliers
         out = embedding_outliers(_emb(sf_dir)).to_pandas()
@@ -264,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "label_centroids": q_label_centroids,
         "embedding_outliers": q_embedding_outliers,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
         "length_quantiles": q_length_quantiles,
@@ -554,6 +559,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "embedding_outliers": __import__(
             "librecrawl_ray.functions.similarity",
             fromlist=["embedding_outliers_sql"]).embedding_outliers_sql(),
+        "source_vocab_overlap": __import__(
+            "librecrawl_ray.functions.stats",
+            fromlist=["source_vocab_overlap_sql"]).source_vocab_overlap_sql(),
         "decontaminate": __import__(
             "librecrawl_ray.functions.decontam",
             fromlist=["decontaminate_sql"]).decontaminate_sql(n=5),

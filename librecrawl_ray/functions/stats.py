@@ -172,3 +172,92 @@ __q AS (SELECT {group_col}, quantile_disc(n, {qlist}) AS tq
         FROM __t GROUP BY {group_col})
 SELECT {group_col}, unnest({qlist}) AS q, unnest(tq)::BIGINT AS tokens
 FROM __q ORDER BY {group_col}, q"""
+
+
+def source_vocab_overlap(ds: rd.Dataset, group_col: str = "source",
+                         text_col: str = "text",
+                         buckets: int = 32) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixture
+    diagnostic that flags near-identical sources before mixture weights
+    are assigned.
+
+    Shape: per-batch (group, token) DISTINCT partials → one global
+    distinct (groupby count == 1 dedup is implicit in the aggregate) →
+    token-hash-bucketed pair expansion: each bucket turns a token's
+    source list into C(k,2) pair increments locally and ships only
+    (s1, s2, n) partials. The all-pairs work is per TOKEN (k = #sources
+    containing it, bounded by #sources), never per row."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.reports import bucketed_groups
+    from .lm import _TOKEN_RE
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for tok in set(_TOKEN_RE.findall((t or "").lower())):
+                seen.add((g, tok))
+        gs, ts = zip(*seen) if seen else ((), ())
+        return pa.table({group_col: pa.array(list(gs), pa.string()),
+                         "token": pa.array(list(ts), pa.string())})
+
+    vt = (ds.select_columns([group_col, text_col])
+          .map_batches(distinct_partial, batch_format="pyarrow")
+          .groupby([group_col, "token"]).count())
+
+    sizes = (vt.groupby(group_col).count().to_pandas()
+             .set_index(group_col)["count()"].to_dict())
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for _, grp in df.groupby("token", sort=False):
+            ss = sorted(grp[group_col].unique())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    c[(ss[i], ss[j])] += 1
+        if not c:
+            return pd.DataFrame({"s1": [], "s2": [], "n_shared": []})
+        ks = list(c.keys())
+        return pd.DataFrame({"s1": [k[0] for k in ks],
+                             "s2": [k[1] for k in ks],
+                             "n_shared": [int(c[k]) for k in ks]})
+
+    pairs = (bucketed_groups(vt, "token", pair_partial, buckets=buckets)
+             .groupby(["s1", "s2"])
+             .aggregate(Sum("n_shared", alias_name="n_shared"))
+             .to_pandas())
+    pairs["n1"] = pairs["s1"].map(sizes).astype("int64")
+    pairs["n2"] = pairs["s2"].map(sizes).astype("int64")
+    pairs["n_shared"] = pairs["n_shared"].astype("int64")
+    pairs["jaccard"] = [
+        round(i / (a + b - i), 6)
+        for i, a, b in zip(pairs["n_shared"], pairs["n1"], pairs["n2"])]
+    return pairs.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
+def source_vocab_overlap_sql(table: str = "documents",
+                             group_col: str = "source",
+                             col: str = "text") -> str:
+    return f"""
+WITH vt AS (
+  SELECT DISTINCT {group_col},
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS token
+  FROM {table}
+),
+sizes AS (SELECT {group_col}, COUNT(*) AS n FROM vt GROUP BY {group_col}),
+inter AS (
+  SELECT a.{group_col} AS s1, b.{group_col} AS s2, COUNT(*) AS n_shared
+  FROM vt a JOIN vt b USING (token)
+  WHERE a.{group_col} < b.{group_col}
+  GROUP BY 1, 2
+)
+SELECT i.s1, i.s2, i.n_shared, sa.n AS n1, sb.n AS n2,
+       ROUND(i.n_shared / (sa.n + sb.n - i.n_shared)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.{group_col} = i.s1
+JOIN sizes sb ON sb.{group_col} = i.s2
+ORDER BY i.s1, i.s2
+"""

@@ -1225,3 +1225,41 @@ def test_embedding_outliers(emb_ds):
     sql_rows = [(int(a), int(b), int(c), float(d))
                 for a, b, c, d in sql.itertuples(index=False, name=None)]
     assert sql_rows == want
+
+
+def test_source_vocab_overlap(docs_ds):
+    """Pairwise vocabulary Jaccard == set-arithmetic recount + SQL twin."""
+    import duckdb
+
+    from librecrawl_ray.functions.lm import _TOKEN_RE
+    from librecrawl_ray.functions.stats import (source_vocab_overlap,
+                                                source_vocab_overlap_sql)
+
+    got = source_vocab_overlap(docs_ds)
+
+    rows = docs_ds.select_columns(["source", "text"]).take_all()
+    vocab: dict = {}
+    for r in rows:
+        vocab.setdefault(r["source"], set()).update(
+            _TOKEN_RE.findall((r["text"] or "").lower()))
+    srcs = sorted(vocab)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want.append((a, b, inter, len(vocab[a]), len(vocab[b]),
+                             round(inter / len(vocab[a] | vocab[b]), 6)))
+    got_rows = [(a, b, int(i), int(n1), int(n2), float(j))
+                for a, b, i, n1, n2, j
+                in got.itertuples(index=False, name=None)]
+    assert got_rows == want
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = con.execute(source_vocab_overlap_sql()).fetchdf()
+    sql_rows = [(a, b, int(i), int(n1), int(n2), float(j))
+                for a, b, i, n1, n2, j
+                in sql.itertuples(index=False, name=None)]
+    assert sql_rows == want
