@@ -148,3 +148,44 @@ def test_backoff_waits_in_response_time(faulted_run):
         sum(1 for u in by_url
             if docs.get(u, {}).get("fault_429", 0) > cfg.retries)
     assert summary["rate_limited"] > 0
+
+
+def test_faulted_kill_resume(ray_session, tmp_path):
+    """Kill after wave 1 and resume on the FAULTED corpus: pages (incl.
+    the recorded 429 rows) and the seen set equal an uninterrupted
+    oracle run — retry semantics are a pure function of the row, so a
+    replayed wave reproduces them exactly."""
+    from librecrawl_ray.canonical import url_sha1
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    from librecrawl_ray.state.filters import sha1_to_u64
+
+    fix = generate_corpus("t1", faults=True)
+    cdir = write_corpus("t1", faults=True)
+    cfg = CrawlConfig.from_fixture(fix["config"], "site.example")
+    oracle = simulate(fix["documents"], fix["robots"], SEEDS, cfg)
+    out = str(tmp_path / "out")
+    eng1 = WaveCrawler(cdir, out, cfg, fetch_concurrency=2)
+    eng1.start(SEEDS)
+    eng1.run_wave()
+    eng1.run_wave()
+    # abandon eng1 (no flush) and resume with a fresh engine
+    eng2 = WaveCrawler(cdir, out, cfg, fetch_concurrency=2)
+    eng2.run(resume=True)
+    pages = _pages({"out_dir": out})
+    got = sorted(zip(pages.column("url").to_pylist(),
+                     pages.column("depth").to_pylist(),
+                     pages.column("seq").to_pylist(),
+                     pages.column("wave").to_pylist()),
+                 key=lambda r: (r[3], r[1], r[2]))
+    want = [(c["url"], c["depth"], c["seq"], c["wave"])
+            for c in oracle.crawl_order]
+    assert got == want
+    assert eng2.seen_sha1s() == \
+        {sha1_to_u64(url_sha1(u)) for u in oracle.seen}
+    # the 429 give-up set survives the resume
+    got_429 = {u for u, s in zip(pages.column("url").to_pylist(),
+                                 pages.column("status_code").to_pylist())
+               if s == 429}
+    assert got_429 == {p["url"] for p in oracle.pages
+                       if p["status_code"] == 429}
+    assert got_429
