@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": R.top_orders_per_customer,
         "events_funnel": R.events_funnel,
         "events_transitions": R.events_transitions,
+        "shipping_priority": R.shipping_priority,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -509,6 +510,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "events_transitions": R.EVENTS_TRANSITIONS_SQL,
+        "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

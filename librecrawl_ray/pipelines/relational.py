@@ -661,3 +661,85 @@ FROM s WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 ORDER BY event_type, next_type
 """
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-15", k: int = 10) -> \
+        pd.DataFrame:
+    """TPC-H Q3 shape: customer(filtered segment) ⋈ orders(date filter) ⋈
+    lineitem(date filter) → revenue per order → top-k.
+
+    Scale shape: the segment's custkey set broadcasts once (ray.put) and
+    prunes orders inside map_batches; lineitem pre-aggregates revenue per
+    orderkey INSIDE each batch before anything joins (the partial
+    combiner — at 100 TB this is what keeps the join input order-sized,
+    not lineitem-sized); the surviving (orderkey-keyed) sides meet in a
+    bucketed reduce-side hash join, then a small groupby finishes. Both
+    fact filters are pushed into the projected parquet read path."""
+    import ray
+
+    from .reports import hash_join
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = ray.put(set(cust.loc[cust["c_mktsegment"] == segment,
+                                "c_custkey"].tolist()))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys)
+        m = (df["o_orderdate"] < cutoff_ts) & df["o_custkey"].isin(ks)
+        return df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    o_side = orders.map_batches(filter_orders, batch_format="pandas")
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"])
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff_ts]
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.array([], "int64"),
+                                 "rev": pd.array([], "float64")})
+        rev = df["l_extendedprice"].to_numpy() \
+            * (1.0 - df["l_discount"].to_numpy())
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                              "rev": rev})
+                .groupby("l_orderkey", as_index=False)["rev"].sum())
+
+    l_side = line.map_batches(partial_rev, batch_format="pandas")
+
+    joined = hash_join(l_side, o_side, "l_orderkey",
+                       right_key="o_orderkey").to_pandas()
+    if joined.empty:
+        return pd.DataFrame(columns=["l_orderkey", "revenue",
+                                     "o_orderdate", "o_orderpriority"])
+    out = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          as_index=False)["rev"].sum())
+    out["revenue"] = out["rev"].round(4)
+    out = out.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out[["l_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""

@@ -498,3 +498,36 @@ def test_events_transitions_match_duckdb(ray_session):
     """).fetchone()[0]
     assert got["n"].sum() == n_events - n_users
     assert single >= 0
+
+
+def test_shipping_priority_join_paths(ray_session):
+    """Q3 shape: broadcast and reduce-side hash_join agree, and the
+    result matches a pandas three-table recount at sf0.001."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(sf)
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    line = pd.read_parquet(f"{sf}/lineitem.parquet")
+    cut = pd.Timestamp("1998-06-15")
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cut)
+               & orders["o_custkey"].isin(keys)]
+    li = line[line["l_shipdate"] > cut].copy()
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    want = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      as_index=False)["rev"].sum())
+    want["revenue"] = want["rev"].round(4)
+    want = want.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["revenue"].tolist() == \
+        pytest.approx(want["revenue"].tolist(), abs=1e-3)
+    assert got["o_orderpriority"].tolist() == \
+        want["o_orderpriority"].tolist()
