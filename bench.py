@@ -280,8 +280,25 @@ def run_scaling(lo: int = 8, hi: int = 32, repeats: int = 3) -> None:
                                     for r in lo_runs],
         f"big_wave_busy_sum_{hi}": [r.get("sustained_wave_busy_sum")
                                     for r in hi_runs],
+        # raw efficiency × measured per-page busy inflation on identical
+        # work = the engine's contention-normalized scaling (a lower
+        # bound: gather/admission tails stay unnormalized). BASELINE.md
+        # round-4 documents the protocol and its interpretation guardrail.
+        "contention_normalized_efficiency": _normalized_eff(
+            eff, lo_runs, hi_runs),
         "lo_cpus": lo, "hi_cpus": hi,
     }))
+
+
+def _normalized_eff(eff: float, lo_runs: list, hi_runs: list) -> \
+        "float | None":
+    lo_b = [r.get("sustained_wave_busy_sum") for r in lo_runs]
+    hi_b = [r.get("sustained_wave_busy_sum") for r in hi_runs]
+    lo_b = [b for b in lo_b if b]
+    hi_b = [b for b in hi_b if b]
+    if not lo_b or not hi_b:
+        return None
+    return round(eff * (min(hi_b) / min(lo_b)), 3)
 
 
 if __name__ == "__main__":
