@@ -241,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.events_funnel,
         "events_transitions": R.events_transitions,
         "shipping_priority": R.shipping_priority,
+        "local_supplier_volume": R.local_supplier_volume,
+        "customer_order_distribution": R.customer_order_distribution,
+        "large_orders": R.large_orders,
+        "events_rollup": R.events_rollup,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -511,6 +515,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "events_transitions": R.EVENTS_TRANSITIONS_SQL,
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
+        "local_supplier_volume": R.LOCAL_SUPPLIER_VOLUME_SQL,
+        "customer_order_distribution": R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "large_orders": R.LARGE_ORDERS_SQL,
+        "events_rollup": R.EVENTS_ROLLUP_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

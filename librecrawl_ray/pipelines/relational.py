@@ -743,3 +743,276 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
+
+
+# ------------------------------------------------- Q5 / Q13 / Q18 shapes
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01") -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier sit in the SAME nation of one region, over a one-year
+    order-date window.  Six-table join.
+
+    Scale shape: region/nation/supplier are broadcast once (ray.put of a
+    suppkey→nationkey dict restricted to the region); orders ⋈ customer
+    goes through the adaptive hash_join (broadcast under threshold,
+    bucketed reduce-side above — customer is NOT assumed driver-sized);
+    lineitem pre-aggregates revenue per (orderkey, supp_nation) inside
+    each batch BEFORE the join, so the orderkey shuffle moves
+    order-sized, not lineitem-sized, data.  Money is summed in exact
+    integer cent-units so the distributed sum is order-independent and
+    bit-identical to the sequential DuckDB oracle."""
+    from .reports import hash_join
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    rg = pd.read_parquet(_t(sf_dir, "region"))
+    rkeys = set(rg.loc[rg["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat_keys = set(nat_names)
+
+    supp = pd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def filter_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_nationkey"].isin(nat_keys)] \
+            .rename(columns={"c_nationkey": "cust_nation"})
+
+    c_side = cust.map_batches(filter_cust, batch_format="pandas")
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    o_side = hash_join(orders.map_batches(filter_orders,
+                                          batch_format="pandas"),
+                       c_side, "o_custkey", right_key="c_custkey") \
+        .map_batches(lambda df: df[["o_orderkey", "cust_nation"]],
+                     batch_format="pandas")
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        s2n = ray.get(supp_ref)
+        nk = df["l_suppkey"].map(s2n)
+        df = df.assign(supp_nation=nk)[nk.notna().to_numpy()]
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.array([], "int64"),
+                                 "supp_nation": pd.array([], "int64"),
+                                 "rev_units": pd.array([], "int64")})
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        df = df.assign(rev_units=cents * (100 - disc),
+                       supp_nation=df["supp_nation"].astype("int64"))
+        return df.groupby(["l_orderkey", "supp_nation"],
+                          as_index=False)["rev_units"].sum()
+
+    l_side = line.map_batches(partial_rev, batch_format="pandas")
+
+    joined = hash_join(l_side, o_side, "l_orderkey",
+                       right_key="o_orderkey").to_pandas()
+    if joined.empty:
+        return pd.DataFrame(columns=["n_name", "revenue"])
+    joined = joined[joined["supp_nation"] == joined["cust_nation"]]
+    g = joined.groupby("supp_nation", as_index=False)["rev_units"].sum()
+    g["n_name"] = g["supp_nation"].map(nat_names)
+    g["revenue"] = (g["rev_units"] / 10000.0).round(4)
+    return g.sort_values(["revenue", "n_name"],
+                         ascending=[False, True]) \
+        [["n_name", "revenue"]].reset_index(drop=True)
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) / 10000.0, 4)
+           AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    INCLUDING zero-order customers (the left-outer-join semantics).
+
+    Scale shape: no outer join is materialized — orders pre-counts per
+    custkey inside each batch, one keyed groupby sums the partials, the
+    (already tiny) count histogram forms on the driver, and the
+    zero-order bucket is derived as count(customer) − count(custkeys
+    with ≥1 order): two scans, one key-sized shuffle, O(distinct counts)
+    driver rows."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    per_cust = (orders.map_batches(partial, batch_format="pandas")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="c_count"))
+                .to_pandas())
+    hist = (per_cust.groupby("c_count", as_index=False).size()
+            .rename(columns={"size": "custdist"}))
+    n_customers = rd.read_parquet(_t(sf_dir, "customer"),
+                                  columns=["c_custkey"]).count()
+    zero = n_customers - len(per_cust)
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def large_orders(sf_dir: str, threshold: float = 300.0,
+                 k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (HAVING semi-join), joined back to orders and customer,
+    top-k by order value.
+
+    Scale shape: lineitem pre-sums quantity per orderkey inside each
+    batch, one keyed groupby finishes the sum, and the HAVING filter
+    shrinks the set to the rare heavy orders BEFORE any join; the
+    surviving orderkey set broadcasts (ray.put) to semi-join-filter
+    orders, and the resulting custkey set broadcasts to semi-join-filter
+    customer — neither big table is ever gathered."""
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_quantity"])
+
+    def partial_qty(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["l_quantity"] \
+            .sum()
+
+    qty = (line.map_batches(partial_qty, batch_format="pandas")
+           .groupby("l_orderkey")
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+           .to_pandas())
+    qty = qty[qty["sum_qty"] > threshold]
+    okeys = ray.put(set(qty["l_orderkey"].tolist()))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderkey"].isin(ray.get(okeys))]
+
+    surv = orders.map_batches(filter_orders,
+                              batch_format="pandas").to_pandas()
+    ckeys = ray.put(set(surv["o_custkey"].tolist()))
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+
+    def filter_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"].isin(ray.get(ckeys))]
+
+    names = cust.map_batches(filter_cust,
+                             batch_format="pandas").to_pandas()
+    out = surv.merge(qty, left_on="o_orderkey", right_on="l_orderkey") \
+        .merge(names, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(event_type, day): per-(type, day) counts and
+    value sums plus per-type subtotals and a grand total, with NULLs at
+    the coarser levels — the standard OLAP rollup surface.
+
+    Scale shape: ONE shuffle computes the finest level (per-batch
+    partials → keyed groupby); the coarser levels derive from the
+    already-aggregated (tiny) fine level on the driver.  Values are
+    summed in exact integer cents so every level is order-independent
+    and matches DuckDB's sequential ROLLUP bit-for-bit."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"),
+                       cents=(df["value"] * 100).round().astype("int64"))
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum"))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("cents", alias_name="cents"))
+            .to_pandas())
+    per_type = fine.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), cents=("cents", "sum"))
+    per_type["day"] = pd.NaT
+    total = pd.DataFrame({"event_type": [None], "day": [pd.NaT],
+                          "n_events": [fine["n_events"].sum()],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, per_type, total], ignore_index=True)
+    out["value_sum"] = (out["cents"] / 100.0).round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    out = out.sort_values(["event_type", "day"],
+                          na_position="last").reset_index(drop=True)
+    return out[["event_type", "day", "n_events", "value_sum"]]
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(sum(round(value * 100)::BIGINT) / 100.0, 4) AS value_sum
+FROM events
+GROUP BY ROLLUP(event_type, day)
+ORDER BY event_type NULLS LAST, day NULLS LAST
+"""

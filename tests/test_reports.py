@@ -531,3 +531,42 @@ def test_shipping_priority_join_paths(ray_session):
         pytest.approx(want["revenue"].tolist(), abs=1e-3)
     assert got["o_orderpriority"].tolist() == \
         want["o_orderpriority"].tolist()
+
+
+def test_q5_q13_q18_rollup_oracle_parity(ray_session):
+    """New relational shapes (Q5 multi-join, Q13 outer-join distribution,
+    Q18 having-semijoin, grouping-sets rollup) match DuckDB bit-for-bit
+    at sf0.001 under the driver's compare semantics."""
+    import duckdb
+    import numpy as np
+
+    from librecrawl_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    cases = [
+        (R.local_supplier_volume, R.LOCAL_SUPPLIER_VOLUME_SQL),
+        (R.customer_order_distribution,
+         R.CUSTOMER_ORDER_DISTRIBUTION_SQL),
+        (R.large_orders, R.LARGE_ORDERS_SQL),
+        (R.events_rollup, R.EVENTS_ROLLUP_SQL),
+    ]
+    for fn, sql in cases:
+        got = fn(sf).reset_index(drop=True)
+        want = con.execute(sql).df().reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), fn.__name__
+        assert got.shape == want.shape, fn.__name__
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == "f":
+                assert np.allclose(a.fillna(-9e9), b.fillna(-9e9),
+                                   atol=1e-9), (fn.__name__, c)
+            else:
+                assert a.fillna("<N>").astype(str).tolist() == \
+                    b.fillna("<N>").astype(str).tolist(), \
+                    (fn.__name__, c)
