@@ -245,6 +245,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": R.customer_order_distribution,
         "large_orders": R.large_orders,
         "events_rollup": R.events_rollup,
+        "priority_exists_returns": R.priority_exists_returns,
+        "customers_without_recent_orders":
+            R.customers_without_recent_orders,
+        "small_quantity_revenue": R.small_quantity_revenue,
+        "promo_revenue_ratio": R.promo_revenue_ratio,
+        "events_user_setops": R.events_user_setops,
+        "lonely_returned_supplier": R.lonely_returned_supplier,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -519,6 +526,13 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "customer_order_distribution": R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "large_orders": R.LARGE_ORDERS_SQL,
         "events_rollup": R.EVENTS_ROLLUP_SQL,
+        "priority_exists_returns": R.PRIORITY_EXISTS_RETURNS_SQL,
+        "customers_without_recent_orders":
+            R.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL,
+        "small_quantity_revenue": R.SMALL_QUANTITY_REVENUE_SQL,
+        "promo_revenue_ratio": R.PROMO_REVENUE_RATIO_SQL,
+        "events_user_setops": R.EVENTS_USER_SETOPS_SQL,
+        "lonely_returned_supplier": R.LONELY_RETURNED_SUPPLIER_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

@@ -1016,3 +1016,425 @@ FROM events
 GROUP BY ROLLUP(event_type, day)
 ORDER BY event_type NULLS LAST, day NULLS LAST
 """
+
+
+# --------------------------------- semi/anti-join + decorrelated shapes
+
+def priority_exists_returns(sf_dir: str, date_from: str = "1997-01-01",
+                            date_to: str = "1997-04-01") -> pd.DataFrame:
+    """TPC-H Q4 shape: order counts per priority over a quarter, keeping
+    only orders WHERE EXISTS a returned lineitem (semi-join; the
+    reference schema lacks commit/receipt dates, so `l_returnflag='R'`
+    stands in for the late-delivery predicate).
+
+    Scale shape: the EXISTS never materializes a join payload — lineitem
+    shrinks to per-batch DISTINCT orderkeys (marker column), one keyed
+    groupby dedups them to an orderkey-sized set, and the adaptive
+    hash_join (broadcast under threshold, bucketed above) semi-filters
+    the date-windowed orders; counts pre-aggregate per batch before the
+    tiny priority groupby."""
+    from .reports import hash_join
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_returnflag"])
+
+    def distinct_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"].unique()
+        return pd.DataFrame({"l_orderkey": keys.astype("int64"),
+                             "m": np.ones(len(keys), dtype="int64")})
+
+    markers = (line.map_batches(distinct_keys, batch_format="pandas")
+               .groupby("l_orderkey").aggregate(Sum("m", alias_name="m")))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_orderpriority"]]
+
+    semi = hash_join(orders.map_batches(filter_orders,
+                                        batch_format="pandas"),
+                     markers, "o_orderkey", right_key="l_orderkey")
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (semi.map_batches(partial_counts, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="order_count"))
+           .to_pandas())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PRIORITY_EXISTS_RETURNS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customers_without_recent_orders(sf_dir: str,
+                                    since: str = "1999-01-01") -> \
+        pd.DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average
+    customers with NO orders since a cutoff (anti-join + scalar
+    correlated-average subquery; the schema lacks phone country codes,
+    so nationkey is the grouping and the cutoff makes the anti-join
+    non-empty on the synthetic data, where every customer has ordered
+    at least once historically).
+
+    Scale shape: the anti-join is the adaptive hash_join in how='left'
+    with a marker right side (distinct recent-orderer custkeys — a
+    key-sized set, never the orders rows) followed by an is-null filter;
+    the global positive-balance average reduces per batch to (cents, n)
+    partials and the comparison is the exact integer cross-multiply
+    `cents*n > total_cents`, so no float threshold crosses the wire."""
+    from .reports import hash_join
+
+    cutoff = pd.Timestamp(since)
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def partial_avg(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        pos = cents[cents > 0]
+        return pd.DataFrame({"cents": [int(pos.sum())],
+                             "n": [int(len(pos))]})
+
+    agg = cust.map_batches(partial_avg, batch_format="pandas").to_pandas()
+    total_cents, n_pos = int(agg["cents"].sum()), int(agg["n"].sum())
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+
+    def recent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["o_orderdate"] >= cutoff, "o_custkey"].unique()
+        return pd.DataFrame({"o_custkey": keys.astype("int64"),
+                             "m": np.ones(len(keys), dtype="int64")})
+
+    markers = (orders.map_batches(recent_keys, batch_format="pandas")
+               .groupby("o_custkey").aggregate(Sum("m", alias_name="m")))
+
+    joined = hash_join(cust, markers, "c_custkey", how="left",
+                       right_key="o_custkey")
+
+    def partial_out(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        keep = df["m"].isna() & (cents * n_pos > total_cents)
+        sub = pd.DataFrame({"c_nationkey": df.loc[keep, "c_nationkey"]
+                            .astype("int64"),
+                            "cents": cents[keep]})
+        return sub.groupby("c_nationkey", as_index=False).agg(
+            numcust=("cents", "size"), cents=("cents", "sum"))
+
+    out = (joined.map_batches(partial_out, batch_format="pandas")
+           .groupby("c_nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("cents", alias_name="cents"))
+           .to_pandas())
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = (out["cents"] / 100.0).round(2)
+    return out.sort_values("c_nationkey").reset_index(drop=True) \
+        [["c_nationkey", "numcust", "totacctbal"]]
+
+
+CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(round(c_acctbal * 100)::BIGINT) / 100.0, 2)
+           AS totacctbal
+FROM customer
+WHERE round(c_acctbal * 100)::BIGINT
+      * (SELECT count(*) FROM customer WHERE round(c_acctbal*100) > 0)
+      > (SELECT sum(round(c_acctbal * 100)::BIGINT) FROM customer
+         WHERE round(c_acctbal*100) > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def small_quantity_revenue(sf_dir: str,
+                           brand: str = "Brand#13") -> pd.DataFrame:
+    """TPC-H Q17 shape: average weekly revenue from lineitems of one
+    brand whose quantity is below 20% of that part's average quantity
+    (correlated aggregate subquery, decorrelated into a self-join).
+
+    Scale shape: the per-part average never leaves aggregate form —
+    lineitem emits per-batch (partkey, sum_qty, cnt) partials, one keyed
+    groupby finishes them, and the part-sized stats side meets lineitem
+    again in the adaptive hash_join (bucketed at scale: the stats side
+    is part-cardinality, NOT driver-sized); the 20%-of-average predicate
+    is the exact integer cross-multiply `10*qty*cnt < 2*sum_qty`, and
+    revenue sums in integer cents, so the result is bit-identical to the
+    sequential oracle."""
+    from .reports import hash_join
+
+    part = pd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand"])
+    bkeys = ray.put(set(part.loc[part["p_brand"] == brand,
+                                 "p_partkey"].tolist()))
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"])
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        qty = (df["l_quantity"] * 10).round().astype("int64")
+        g = pd.DataFrame({"l_partkey": df["l_partkey"], "q10": qty})
+        return g.groupby("l_partkey", as_index=False).agg(
+            sum_q10=("q10", "sum"), cnt=("q10", "size"))
+
+    stats = (line.map_batches(partial_stats, batch_format="pandas")
+             .groupby("l_partkey")
+             .aggregate(Sum("sum_q10", alias_name="sum_q10"),
+                        Sum("cnt", alias_name="cnt")))
+
+    def filter_brand(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(bkeys)
+        return df[df["l_partkey"].isin(ks)]
+
+    branded = line.map_batches(filter_brand, batch_format="pandas")
+    joined = hash_join(branded, stats, "l_partkey")
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        q10 = (df["l_quantity"] * 10).round().astype("int64")
+        keep = 10 * q10 * df["cnt"] < 2 * df["sum_q10"]
+        cents = (df.loc[keep, "l_extendedprice"] * 100).round() \
+            .astype("int64")
+        return pd.DataFrame({"cents": [int(cents.sum())]})
+
+    agg = joined.map_batches(partial_rev, batch_format="pandas") \
+        .to_pandas()
+    total = int(agg["cents"].sum())
+    return pd.DataFrame({"avg_weekly": [round(total / 700.0, 2)]})
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT round(sum(round(l_extendedprice * 100)::BIGINT) / 700.0, 2)
+           AS avg_weekly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk,
+             sum(round(l_quantity * 10)::BIGINT) AS sum_q10,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey) stats ON pk = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND 10 * round(l_quantity * 10)::BIGINT * cnt < 2 * sum_q10
+"""
+
+
+def promo_revenue_ratio(sf_dir: str, date_from: str = "1997-06-01",
+                        date_to: str = "1997-07-01") -> pd.DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue that came from
+    promotional parts (conditional aggregation over a fact⋈dimension
+    join).
+
+    Scale shape: lineitem is date-pruned inside map_batches and joins
+    part through the adaptive hash_join (part is fact-scale at 100 TB —
+    no driver dict); both the promo and total revenue accumulate as
+    exact integer cent-units in per-batch partials, and only the final
+    two scalars divide on the driver."""
+    from .reports import hash_join
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"])
+
+    def filter_month(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        return df.loc[m, ["l_partkey", "l_extendedprice", "l_discount"]]
+
+    joined = hash_join(line.map_batches(filter_month,
+                                        batch_format="pandas"),
+                       part, "l_partkey", right_key="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        units = cents * (100 - disc)
+        promo = units[(df["p_type"] == "PROMO").to_numpy()]
+        return pd.DataFrame({"promo_units": [int(promo.sum())],
+                             "total_units": [int(units.sum())]})
+
+    agg = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    promo, total = int(agg["promo_units"].sum()), \
+        int(agg["total_units"].sum())
+    ratio = round(100.0 * promo / total, 4) if total else 0.0
+    return pd.DataFrame({"promo_revenue_pct": [ratio]})
+
+
+PROMO_REVENUE_RATIO_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN round(l_extendedprice * 100)::BIGINT
+                                   * (100 - round(l_discount * 100)::BIGINT)
+                              ELSE 0 END)
+             / sum(round(l_extendedprice * 100)::BIGINT
+                   * (100 - round(l_discount * 100)::BIGINT)), 4)
+           AS promo_revenue_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+def events_user_setops(sf_dir: str, type_a: str = "click",
+                       type_b: str = "purchase") -> pd.DataFrame:
+    """INTERSECT / EXCEPT set operations over user populations: how many
+    users did both A and B, only A, only B.
+
+    Scale shape: one keyed shuffle total — events shrink to per-batch
+    distinct (user_id, saw_a, saw_b) partials, a groupby(user_id) ORs
+    the flags, and the three counts reduce from per-batch partials;
+    distinct user sets never materialize anywhere."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([type_a, type_b])]
+        g = pd.DataFrame({
+            "user_id": df["user_id"],
+            "saw_a": (df["event_type"] == type_a).astype("int64"),
+            "saw_b": (df["event_type"] == type_b).astype("int64")})
+        return g.groupby("user_id", as_index=False).max()
+
+    per_user = (ev.map_batches(flags, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Max("saw_a", alias_name="saw_a"),
+                           Max("saw_b", alias_name="saw_b")))
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df["saw_a"].to_numpy(), df["saw_b"].to_numpy()
+        return pd.DataFrame({
+            "n_both": [int(((a == 1) & (b == 1)).sum())],
+            "n_only_a": [int(((a == 1) & (b == 0)).sum())],
+            "n_only_b": [int(((a == 0) & (b == 1)).sum())]})
+
+    agg = per_user.map_batches(counts, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_both": [int(agg["n_both"].sum())],
+        "n_only_a": [int(agg["n_only_a"].sum())],
+        "n_only_b": [int(agg["n_only_b"].sum())]})
+
+
+EVENTS_USER_SETOPS_SQL = """
+SELECT
+  (SELECT count(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+      AS n_both,
+  (SELECT count(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+      AS n_only_a,
+  (SELECT count(*) FROM
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+      AS n_only_b
+"""
+
+
+def lonely_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
+    returned lineitem in a multi-supplier order (nested EXISTS / NOT
+    EXISTS self-joins on the fact table, decorrelated into two keyed
+    aggregations; `l_returnflag='R'` stands in for the late-delivery
+    predicate absent from this schema).
+
+    Scale shape: no self-join of lineitem ever happens — per-batch
+    distinct (orderkey, suppkey, returned) partials collapse the fact
+    table to its (order, supplier) grain in one shuffle; a second keyed
+    groupby per orderkey computes n_suppliers, n_returned and
+    max(suppkey*returned) (the unique culprit when n_returned==1) with
+    plain vectorized aggregates; only culprit counts per supplier —
+    supplier-cardinality rows — reach the name join."""
+    from .reports import hash_join
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_returnflag"])
+
+    def grain(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_suppkey": df["l_suppkey"],
+            "r": (df["l_returnflag"] == "R").astype("int64")})
+        return g.groupby(["l_orderkey", "l_suppkey"],
+                         as_index=False).max()
+
+    per_pair = (line.map_batches(grain, batch_format="pandas")
+                .groupby(["l_orderkey", "l_suppkey"])
+                .aggregate(Max("r", alias_name="r")))
+
+    def per_order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(one=np.int64(1),
+                       rsupp=df["l_suppkey"] * df["r"])
+        return df.groupby("l_orderkey", as_index=False).agg(
+            n_supp=("one", "sum"), n_r=("r", "sum"),
+            rsupp=("rsupp", "max"))
+
+    per_order = (per_pair.map_batches(per_order_partial,
+                                      batch_format="pandas")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n_supp", alias_name="n_supp"),
+                            Sum("n_r", alias_name="n_r"),
+                            Max("rsupp", alias_name="rsupp")))
+
+    def culprit_counts(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["n_supp"] >= 2) & (df["n_r"] == 1)
+        sub = pd.DataFrame({"s_suppkey": df.loc[keep, "rsupp"]
+                            .astype("int64")})
+        g = sub.groupby("s_suppkey", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (per_order.map_batches(culprit_counts,
+                                    batch_format="pandas")
+              .groupby("s_suppkey")
+              .aggregate(Sum("n", alias_name="numwait")))
+
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name"])
+    named = hash_join(counts, supp, "s_suppkey").to_pandas()
+    if named.empty:
+        return pd.DataFrame(columns=["s_name", "numwait"])
+    named["numwait"] = named["numwait"].astype("int64")
+    out = named.sort_values(["numwait", "s_suppkey"],
+                            ascending=[False, True]).head(k)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+LONELY_RETURNED_SUPPLIER_SQL = """
+WITH per_pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(r) AS n_r,
+         max(l_suppkey * r) AS rsupp
+  FROM per_pair GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = rsupp
+WHERE n_supp >= 2 AND n_r = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+"""

@@ -545,7 +545,7 @@ def test_q5_q13_q18_rollup_oracle_parity(ray_session):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in ("customer", "orders", "lineitem", "supplier", "nation",
-              "region", "events"):
+              "region", "events", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
@@ -555,6 +555,13 @@ def test_q5_q13_q18_rollup_oracle_parity(ray_session):
          R.CUSTOMER_ORDER_DISTRIBUTION_SQL),
         (R.large_orders, R.LARGE_ORDERS_SQL),
         (R.events_rollup, R.EVENTS_ROLLUP_SQL),
+        (R.priority_exists_returns, R.PRIORITY_EXISTS_RETURNS_SQL),
+        (R.customers_without_recent_orders,
+         R.CUSTOMERS_WITHOUT_RECENT_ORDERS_SQL),
+        (R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL),
+        (R.promo_revenue_ratio, R.PROMO_REVENUE_RATIO_SQL),
+        (R.events_user_setops, R.EVENTS_USER_SETOPS_SQL),
+        (R.lonely_returned_supplier, R.LONELY_RETURNED_SUPPLIER_SQL),
     ]
     for fn, sql in cases:
         got = fn(sf).reset_index(drop=True)
