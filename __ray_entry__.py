@@ -252,6 +252,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_ratio": R.promo_revenue_ratio,
         "events_user_setops": R.events_user_setops,
         "lonely_returned_supplier": R.lonely_returned_supplier,
+        "forecast_revenue": R.forecast_revenue,
+        "returned_item_customers": R.returned_item_customers,
+        "top_revenue_supplier": R.top_revenue_supplier,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "supplier_part_counts": R.supplier_part_counts,
+        "nation_market_share": R.nation_market_share,
+        "customer_cumulative_spend": R.customer_cumulative_spend,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -533,6 +540,13 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "promo_revenue_ratio": R.PROMO_REVENUE_RATIO_SQL,
         "events_user_setops": R.EVENTS_USER_SETOPS_SQL,
         "lonely_returned_supplier": R.LONELY_RETURNED_SUPPLIER_SQL,
+        "forecast_revenue": R.FORECAST_REVENUE_SQL,
+        "returned_item_customers": R.RETURNED_ITEM_CUSTOMERS_SQL,
+        "top_revenue_supplier": R.TOP_REVENUE_SUPPLIER_SQL,
+        "disjunctive_revenue": R.DISJUNCTIVE_REVENUE_SQL,
+        "supplier_part_counts": R.SUPPLIER_PART_COUNTS_SQL,
+        "nation_market_share": R.NATION_MARKET_SHARE_SQL,
+        "customer_cumulative_spend": R.CUSTOMER_CUMULATIVE_SPEND_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

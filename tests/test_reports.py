@@ -562,6 +562,13 @@ def test_q5_q13_q18_rollup_oracle_parity(ray_session):
         (R.promo_revenue_ratio, R.PROMO_REVENUE_RATIO_SQL),
         (R.events_user_setops, R.EVENTS_USER_SETOPS_SQL),
         (R.lonely_returned_supplier, R.LONELY_RETURNED_SUPPLIER_SQL),
+        (R.forecast_revenue, R.FORECAST_REVENUE_SQL),
+        (R.returned_item_customers, R.RETURNED_ITEM_CUSTOMERS_SQL),
+        (R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL),
+        (R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL),
+        (R.supplier_part_counts, R.SUPPLIER_PART_COUNTS_SQL),
+        (R.nation_market_share, R.NATION_MARKET_SHARE_SQL),
+        (R.customer_cumulative_spend, R.CUSTOMER_CUMULATIVE_SPEND_SQL),
     ]
     for fn, sql in cases:
         got = fn(sf).reset_index(drop=True)
