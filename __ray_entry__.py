@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": R.supplier_part_counts,
         "nation_market_share": R.nation_market_share,
         "customer_cumulative_spend": R.customer_cumulative_spend,
+        "events_props_stats": R.events_props_stats,
+        "priority_shipping_split": R.priority_shipping_split,
+        "important_parts": R.important_parts,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -547,6 +550,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "supplier_part_counts": R.SUPPLIER_PART_COUNTS_SQL,
         "nation_market_share": R.NATION_MARKET_SHARE_SQL,
         "customer_cumulative_spend": R.CUSTOMER_CUMULATIVE_SPEND_SQL,
+        "events_props_stats": R.EVENTS_PROPS_STATS_SQL,
+        "priority_shipping_split": R.PRIORITY_SHIPPING_SPLIT_SQL,
+        "important_parts": R.IMPORTANT_PARTS_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

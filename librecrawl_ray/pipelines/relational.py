@@ -1952,3 +1952,187 @@ FROM orders
 WHERE o_custkey % 100 = 0
 ORDER BY o_custkey, o_orderkey
 """
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction shape: parse the JSON `props` column,
+    pull the numeric `k` field, and aggregate per event_type (the
+    json_extract → aggregate operator class).
+
+    Scale shape: extraction is a vectorized regex over the string column
+    (per-row json.loads only for the rare rows the fast path misses), and
+    the stats reduce to one (type, n, sum, min, max) partial per batch
+    before the tiny event_type groupby — the JSON never leaves the
+    scan tasks."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        miss = k.isna()
+        if miss.any():
+            import json
+
+            def slow(s):
+                try:
+                    return json.loads(s).get("k")
+                except (TypeError, ValueError):
+                    return None
+            k.loc[miss] = df.loc[miss, "props"].map(slow)
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "k": k.astype("int64")})
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    out["avg_k"] = (out["sum_k"] / out["n"]).round(4)
+    return out.sort_values("event_type").reset_index(drop=True) \
+        [["event_type", "n", "sum_k", "min_k", "max_k", "avg_k"]]
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k,
+       round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
+             / count(*), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def priority_shipping_split(sf_dir: str, year: int = 1997) -> \
+        pd.DataFrame:
+    """TPC-H Q12 shape: per linestatus, how many of the year's lineitems
+    belong to high-priority (1-URGENT/2-HIGH) vs lower-priority orders
+    (fact⋈fact join + conditional CASE counts; l_linestatus stands in
+    for the shipmode column absent from this schema).
+
+    Scale shape: lineitem prunes to the year's (orderkey, linestatus)
+    inside the scan tasks; orders contributes two columns through the
+    adaptive hash_join; the conditional counts collapse to one
+    (linestatus, high, low) partial per batch before a groupby over the
+    two linestatus values."""
+    from .reports import hash_join
+
+    lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year+1}-01-01")
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_linestatus",
+                                    "l_shipdate"])
+
+    def in_year(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        return df.loc[m, ["l_orderkey", "l_linestatus"]]
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(line.map_batches(in_year, batch_format="pandas"),
+                       orders, "l_orderkey", right_key="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi_m = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        g = pd.DataFrame({"l_linestatus": df["l_linestatus"],
+                          "high_line_count": hi_m.astype("int64"),
+                          "low_line_count": (~hi_m).astype("int64")})
+        return g.groupby("l_linestatus", as_index=False).sum()
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("l_linestatus")
+           .aggregate(Sum("high_line_count",
+                          alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count"))
+           .to_pandas())
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True) \
+        [["l_linestatus", "high_line_count", "low_line_count"]]
+
+
+PRIORITY_SHIPPING_SPLIT_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 5/4 of the average
+    per-part revenue (aggregate + HAVING-against-global-scalar; the
+    average-relative threshold stays meaningful at any part cardinality,
+    unlike Q11's fixed fraction).
+
+    Scale shape: one keyed groupby fixes per-part revenue from per-batch
+    partials; the global total and part count come from the SAME
+    materialized part-cardinality aggregate (no second fact scan); the
+    HAVING compares exact integer units cross-multiplied (units*n*4 >
+    5*total), so no float threshold."""
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        g = pd.DataFrame({"l_partkey": df["l_partkey"],
+                          "units": cents * (100 - disc)})
+        return g.groupby("l_partkey", as_index=False).sum()
+
+    # batch_size coalesces read blocks before the combiner: the partial
+    # groupby then emits one dense key-block per 64k rows instead of 64
+    # sliver blocks, and the sort-aggregate's per-block overhead (~2s per
+    # sliver at this scale) collapses (measured 11.0s -> 5.4s at sf0.01)
+    per_part = (line.map_batches(partial, batch_format="pandas",
+                                 batch_size=65536)
+                .groupby("l_partkey")
+                .aggregate(Sum("units", alias_name="units"))
+                .materialize())
+    total = per_part.sum("units")
+    n_parts = per_part.count()
+
+    keep = per_part.map_batches(
+        lambda df: df[df["units"] * n_parts * 4 > 5 * total],
+        batch_format="pandas").to_pandas()
+    if keep.empty:
+        return pd.DataFrame(columns=["l_partkey", "part_value"])
+    # round-half-away-from-zero in integer space (float .round is
+    # half-even; DuckDB round() is half-away — a .5 boundary diverges)
+    keep["part_value"] = ((keep["units"] + 500) // 1000) / 100.0
+    keep["l_partkey"] = keep["l_partkey"].astype("int64")
+    return keep.sort_values(["units", "l_partkey"],
+                            ascending=[False, True]) \
+        .reset_index(drop=True)[["l_partkey", "part_value"]]
+
+
+IMPORTANT_PARTS_SQL = """
+WITH rev AS (
+  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT
+                        * (100 - round(l_discount * 100)::BIGINT)) AS units
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, floor((units + 500) / 1000)::BIGINT / 100.0
+           AS part_value
+FROM rev
+WHERE units * (SELECT count(*) FROM rev) * 4
+      > 5 * (SELECT sum(units) FROM rev)
+ORDER BY units DESC, l_partkey
+"""

@@ -569,6 +569,9 @@ def test_q5_q13_q18_rollup_oracle_parity(ray_session):
         (R.supplier_part_counts, R.SUPPLIER_PART_COUNTS_SQL),
         (R.nation_market_share, R.NATION_MARKET_SHARE_SQL),
         (R.customer_cumulative_spend, R.CUSTOMER_CUMULATIVE_SPEND_SQL),
+        (R.events_props_stats, R.EVENTS_PROPS_STATS_SQL),
+        (R.priority_shipping_split, R.PRIORITY_SHIPPING_SPLIT_SQL),
+        (R.important_parts, R.IMPORTANT_PARTS_SQL),
     ]
     for fn, sql in cases:
         got = fn(sf).reset_index(drop=True)
