@@ -29,6 +29,51 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def bucketed_agg(ds: rd.Dataset, keys, spec: dict,
+                 buckets: int = 32,
+                 bucket_on: str | None = None) -> rd.Dataset:
+    """Keyed aggregation for HIGH-CARDINALITY keys: int-bucket shuffle +
+    one vectorized pandas groupby per bucket.
+
+    Ray Data's sort-based ``groupby(key).aggregate(...)`` iterates groups
+    in Python inside the reduce tasks (~1-2 ms per group): fine at 10^2-10^3
+    keys, but at 10^4-10^5 keys the reduce dominates wall time (measured at
+    sf0.01: a 60k-group Max pegged one core for minutes when the partials
+    landed in one block; spread over many blocks it still cost 15-66 s per
+    query). Hashing keys into ``buckets`` int groups keeps the all-to-all
+    tiny and sorted on an int column, and ALL keys of a bucket reduce in a
+    single vectorized pandas groupby. At cluster scale raise ``buckets`` to
+    ~total cores; skew is bounded because partials, not raw rows, shuffle.
+
+    ``spec`` maps output column -> (source column, "sum"|"max"|"min").
+    Inputs are expected to be per-batch partial rows (every call site
+    pre-aggregates inside map_batches), so the same fn composes partials.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    kb = bucket_on or keys[0]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[kb]
+        if pd.api.types.is_integer_dtype(k):
+            b = k.to_numpy(dtype="int64", copy=False) % buckets
+        else:
+            b = pd.util.hash_pandas_object(k, index=False) \
+                .to_numpy() % buckets
+        df = df.copy()
+        df["__bucket"] = b.astype("int32")
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__bucket").groupby(
+            keys, as_index=False, sort=False).agg(
+            **{out: (src, fn) for out, (src, fn) in spec.items()})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 # ------------------------------------------------------------------ Q1-like
 
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -110,11 +155,10 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             order_count=("o_totalprice", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    totals = (orders.map_batches(partial, batch_format="pyarrow")
-              .groupby("o_custkey")
-              .aggregate(Sum("total_spent", alias_name="total_spent"),
-                         Sum("order_count", alias_name="order_count"))
-              .to_pandas())
+    totals = bucketed_agg(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", {"total_spent": ("total_spent", "sum"),
+                      "order_count": ("order_count", "sum")}).to_pandas()
     cdf = ray.get(cust_ref)
     totals = totals.join(cdf, on="o_custkey")
     totals["total_spent"] = totals["total_spent"].round(4)
@@ -200,11 +244,12 @@ def events_daily(sf_dir: str) -> pd.DataFrame:
             n_events=("value", "size"), value_sum=("value", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["event_type", "day"])
-           .aggregate(Sum("n_events", alias_name="n_events"),
-                      Sum("value_sum", alias_name="value_sum"))
-           .to_pandas())
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n_events": ("n_events", "sum"),
+         "value_sum": ("value_sum", "sum")},
+        bucket_on="day").to_pandas()
     out["value_sum"] = out["value_sum"].round(4)
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
@@ -277,10 +322,15 @@ GROUP BY user_id ORDER BY user_id
 
 def top_users_by_value(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
-    out = (ds.groupby("user_id")
-           .aggregate(Sum("value", alias_name="total_value"),
-                      Count(alias_name="n_events"))
-           .to_pandas())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            total_value=("value", "sum"), n_events=("value", "size"))
+
+    out = bucketed_agg(ds.map_batches(partial, batch_format="pandas"),
+                       "user_id",
+                       {"total_value": ("total_value", "sum"),
+                        "n_events": ("n_events", "sum")}).to_pandas()
     out["total_value"] = out["total_value"].round(4)
     return (out.sort_values(["total_value", "user_id"],
                             ascending=[False, True])
@@ -871,10 +921,9 @@ def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("o_custkey", as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    per_cust = (orders.map_batches(partial, batch_format="pandas")
-                .groupby("o_custkey")
-                .aggregate(Sum("n", alias_name="c_count"))
-                .to_pandas())
+    per_cust = bucketed_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey", {"c_count": ("n", "sum")}).to_pandas()
     hist = (per_cust.groupby("c_count", as_index=False).size()
             .rename(columns={"size": "custdist"}))
     n_customers = rd.read_parquet(_t(sf_dir, "customer"),
@@ -920,10 +969,9 @@ def large_orders(sf_dir: str, threshold: float = 300.0,
         return df.groupby("l_orderkey", as_index=False)["l_quantity"] \
             .sum()
 
-    qty = (line.map_batches(partial_qty, batch_format="pandas")
-           .groupby("l_orderkey")
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"))
-           .to_pandas())
+    qty = bucketed_agg(
+        line.map_batches(partial_qty, batch_format="pandas"),
+        "l_orderkey", {"sum_qty": ("l_quantity", "sum")}).to_pandas()
     qty = qty[qty["sum_qty"] > threshold]
     okeys = ray.put(set(qty["l_orderkey"].tolist()))
 
@@ -989,11 +1037,11 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["event_type", "day"], as_index=False).agg(
             n_events=("cents", "size"), cents=("cents", "sum"))
 
-    fine = (ds.map_batches(partial, batch_format="pandas")
-            .groupby(["event_type", "day"])
-            .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum("cents", alias_name="cents"))
-            .to_pandas())
+    fine = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"],
+        {"n_events": ("n_events", "sum"), "cents": ("cents", "sum")},
+        bucket_on="day").to_pandas()
     per_type = fine.groupby("event_type", as_index=False).agg(
         n_events=("n_events", "sum"), cents=("cents", "sum"))
     per_type["day"] = pd.NaT
@@ -1044,8 +1092,9 @@ def priority_exists_returns(sf_dir: str, date_from: str = "1997-01-01",
         return pd.DataFrame({"l_orderkey": keys.astype("int64"),
                              "m": np.ones(len(keys), dtype="int64")})
 
-    markers = (line.map_batches(distinct_keys, batch_format="pandas")
-               .groupby("l_orderkey").aggregate(Sum("m", alias_name="m")))
+    markers = bucketed_agg(
+        line.map_batches(distinct_keys, batch_format="pandas"),
+        "l_orderkey", {"m": ("m", "sum")})
 
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderdate",
@@ -1123,8 +1172,9 @@ def customers_without_recent_orders(sf_dir: str,
         return pd.DataFrame({"o_custkey": keys.astype("int64"),
                              "m": np.ones(len(keys), dtype="int64")})
 
-    markers = (orders.map_batches(recent_keys, batch_format="pandas")
-               .groupby("o_custkey").aggregate(Sum("m", alias_name="m")))
+    markers = bucketed_agg(
+        orders.map_batches(recent_keys, batch_format="pandas"),
+        "o_custkey", {"m": ("m", "sum")})
 
     joined = hash_join(cust, markers, "c_custkey", how="left",
                        right_key="o_custkey")
@@ -1197,10 +1247,10 @@ def small_quantity_revenue(sf_dir: str,
         return g.groupby("l_partkey", as_index=False).agg(
             sum_q10=("q10", "sum"), cnt=("q10", "size"))
 
-    stats = (line.map_batches(partial_stats, batch_format="pandas")
-             .groupby("l_partkey")
-             .aggregate(Sum("sum_q10", alias_name="sum_q10"),
-                        Sum("cnt", alias_name="cnt")))
+    stats = bucketed_agg(
+        line.map_batches(partial_stats, batch_format="pandas"),
+        "l_partkey", {"sum_q10": ("sum_q10", "sum"),
+                      "cnt": ("cnt", "sum")})
 
     def filter_brand(df: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(bkeys)
@@ -1314,10 +1364,10 @@ def events_user_setops(sf_dir: str, type_a: str = "click",
             "saw_b": (df["event_type"] == type_b).astype("int64")})
         return g.groupby("user_id", as_index=False).max()
 
-    per_user = (ev.map_batches(flags, batch_format="pandas")
-                .groupby("user_id")
-                .aggregate(Max("saw_a", alias_name="saw_a"),
-                           Max("saw_b", alias_name="saw_b")))
+    per_user = bucketed_agg(
+        ev.map_batches(flags, batch_format="pandas"),
+        "user_id", {"saw_a": ("saw_a", "max"),
+                    "saw_b": ("saw_b", "max")})
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         a, b = df["saw_a"].to_numpy(), df["saw_b"].to_numpy()
@@ -1381,9 +1431,9 @@ def lonely_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
         return g.groupby(["l_orderkey", "l_suppkey"],
                          as_index=False).max()
 
-    per_pair = (line.map_batches(grain, batch_format="pandas")
-                .groupby(["l_orderkey", "l_suppkey"])
-                .aggregate(Max("r", alias_name="r")))
+    per_pair = bucketed_agg(
+        line.map_batches(grain, batch_format="pandas"),
+        ["l_orderkey", "l_suppkey"], {"r": ("r", "max")})
 
     def per_order_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(one=np.int64(1),
@@ -1392,12 +1442,11 @@ def lonely_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
             n_supp=("one", "sum"), n_r=("r", "sum"),
             rsupp=("rsupp", "max"))
 
-    per_order = (per_pair.map_batches(per_order_partial,
-                                      batch_format="pandas")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("n_supp", alias_name="n_supp"),
-                            Sum("n_r", alias_name="n_r"),
-                            Max("rsupp", alias_name="rsupp")))
+    per_order = bucketed_agg(
+        per_pair.map_batches(per_order_partial, batch_format="pandas"),
+        "l_orderkey", {"n_supp": ("n_supp", "sum"),
+                       "n_r": ("n_r", "sum"),
+                       "rsupp": ("rsupp", "max")})
 
     def culprit_counts(df: pd.DataFrame) -> pd.DataFrame:
         keep = (df["n_supp"] >= 2) & (df["n_r"] == 1)
@@ -1406,10 +1455,9 @@ def lonely_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
         g = sub.groupby("s_suppkey", as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    counts = (per_order.map_batches(culprit_counts,
-                                    batch_format="pandas")
-              .groupby("s_suppkey")
-              .aggregate(Sum("n", alias_name="numwait")))
+    counts = bucketed_agg(
+        per_order.map_batches(culprit_counts, batch_format="pandas"),
+        "s_suppkey", {"numwait": ("n", "sum")})
 
     supp = rd.read_parquet(_t(sf_dir, "supplier"),
                            columns=["s_suppkey", "s_name"])
@@ -1526,9 +1574,9 @@ def returned_item_customers(sf_dir: str, date_from: str = "1997-01-01",
     def per_cust(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_custkey", as_index=False)["units"].sum()
 
-    per_customer = (joined.map_batches(per_cust, batch_format="pandas")
-                    .groupby("o_custkey")
-                    .aggregate(Sum("units", alias_name="units")))
+    per_customer = bucketed_agg(
+        joined.map_batches(per_cust, batch_format="pandas"),
+        "o_custkey", {"units": ("units", "sum")})
 
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_nationkey"])
@@ -1596,10 +1644,9 @@ def top_revenue_supplier(sf_dir: str, date_from: str = "1997-01-01",
                           "units": cents * (100 - disc)})
         return g.groupby("l_suppkey", as_index=False).sum()
 
-    per_supp = (line.map_batches(partial, batch_format="pandas")
-                .groupby("l_suppkey")
-                .aggregate(Sum("units", alias_name="units"))
-                .materialize())
+    per_supp = bucketed_agg(
+        line.map_batches(partial, batch_format="pandas"),
+        "l_suppkey", {"units": ("units", "sum")}).materialize()
     top = per_supp.max("units")
 
     best = per_supp.filter(lambda r: r["units"] == top)
@@ -1745,19 +1792,20 @@ def supplier_part_counts(sf_dir: str) -> pd.DataFrame:
                    "m"]].drop_duplicates(
             ["p_brand", "p_type", "p_size", "l_suppkey"])
 
-    quads = (joined.map_batches(drop_blocked, batch_format="pandas")
-             .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
-             .aggregate(Max("m", alias_name="m")))
+    quads = bucketed_agg(
+        joined.map_batches(drop_blocked, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"m": ("m", "max")})
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["p_brand", "p_type", "p_size"],
                        as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    out = (quads.map_batches(partial_counts, batch_format="pandas")
-           .groupby(["p_brand", "p_type", "p_size"])
-           .aggregate(Sum("n", alias_name="supplier_cnt"))
-           .to_pandas())
+    out = bucketed_agg(
+        quads.map_batches(partial_counts, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("n", "sum")}).to_pandas()
     out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
     out["p_size"] = out["p_size"].astype("int32")
     return out.sort_values(
@@ -2098,15 +2146,9 @@ def important_parts(sf_dir: str) -> pd.DataFrame:
                           "units": cents * (100 - disc)})
         return g.groupby("l_partkey", as_index=False).sum()
 
-    # batch_size coalesces read blocks before the combiner: the partial
-    # groupby then emits one dense key-block per 64k rows instead of 64
-    # sliver blocks, and the sort-aggregate's per-block overhead (~2s per
-    # sliver at this scale) collapses (measured 11.0s -> 5.4s at sf0.01)
-    per_part = (line.map_batches(partial, batch_format="pandas",
-                                 batch_size=65536)
-                .groupby("l_partkey")
-                .aggregate(Sum("units", alias_name="units"))
-                .materialize())
+    per_part = bucketed_agg(
+        line.map_batches(partial, batch_format="pandas"),
+        "l_partkey", {"units": ("units", "sum")}).materialize()
     total = per_part.sum("units")
     n_parts = per_part.count()
 
