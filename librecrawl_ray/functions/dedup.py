@@ -83,20 +83,29 @@ def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
 def exact_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text") -> rd.Dataset:
     """Groups of identical normalized text: (fingerprint, keeper, n_docs).
-    keeper = min id per group (deterministic first)."""
-    from ray.data.aggregate import Count, Min
+    keeper = min id per group (deterministic first).
+
+    The per-batch partial drops the text column and pre-combines, so the
+    fingerprint shuffle ships (fp, keeper, n) rows — never document
+    bodies; the bucketed reduce stays vectorized at any group count."""
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_agg
     from .text import fingerprint
 
-    def add_fp(batch: pa.Table) -> pa.Table:
-        return batch.append_column("fingerprint", pa.array(
-            [fingerprint(t) for t in batch.column(text_col).to_pylist()],
-            pa.string()))
+    def fp_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "fingerprint": [fingerprint(t)
+                            for t in batch.column(text_col).to_pylist()],
+            "keeper": batch.column(id_col).to_pandas()})
+        return df.groupby("fingerprint", as_index=False).agg(
+            keeper=("keeper", "min"), n_docs=("keeper", "size"))
 
-    return (ds.select_columns([id_col, text_col])
-            .map_batches(add_fp, batch_format="pyarrow")
-            .groupby("fingerprint")
-            .aggregate(Min(id_col, alias_name="keeper"),
-                       Count(alias_name="n_docs")))
+    return bucketed_agg(
+        ds.select_columns([id_col, text_col])
+        .map_batches(fp_partial, batch_format="pyarrow"),
+        "fingerprint", {"keeper": ("keeper", "min"),
+                        "n_docs": ("n_docs", "sum")})
 
 
 # ------------------------------------------------------------ minhash-LSH

@@ -85,8 +85,6 @@ def top_keywords(ds: rd.Dataset, text_col: str = "text",
                  k: int = 20) -> pd.DataFrame:
     """Corpus-wide top-k unigrams: partial Counter per batch (one row per
     term per batch) → groupby-sum shuffle over terms only → top-k."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column(text_col).to_pylist():
@@ -99,10 +97,11 @@ def top_keywords(ds: rd.Dataset, text_col: str = "text",
         return pa.table({"term": pa.array(terms, pa.string()),
                          "n": pa.array(counts, pa.int64())})
 
-    out = (ds.select_columns([text_col])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("n", alias_name="occurrences"))
-           .to_pandas())
+    from ..pipelines.reports import bucketed_agg
+    out = bucketed_agg(
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        "term", {"occurrences": ("n", "sum")}).to_pandas()
     return (out.sort_values(["occurrences", "term"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))

@@ -52,9 +52,10 @@ def train_unigram_lm(ds: rd.Dataset, text_col: str = "text",
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "count": pa.array(list(c.values()), pa.int64())})
 
-    vocab = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("token").aggregate(Sum("count", alias_name="count"))
-             .to_pandas())
+    from ..pipelines.reports import bucketed_agg
+    vocab = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "token", {"count": ("count", "sum")}).to_pandas()
     total = int(vocab["count"].sum())
     kept = vocab[vocab["count"] >= min_count]
     logc = {t: math.log(c) for t, c in zip(kept["token"], kept["count"])}

@@ -204,9 +204,16 @@ def source_vocab_overlap(ds: rd.Dataset, group_col: str = "source",
         return pa.table({group_col: pa.array(list(gs), pa.string()),
                          "token": pa.array(list(ts), pa.string())})
 
-    vt = (ds.select_columns([group_col, text_col])
-          .map_batches(distinct_partial, batch_format="pyarrow")
-          .groupby([group_col, "token"]).count())
+    # global (group, token) distinct via token-bucketed dedup (the old
+    # groupby([group, token]).count() sort-aggregate iterated every
+    # vocab×source group in Python); materialized because both the size
+    # map and the pair expansion read it
+    vt = bucketed_groups(
+        ds.select_columns([group_col, text_col])
+        .map_batches(distinct_partial, batch_format="pyarrow"),
+        "token",
+        lambda df: df.drop_duplicates([group_col, "token"]),
+        buckets=buckets).materialize()
 
     sizes = (vt.groupby(group_col).count().to_pandas()
              .set_index(group_col)["count()"].to_dict())

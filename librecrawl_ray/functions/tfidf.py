@@ -43,9 +43,10 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 5, id_col: str = "doc_id",
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "df": pa.array(list(c.values()), pa.int64())})
 
-    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("df", alias_name="df"))
-              .to_pandas())
+    from ..pipelines.reports import bucketed_agg
+    df_tbl = bucketed_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        "term", {"df": ("df", "sum")}).to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     def score(batch: pa.Table) -> pa.Table:

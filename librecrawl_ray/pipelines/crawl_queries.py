@@ -271,10 +271,18 @@ def crawl_status_counts_sql(path: str) -> str:
 
 def crawl_host_sizes(sf_dir: str) -> pd.DataFrame:
     """Per-host doc count + byte volume (politeness-planning aggregate)."""
+    from .reports import bucketed_agg
+
     ds = _docs(sf_dir, ["host", "size"])
-    out = (ds.groupby("host").aggregate(Count(alias_name="n_docs"),
-                                        Sum("size", alias_name="bytes"))
-           .to_pandas())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("host", as_index=False).agg(
+            n_docs=("size", "size"), bytes=("size", "sum"))
+
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "host", {"n_docs": ("n_docs", "sum"),
+                 "bytes": ("bytes", "sum")}).to_pandas()
     return out.sort_values("host").reset_index(drop=True)
 
 
@@ -702,9 +710,11 @@ def crawl_slow_hosts(sf_dir: str, q: float = 0.95,
                          "rt": pa.array(rs, pa.float64()),
                          "cnt": pa.array(ns, pa.int64())})
 
-    hist = (pages.map_batches(partial, batch_format="pyarrow")
-            .groupby(["host", "rt"]).aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas())
+    from .reports import bucketed_agg
+
+    hist = bucketed_agg(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        ["host", "rt"], {"cnt": ("cnt", "sum")}).to_pandas()
     rows = []
     for h, sub in hist.groupby("host", sort=True):
         sub = sub.sort_values("rt")

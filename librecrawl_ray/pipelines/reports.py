@@ -250,6 +250,53 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
     return rd.from_arrow_refs(out_refs)
 
 
+def bucketed_agg(ds: rd.Dataset, keys, spec: dict,
+                 buckets: int = 32,
+                 bucket_on: str | None = None) -> rd.Dataset:
+    """Keyed aggregation for HIGH-CARDINALITY keys: int-bucket shuffle +
+    one vectorized pandas groupby per bucket.
+
+    Ray Data's sort-based ``groupby(key).aggregate(...)`` iterates groups
+    in Python inside the reduce tasks (~1-2 ms per group): fine at 10^2-10^3
+    keys, but at 10^4-10^5 keys the reduce dominates wall time (measured at
+    sf0.01: a 60k-group Max pegged one core for minutes when the partials
+    landed in one block; spread over many blocks it still cost 15-66 s per
+    query). Hashing keys into ``buckets`` int groups keeps the all-to-all
+    tiny and sorted on an int column, and ALL keys of a bucket reduce in a
+    single vectorized pandas groupby. At cluster scale raise ``buckets`` to
+    ~total cores; skew is bounded because partials, not raw rows, shuffle.
+
+    ``spec`` maps output column -> (source column, "sum"|"max"|"min").
+    Inputs are expected to be per-batch partial rows (every call site
+    pre-aggregates inside map_batches), so the same fn composes partials.
+    """
+    import pandas as pd
+
+    if isinstance(keys, str):
+        keys = [keys]
+    kb = bucket_on or keys[0]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[kb]
+        if pd.api.types.is_integer_dtype(k):
+            b = k.to_numpy(dtype="int64", copy=False) % buckets
+        else:
+            b = pd.util.hash_pandas_object(k, index=False) \
+                .to_numpy() % buckets
+        df = df.copy()
+        df["__bucket"] = b.astype("int32")
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__bucket").groupby(
+            keys, as_index=False, sort=False).agg(
+            **{out: (src, fn) for out, (src, fn) in spec.items()})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def bucketed_groups(ds: rd.Dataset, key_col: str, per_bucket,
                     buckets: int = 32) -> rd.Dataset:
     """groupby-aggregate with bucketed shuffle: rows are grouped by
@@ -836,9 +883,9 @@ def pagerank_distributed(pages: rd.Dataset, links: rd.Dataset,
         return pa.table({"src": pa.array(list(c.keys()), pa.string()),
                          "outdeg": pa.array(list(c.values()), pa.int64())})
 
-    outdeg = edges.map_batches(partial_src_counts, batch_format="pyarrow") \
-        .groupby("src").aggregate(Sum("outdeg", alias_name="outdeg")) \
-        .materialize()
+    outdeg = bucketed_agg(
+        edges.map_batches(partial_src_counts, batch_format="pyarrow"),
+        "src", {"outdeg": ("outdeg", "sum")}).materialize()
 
     r0 = 1.0 / n_nodes
     ranks = node_keys.map_batches(
@@ -866,8 +913,9 @@ def pagerank_distributed(pages: rd.Dataset, links: rd.Dataset,
         def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
             c = (df["rank"] / df["outdeg"]).groupby(df["dst"]).sum()
             return c.rename("s").reset_index()
-        sums = contrib.map_batches(partial_sums, batch_format="pandas") \
-            .groupby("dst").aggregate(Sum("s", alias_name="s"))
+        sums = bucketed_agg(
+            contrib.map_batches(partial_sums, batch_format="pandas"),
+            "dst", {"s": ("s", "sum")})
 
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
