@@ -587,3 +587,61 @@ def test_q5_q13_q18_rollup_oracle_parity(ray_session):
                 assert a.fillna("<N>").astype(str).tolist() == \
                     b.fillna("<N>").astype(str).tolist(), \
                     (fn.__name__, c)
+
+
+def test_bucketed_agg_matches_pandas(ray_session):
+    """bucketed_agg is the high-cardinality groupby workhorse: its result
+    must equal a plain pandas groupby for every dtype/key-arity/bucket
+    count combination, including buckets > distinct keys and empty input."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from librecrawl_ray.pipelines.reports import bucketed_agg
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "ik": rng.randint(0, 500, 5000),
+        "sk": [f"s{v}" for v in rng.randint(0, 40, 5000)],
+        "v": rng.randint(-100, 100, 5000).astype("int64"),
+        "f": rng.randn(5000).round(3),
+    })
+
+    def run(keys, spec, **kw):
+        got = (bucketed_agg(rd.from_pandas(df).repartition(13),
+                            keys, spec, **kw).to_pandas()
+               .sort_values(keys if isinstance(keys, list) else [keys])
+               .reset_index(drop=True))
+        want = (df.groupby(keys if isinstance(keys, list) else [keys],
+                           as_index=False)
+                .agg(**{o: (s, f) for o, (s, f) in spec.items()})
+                .sort_values(keys if isinstance(keys, list) else [keys])
+                .reset_index(drop=True))
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                assert np.allclose(got[c], want[c], atol=1e-9), c
+            else:
+                assert got[c].tolist() == want[c].tolist(), c
+
+    # int key, multiple agg fns
+    run("ik", {"total": ("v", "sum"), "hi": ("v", "max"),
+               "lo": ("f", "min")})
+    # string key (hash_pandas_object path)
+    run("sk", {"total": ("v", "sum")})
+    # multi-key, bucket on the non-leading key
+    run(["sk", "ik"], {"hi": ("f", "max")}, bucket_on="ik")
+    # more buckets than distinct keys
+    run("sk", {"total": ("v", "sum")}, buckets=128)
+    # result identical across bucket counts (shuffle-width invariance)
+    a = bucketed_agg(rd.from_pandas(df), "ik",
+                     {"t": ("v", "sum")}, buckets=4).to_pandas() \
+        .sort_values("ik").reset_index(drop=True)
+    b = bucketed_agg(rd.from_pandas(df), "ik",
+                     {"t": ("v", "sum")}, buckets=64).to_pandas() \
+        .sort_values("ik").reset_index(drop=True)
+    assert a.equals(b)
+    # empty input → empty output with the key column present
+    empty = bucketed_agg(
+        rd.from_pandas(df.head(0)), "ik", {"t": ("v", "sum")}).to_pandas()
+    assert len(empty) == 0
