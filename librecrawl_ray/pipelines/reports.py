@@ -120,16 +120,22 @@ def _merge_bucket(lrefs: list, rrefs: list, key: str, rk: str, how: str,
         return lt
     rt = pa.concat_tables([ray.get(r) for r in rrefs],
                           promote_options="default")
-    rkeys = rt.column(rk).to_pylist()
-    index = {k: i for i, k in enumerate(rkeys)}
-    if len(index) == rt.num_rows:
-        idxs = [index.get(k) for k in lt.column(key).to_pylist()]
+    rkc = rt.column(rk).combine_chunks()
+    if rkc.null_count == 0 and \
+            pc.count_distinct(rkc).as_py() == rt.num_rows:
+        # vectorized key→row-index lookup (pc.index_in hashes the right
+        # keys once per bucket in C++; the old per-row dict .get loop cost
+        # ~1 µs/row) — null indices where the left key is absent
+        lkeys = lt.column(key)
+        if lkeys.type != rkc.type:
+            lkeys = lkeys.cast(rkc.type)
+        idxs = pc.index_in(lkeys, value_set=rkc)
         if how == "inner":
-            keep = [i for i, x in enumerate(idxs) if x is not None]
-            lt = lt.take(pa.array(keep, pa.int64()))
-            idxs = [idxs[i] for i in keep]
+            mask = pc.is_valid(idxs)
+            lt = lt.filter(mask)
+            idxs = pc.filter(idxs, mask)
         payload = rt.select(rcols)
-        gathered = payload.take(pa.array(idxs, pa.int64()))
+        gathered = payload.take(idxs)
         for name, out_name in zip(rcols, rcols_out):
             lt = lt.append_column(out_name, gathered.column(name))
         return lt
@@ -178,23 +184,28 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
             rcols0 = [c for c in rtab.column_names if c != rk0]
             rcols0_out = [c if c not in lcols0 else c + "_r"
                           for c in rcols0]
-            rkeys = rtab.column(rk0).to_pylist()
-            index = {k: i for i, k in enumerate(rkeys)}
-            if len(index) == rtab.num_rows:
-                # unique right keys → Arrow gather, left stays zero-copy
+            rkeys = rtab.column(rk0).combine_chunks()
+            if rkeys.null_count == 0 and \
+                    pc.count_distinct(rkeys).as_py() == rtab.num_rows:
+                # unique right keys → Arrow gather, left stays zero-copy.
+                # Keys ship as an Arrow array (zero-copy from plasma; the
+                # old {key: idx} dict deserialized per worker) and the
+                # lookup is pc.index_in — C++ hash join per batch, null
+                # index where the left key is absent.
                 payload = rtab.select(rcols0).rename_columns(rcols0_out)
-                r_ref = ray.put((index, payload))
+                r_ref = ray.put((rkeys, payload))
 
                 def bgather(batch: pa.Table) -> pa.Table:
-                    idx_map, pay = ray.get(r_ref)
-                    idxs = [idx_map.get(k)
-                            for k in batch.column(key).to_pylist()]
+                    rk_arr, pay = ray.get(r_ref)
+                    lkeys = batch.column(key)
+                    if lkeys.type != rk_arr.type:
+                        lkeys = lkeys.cast(rk_arr.type)
+                    idxs = pc.index_in(lkeys, value_set=rk_arr)
                     if how == "inner":
-                        keep = [i for i, x in enumerate(idxs)
-                                if x is not None]
-                        batch = batch.take(pa.array(keep, pa.int64()))
-                        idxs = [idxs[i] for i in keep]
-                    g = pay.take(pa.array(idxs, pa.int64()))
+                        mask = pc.is_valid(idxs)
+                        batch = batch.filter(mask)
+                        idxs = pc.filter(idxs, mask)
+                    g = pay.take(idxs)
                     for name in rcols0_out:
                         batch = batch.append_column(name, g.column(name))
                     return batch
