@@ -710,23 +710,31 @@ def crawl_slow_hosts(sf_dir: str, q: float = 0.95,
                          "rt": pa.array(rs, pa.float64()),
                          "cnt": pa.array(ns, pa.int64())})
 
-    from .reports import bucketed_agg
+    from .reports import bucketed_groups
 
-    hist = bucketed_agg(
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds ALL histogram rows of its hosts → the quantile
+        # walk is global-per-host but runs distributed (the old version
+        # walked every host in one driver loop)
+        g = df.groupby(["host", "rt"], as_index=False)["cnt"].sum()
+        rows = []
+        for h, sub in g.groupby("host", sort=False):
+            sub = sub.sort_values("rt")
+            cum = sub["cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            idx = max(math.ceil(q * n) - 1, 0)
+            pos = int((cum <= idx).sum())
+            p95 = float(sub["rt"].iloc[pos])
+            over = int(sub.loc[sub["rt"] > p95, "cnt"].sum())
+            rows.append((h, n, round(p95, 3), over))
+        return pd.DataFrame(rows, columns=["host", "n_pages",
+                                           "p95_response_time",
+                                           "n_over_p95"])
+
+    out = bucketed_groups(
         pages.map_batches(partial, batch_format="pyarrow"),
-        ["host", "rt"], {"cnt": ("cnt", "sum")}).to_pandas()
-    rows = []
-    for h, sub in hist.groupby("host", sort=True):
-        sub = sub.sort_values("rt")
-        cum = sub["cnt"].cumsum().to_numpy()
-        n = int(cum[-1])
-        idx = max(math.ceil(q * n) - 1, 0)
-        pos = int((cum <= idx).sum())
-        p95 = float(sub["rt"].iloc[pos])
-        over = int(sub.loc[sub["rt"] > p95, "cnt"].sum())
-        rows.append((h, n, round(p95, 3), over))
-    return pd.DataFrame(rows, columns=["host", "n_pages",
-                                       "p95_response_time", "n_over_p95"])
+        "host", per_bucket).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
 
 
 def crawl_slow_hosts_sql(out_dir: str, q: float = 0.95) -> str:
