@@ -367,8 +367,24 @@ def word_run_counts(arr: pa.Array) -> "np.ndarray | None":
     isw = _WORD_BYTE_LUT[buf]
     starts = isw.copy()
     starts[1:] &= ~isw[:-1]
-    cum = np.concatenate(([0], np.cumsum(starts)))
-    counts = cum[rel[1:]] - cum[rel[:-1]]
+    if buf.size == 0:
+        counts = np.zeros(n, np.int64)
+    else:
+        # per-span run-start sums via reduceat — the earlier full-buffer
+        # int64 cumsum + concatenate wrote ~16 bytes per TEXT BYTE of
+        # temporaries (≈190 MB per 4k-page batch), a memory-bus tax paid
+        # by every concurrent worker; reduceat reads `starts` once and
+        # writes only n span sums. Two reduceat quirks handled: indices
+        # must be < buf.size (trailing empty spans start AT buf.size —
+        # excluded, left 0), and an empty segment (idx[i] == idx[i+1])
+        # yields a[idx[i]], not 0 — zeroed by the empty-span mask below.
+        first = rel[:-1]
+        valid = first < buf.size
+        counts = np.zeros(n, np.int64)
+        if valid.any():
+            counts[valid] = np.add.reduceat(starts, first[valid],
+                                            dtype=np.int64)
+        counts[rel[1:] == first] = 0
     # a string beginning mid-run (its first byte AND the previous buffer
     # byte are both word bytes) owns a run start the global diff missed
     first = rel[:-1]
