@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         "priority_shipping_split": R.priority_shipping_split,
         "important_parts": R.important_parts,
+        "volume_shipping": R.volume_shipping,
+        "product_type_profit": R.product_type_profit,
+        "min_cost_supplier": R.min_cost_supplier,
+        "potential_part_promotion": R.potential_part_promotion,
         # text / training-data ops
         "text_annotations": q_text_annotations,
         "lang_quality_summary": q_lang_quality_summary,
@@ -553,6 +557,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "events_props_stats": R.EVENTS_PROPS_STATS_SQL,
         "priority_shipping_split": R.PRIORITY_SHIPPING_SPLIT_SQL,
         "important_parts": R.IMPORTANT_PARTS_SQL,
+        "volume_shipping": R.VOLUME_SHIPPING_SQL,
+        "product_type_profit": R.PRODUCT_TYPE_PROFIT_SQL,
+        "min_cost_supplier": R.MIN_COST_SUPPLIER_SQL,
+        "potential_part_promotion": R.POTENTIAL_PART_PROMOTION_SQL,
         "text_annotations": text_annotations_sql,
         "lang_quality_summary": lang_quality_sql,
         "exact_dedup": exact_dedup_sql,

@@ -2136,3 +2136,445 @@ WHERE units * (SELECT count(*) FROM rev) * 4
       > 5 * (SELECT sum(units) FROM rev)
 ORDER BY units DESC, l_partkey
 """
+
+
+# --------------------------------------------- Q2 / Q7 / Q9 / Q20 shapes
+
+def volume_shipping(sf_dir: str, region_a: str = "ASIA",
+                    region_b: str = "EUROPE",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1997-12-31") -> pd.DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two trading blocs per
+    (supplier nation, customer nation, ship year) — the classic
+    double-nation-join volume query. Adapted to region pairs (a single
+    nation pair selects zero rows at small sf on this corpus's 25
+    nations).
+
+    Scale shape: nation/region resolve on the driver to a
+    nationkey→(name, bloc) map broadcast once; supplier and customer
+    collapse to key→(nation, bloc) markers inside map_batches; orders
+    carries only (orderkey, cust nation/bloc) through the adaptive
+    hash_join; lineitem is date-pruned and reduced to integer-cent units
+    before the one fact-sized join; the final groupby sees per-batch
+    partials over ≤ |nations|² × years keys."""
+    from .reports import hash_join
+
+    lo = pd.Timestamp(date_from)
+    hi = pd.Timestamp(date_to)
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    reg = pd.read_parquet(_t(sf_dir, "region"))
+    rmap = dict(zip(reg["r_regionkey"].astype("int64"),
+                    reg["r_name"]))
+    nk2 = {int(k): (n, rmap[int(r)])
+           for k, n, r in zip(nat["n_nationkey"], nat["n_name"],
+                              nat["n_regionkey"])
+           if rmap[int(r)] in (region_a, region_b)}
+    nk_ref = ray.put(nk2)
+
+    def supp_markers(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nk_ref)
+        ks = df["s_nationkey"].astype("int64")
+        keep = ks.isin(m.keys())
+        ks = ks[keep]
+        return pd.DataFrame({
+            "s_suppkey": df.loc[keep, "s_suppkey"].astype("int64"),
+            "supp_nation": [m[k][0] for k in ks],
+            "s_bloc": [m[k][1] for k in ks]})
+
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nk_ref)
+        ks = df["c_nationkey"].astype("int64")
+        keep = ks.isin(m.keys())
+        ks = ks[keep]
+        return pd.DataFrame({
+            "c_custkey": df.loc[keep, "c_custkey"].astype("int64"),
+            "cust_nation": [m[k][0] for k in ks],
+            "c_bloc": [m[k][1] for k in ks]})
+
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(supp_markers, batch_format="pandas")
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_markers, batch_format="pandas")
+    orders = hash_join(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey"]),
+        cust, "o_custkey", right_key="c_custkey") \
+        .map_batches(lambda df: df[["o_orderkey", "cust_nation",
+                                    "c_bloc"]],
+                     batch_format="pandas")
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount",
+                                    "l_shipdate"])
+
+    def prune_line(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] <= hi)
+        df = df[m]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "l_year": df["l_shipdate"].dt.year.astype("int64"),
+            "units": cents * (100 - disc)})
+
+    tagged = hash_join(line.map_batches(prune_line,
+                                        batch_format="pandas"),
+                       supp, "l_suppkey", right_key="s_suppkey")
+    full = hash_join(tagged, orders, "l_orderkey",
+                     right_key="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_bloc"] != df["c_bloc"]]
+        return (df.groupby(["supp_nation", "cust_nation", "l_year"],
+                           as_index=False)["units"].sum())
+
+    out = (full.map_batches(partial, batch_format="pandas")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("units", alias_name="units"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame(columns=["supp_nation", "cust_nation",
+                                     "l_year", "revenue"])
+    out["revenue"] = out["units"] / 10000.0
+    out["l_year"] = out["l_year"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)[["supp_nation", "cust_nation",
+                                 "l_year", "revenue"]]
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year, sum(units) / 10000.0 AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         extract(year FROM l_shipdate)::BIGINT AS l_year,
+         round(l_extendedprice * 100)::BIGINT
+         * (100 - round(l_discount * 100)::BIGINT) AS units,
+         rs.r_name AS s_bloc, rc.r_name AS c_bloc
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                       AND TIMESTAMP '1997-12-31'
+    AND rs.r_name IN ('ASIA', 'EUROPE')
+    AND rc.r_name IN ('ASIA', 'EUROPE')) t
+WHERE s_bloc <> c_bloc
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def product_type_profit(sf_dir: str,
+                        name_frag: str = "widget") -> pd.DataFrame:
+    """TPC-H Q9 shape: per (supplier nation, order year) profit for parts
+    whose name contains a fragment. The corpus has no partsupp table, so
+    supply cost is proxied as 0.6 × p_retailprice per unit (same join
+    topology — part prunes by name, lineitem joins part + supplier +
+    orders — with profit = revenue − cost in exact integer 10⁻⁴-cent
+    units).
+
+    Scale shape: the name-pruned part side ships only (partkey,
+    retail-cents) through the adaptive hash_join; supplier nation names
+    broadcast as a key→name dict; orders carries (orderkey, year) into
+    the one fact-sized join; profit reduces from per-batch integer
+    partials over ≤ |nations| × years keys."""
+    from .reports import hash_join
+
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    nk2name = ray.put(dict(zip(nat["n_nationkey"].astype("int64"),
+                               nat["n_name"])))
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_name",
+                                    "p_retailprice"])
+
+    def prune_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_name"].str.contains(name_frag, regex=False)]
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "retail_c": (df["p_retailprice"] * 100).round()
+            .astype("int64")})
+
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+
+    def supp_markers(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nk2name)
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].astype("int64"),
+            "nation": [m[int(k)] for k in df["s_nationkey"]]})
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def order_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_year": df["o_orderdate"].dt.year.astype("int64")})
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_partkey",
+                                    "l_suppkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+    with_part = hash_join(
+        line, part.map_batches(prune_part, batch_format="pandas"),
+        "l_partkey", right_key="p_partkey")
+    with_supp = hash_join(
+        with_part, supp.map_batches(supp_markers,
+                                    batch_format="pandas"),
+        "l_suppkey", right_key="s_suppkey")
+    full = hash_join(
+        with_supp, orders.map_batches(order_year,
+                                      batch_format="pandas"),
+        "l_orderkey", right_key="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        qty = df["l_quantity"].round().astype("int64")
+        profit = (cents * (100 - disc)
+                  - df["retail_c"].astype("int64") * 60 * qty)
+        g = pd.DataFrame({"nation": df["nation"],
+                          "o_year": df["o_year"],
+                          "p": profit})
+        return g.groupby(["nation", "o_year"], as_index=False).sum()
+
+    out = (full.map_batches(partial, batch_format="pandas")
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("p", alias_name="p"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame(columns=["nation", "o_year", "profit"])
+    out["profit"] = out["p"] / 10000.0
+    out["o_year"] = out["o_year"].astype("int64")
+    return out.sort_values(["nation", "o_year"]) \
+        .reset_index(drop=True)[["nation", "o_year", "profit"]]
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation,
+       extract(year FROM o_orderdate)::BIGINT AS o_year,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)
+           - round(p_retailprice * 100)::BIGINT * 60
+             * round(l_quantity)::BIGINT) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                      size_max: int = 15, ptype: str = "LARGE",
+                      k: int = 100) -> pd.DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region supplier(s)
+    achieving the per-part MINIMUM — a correlated-min subquery joined
+    back on equality. The corpus has no partsupp/ps_supplycost, so the
+    part↔supplier association is the distinct (l_partkey, l_suppkey)
+    fact grain and the minimized measure is s_acctbal (selection of a
+    raw column — exact under float comparison on both engines).
+
+    Scale shape: lineitem collapses to per-batch distinct pairs (a
+    combiner; the part join prunes before any full dedup is needed);
+    part prunes to (size, type) before shipping keys; region suppliers
+    ride the adaptive hash_join as (key, name, acctbal, nation); the
+    per-part min reduces via the int-bucketed aggregate and joins back
+    against the candidate rows on (partkey, min) equality."""
+    from .reports import hash_join
+
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    reg = pd.read_parquet(_t(sf_dir, "region"))
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nk2name = ray.put({
+        int(k_): n for k_, n, r in zip(nat["n_nationkey"],
+                                       nat["n_name"],
+                                       nat["n_regionkey"])
+        if int(r) == rkey})
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_suppkey"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        return pd.DataFrame({"l_partkey": g["l_partkey"].astype("int64"),
+                             "l_suppkey": g["l_suppkey"].astype("int64")})
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_type", "p_size"])
+
+    def prune_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["p_type"] == ptype) & (df["p_size"] <= size_max)
+        return pd.DataFrame({"p_partkey":
+                             df.loc[m, "p_partkey"].astype("int64")})
+
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name",
+                                    "s_acctbal", "s_nationkey"])
+
+    def region_supp(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(nk2name)
+        ks = df["s_nationkey"].astype("int64")
+        keep = ks.isin(m.keys())
+        return pd.DataFrame({
+            "s_suppkey": df.loc[keep, "s_suppkey"].astype("int64"),
+            "s_name": df.loc[keep, "s_name"],
+            "s_acctbal": df.loc[keep, "s_acctbal"],
+            "n_name": [m[k] for k in ks[keep]]})
+
+    pairs = line.map_batches(distinct_pairs, batch_format="pandas")
+    cand = hash_join(
+        hash_join(pairs,
+                  part.map_batches(prune_part, batch_format="pandas"),
+                  "l_partkey", right_key="p_partkey"),
+        supp.map_batches(region_supp, batch_format="pandas"),
+        "l_suppkey", right_key="s_suppkey")
+
+    # combiner-dedup the (part, supplier) grain, then per-part min
+    def pair_grain(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    cand = bucketed_agg(
+        cand.map_batches(pair_grain, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        {"s_acctbal": ("s_acctbal", "min"),
+         "s_name": ("s_name", "min"), "n_name": ("n_name", "min")})
+
+    mins = bucketed_agg(cand, "l_partkey",
+                        {"min_bal": ("s_acctbal", "min")})
+    winners = hash_join(cand, mins, "l_partkey").to_pandas()
+    if winners.empty:
+        return pd.DataFrame(columns=["s_acctbal", "s_name", "n_name",
+                                     "p_partkey"])
+    winners = winners[winners["s_acctbal"] == winners["min_bal"]]
+    winners = winners.rename(columns={"l_partkey": "p_partkey"})
+    winners["p_partkey"] = winners["p_partkey"].astype("int64")
+    return winners.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(k) \
+        .reset_index(drop=True)[["s_acctbal", "s_name", "n_name",
+                                 "p_partkey"]]
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT l_partkey AS p_partkey, s_acctbal, s_name, n_name
+  FROM assoc
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_type = 'LARGE' AND p_size <= 15 AND r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM cand
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def potential_part_promotion(sf_dir: str, name_prefix: str = "small",
+                             year: int = 1997,
+                             qty_threshold: int = 40) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold
+    quantity of any one prefix-named part in a year — the nested
+    semi-join (supplier ⋉ (part-filtered, quantity-thresholded fact
+    aggregate)). The corpus has no partsupp.availqty, so the canonical
+    0.5×availqty bound becomes a fixed per-(supplier, part) quantity
+    threshold.
+
+    Scale shape: name-pruned part keys ride the adaptive hash_join;
+    per-(suppkey, partkey) quantities reduce through the int-bucketed
+    aggregate from per-batch integer partials; only the passing suppkey
+    SET (dimension-sized) returns to the driver to broadcast-filter the
+    supplier table."""
+    from .reports import hash_join
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    nk2name = dict(zip(nat["n_nationkey"].astype("int64"),
+                       nat["n_name"]))
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_name"])
+
+    def prune_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["p_name"].str.startswith(name_prefix)
+        return pd.DataFrame({"p_partkey":
+                             df.loc[m, "p_partkey"].astype("int64")})
+
+    line = rd.read_parquet(_t(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_quantity", "l_shipdate"])
+
+    def partial_qty(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        g = pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "qty": df["l_quantity"].round().astype("int64")})
+        return g.groupby(["l_suppkey", "l_partkey"],
+                         as_index=False).sum()
+
+    shipped = bucketed_agg(
+        hash_join(line.map_batches(partial_qty, batch_format="pandas"),
+                  part.map_batches(prune_part, batch_format="pandas"),
+                  "l_partkey", right_key="p_partkey"),
+        ["l_suppkey", "l_partkey"], {"qty": ("qty", "sum")})
+
+    passing = shipped.map_batches(
+        lambda df: df.loc[df["qty"] > qty_threshold,
+                          ["l_suppkey"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()
+    keys = set(passing["l_suppkey"].astype("int64").tolist())
+    keys_ref = ray.put(keys)
+
+    def pick_supp(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        df = df[df["s_suppkey"].astype("int64").isin(ks)]
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].astype("int64"),
+            "s_name": df["s_name"],
+            "n_name": [nk2name[int(k)] for k in df["s_nationkey"]]})
+
+    out = rd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_name",
+                                   "s_nationkey"]) \
+        .map_batches(pick_supp, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["s_suppkey", "s_name", "n_name"])
+    return out.sort_values("s_suppkey").reset_index(drop=True) \
+        [["s_suppkey", "s_name", "n_name"]]
+
+
+POTENTIAL_PART_PROMOTION_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(round(l_quantity)::BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM shipped
+                    WHERE qty > 40)
+ORDER BY s_suppkey
+"""
