@@ -17,6 +17,11 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+# boolean_search / balance_mixture driver configs (shared by the Ray
+# query and its SQL oracle so both sides answer the identical question)
+SEARCH_TERMS = ["spark", "window", "merge"]
+BALANCE_BUDGET = 20_000
+
 
 def entry() -> Any:
     """Flagship pipeline: full wave-structured crawl of the t1 corpus
@@ -222,6 +227,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir).select_columns(["doc_id"])) \
             .limit(100).to_pandas()
 
+    def q_quality_buckets(sf_dir):
+        from librecrawl_ray.functions.lm import quality_buckets
+        out = quality_buckets(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_balance_mixture(sf_dir):
+        from librecrawl_ray.functions.sampling import balance_mixture
+        out = balance_mixture(_docs(sf_dir),
+                              token_budget=BALANCE_BUDGET).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_boolean_search(sf_dir):
+        import hashlib as _hl
+        import os as _os
+
+        from librecrawl_ray.functions.search import (boolean_search,
+                                                     build_inverted_index)
+        tag = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        idx = f"/tmp/librecrawl_index_{tag}"
+        if not _os.path.isdir(idx):
+            build_inverted_index(_docs(sf_dir), idx)
+        out = boolean_search(idx, SEARCH_TERMS).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     return {
         # relational core
         "pricing_summary": R.pricing_summary,
@@ -301,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "quality_buckets": q_quality_buckets,
+        "balance_mixture": q_balance_mixture,
+        "boolean_search": q_boolean_search,
         # crawl engine over the input_hint corpus
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
@@ -626,6 +658,17 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "normalize_text": __import__(
             "librecrawl_ray.functions.normalize",
             fromlist=["normalize_text_sql"]).normalize_text_sql(),
+        "quality_buckets": __import__(
+            "librecrawl_ray.functions.lm",
+            fromlist=["quality_buckets_sql"]).quality_buckets_sql(),
+        "balance_mixture": __import__(
+            "librecrawl_ray.functions.sampling",
+            fromlist=["balance_mixture_sql"]).balance_mixture_sql(
+                BALANCE_BUDGET),
+        "boolean_search": __import__(
+            "librecrawl_ray.functions.search",
+            fromlist=["boolean_search_sql"]).boolean_search_sql(
+                SEARCH_TERMS),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

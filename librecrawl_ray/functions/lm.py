@@ -63,17 +63,21 @@ def train_unigram_lm(ds: rd.Dataset, text_col: str = "text",
 
 
 def lm_score(ds: rd.Dataset, logc_ref, ln_total: float,
-             id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Score every document: (id, n_tokens, lm_score). Documents with no
-    tokens are dropped (no distribution to average over)."""
+             id_col: str = "doc_id", text_col: str = "text",
+             carry_cols: tuple = ()) -> rd.Dataset:
+    """Score every document: (id, *carry_cols, n_tokens, lm_score).
+    Documents with no tokens are dropped (no distribution to average
+    over). ``carry_cols`` pass through untouched (e.g. ``lang`` for the
+    per-language bucketing downstream)."""
     def score(batch: pa.Table) -> pa.Table:
         logc = ray.get(logc_ref)
         # every token's effective logp is (stored − ln_total); the OOV
         # floor prob 1/total therefore stores ln(1) = 0
         oov = 0.0
-        ids, ns, scores = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
+        ids, ns, scores, keep_idx = [], [], [], []
+        for row, (i, t) in enumerate(zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(text_col).to_pylist())):
             toks = Counter(_TOKEN_RE.findall((t or "").lower()))
             n = sum(toks.values())
             if n == 0:
@@ -83,11 +87,13 @@ def lm_score(ds: rd.Dataset, logc_ref, ln_total: float,
             ids.append(i)
             ns.append(n)
             scores.append(round(s, 4))
-        return pa.table({
-            id_col: pa.array(ids, batch.column(id_col).type),
-            "n_tokens": pa.array(ns, pa.int64()),
-            "lm_score": pa.array(scores, pa.float64()),
-        })
+            keep_idx.append(row)
+        cols = {id_col: pa.array(ids, batch.column(id_col).type)}
+        for c in carry_cols:
+            cols[c] = batch.column(c).take(pa.array(keep_idx, pa.int64()))
+        cols["n_tokens"] = pa.array(ns, pa.int64())
+        cols["lm_score"] = pa.array(scores, pa.float64())
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -119,4 +125,128 @@ SELECT dt.{id_col},
 FROM doc_tok dt JOIN counts c USING (tok) CROSS JOIN tot t
 GROUP BY dt.{id_col}, t.total
 ORDER BY dt.{id_col}
+"""
+
+
+def quality_buckets(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", lang_col: str = "lang",
+                    qs: tuple = (1.0 / 3, 2.0 / 3),
+                    buckets: int = 32) -> rd.Dataset:
+    """CCNet-style head/middle/tail partition per language (Wenzek et al.
+    2020 §4.4: score every doc against the LM, split each language at the
+    score tertiles; training recipes then weight the thirds differently).
+
+    Distributed shape, three bounded passes:
+
+    1. score — ``unigram_lm_scores`` (train partials → broadcast vocab →
+       stateless scoring), carrying ``lang`` through.
+    2. thresholds — EXACT per-language ``quantile_disc`` over the scores.
+       Scores are rounded to 4 dp over a bounded ln-prob range, so the
+       (lang, score) value histogram is ≤ ~10^5 distinct values per
+       language regardless of corpus size — the same
+       histogram-not-rows trick as stats.length_quantiles. The shuffle
+       ships (lang, score, count); one cumulative walk per language reads
+       off each quantile exactly.
+    3. label — thresholds (|langs|·|qs| floats) close over a stateless
+       ``map_batches``: bucket = tail if score ≤ q[1/3], middle if
+       ≤ q[2/3], else head. No shuffle; the scored stream is consumed
+       once more (recomputed — cheaper than materializing at 100 TB).
+
+    Returns (id, lang, n_tokens, lm_score, bucket).
+    """
+    import math as _math
+
+    from ..pipelines.reports import bucketed_groups
+
+    ref, ln_total = train_unigram_lm(
+        ds.select_columns([text_col]), text_col, min_count=1)
+    scored = lm_score(ds.select_columns([id_col, lang_col, text_col]),
+                      ref, ln_total, id_col, text_col,
+                      carry_cols=(lang_col,))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter(zip(batch.column(lang_col).to_pylist(),
+                                 batch.column("lm_score").to_pylist()))
+        ls, ss, ns = [], [], []
+        for (lg, s), cnt in c.items():
+            ls.append(lg)
+            ss.append(s)
+            ns.append(cnt)
+        return pa.table({lang_col: pa.array(ls, pa.string()),
+                         "__score": pa.array(ss, pa.float64()),
+                         "__cnt": pa.array(ns, pa.int64())})
+
+    def per_lang(df):
+        import pandas as pd
+        out_l, out_q, out_s = [], [], []
+        for lg, sub in df.groupby(lang_col, sort=False):
+            h = (sub.groupby("__score", sort=True)["__cnt"].sum()
+                 .reset_index())
+            cum = h["__cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            for q in qs:
+                idx = max(_math.ceil(q * n) - 1, 0)
+                pos = int((cum <= idx).sum())
+                out_l.append(lg)
+                out_q.append(q)
+                out_s.append(float(h["__score"].iloc[pos]))
+        return pd.DataFrame({lang_col: out_l, "q": out_q, "thr": out_s})
+
+    thr_df = bucketed_groups(
+        scored.map_batches(hist_partial, batch_format="pyarrow"),
+        lang_col, per_lang, buckets=buckets).to_pandas()
+    # |langs| × |qs| rows — metadata-sized by construction
+    th: dict = {}
+    for lg, sub in thr_df.groupby(lang_col):
+        th[lg] = [t for _, t in sorted(zip(sub["q"], sub["thr"]))]
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        langs = batch.column(lang_col).to_pylist()
+        s = batch.column("lm_score").to_numpy(zero_copy_only=False)
+        lo = np.array([th[lg][0] for lg in langs])
+        hi = np.array([th[lg][1] for lg in langs])
+        b = np.where(s <= lo, "tail", np.where(s <= hi, "middle", "head"))
+        return batch.append_column("bucket", pa.array(b.tolist(),
+                                                      pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
+def quality_buckets_sql(table: str = "documents", id_col: str = "doc_id",
+                        col: str = "text", lang_col: str = "lang") -> str:
+    """DuckDB twin: the unigram-LM score CTE + per-language tertile
+    ``quantile_disc`` thresholds + the same ≤/≤/else CASE. Threshold
+    comparisons are between identical rounded doubles on both sides, so
+    equality is bit-for-bit."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {lang_col},
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table}
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c)::DOUBLE AS total FROM counts),
+doc_tok AS (SELECT {id_col}, {lang_col}, tok, COUNT(*) AS n FROM toks
+            GROUP BY {id_col}, {lang_col}, tok),
+scored AS (
+  SELECT dt.{id_col}, dt.{lang_col},
+         SUM(dt.n)::BIGINT AS n_tokens,
+         ROUND(SUM(dt.n * LN(c.c)) / SUM(dt.n) - LN(t.total), 4)
+           AS lm_score
+  FROM doc_tok dt JOIN counts c USING (tok) CROSS JOIN tot t
+  GROUP BY dt.{id_col}, dt.{lang_col}, t.total
+),
+th AS (
+  SELECT {lang_col},
+         quantile_disc(lm_score, 1.0/3) AS q1,
+         quantile_disc(lm_score, 2.0/3) AS q2
+  FROM scored GROUP BY {lang_col}
+)
+SELECT s.{id_col}, s.{lang_col}, s.n_tokens, s.lm_score,
+       CASE WHEN s.lm_score <= th.q1 THEN 'tail'
+            WHEN s.lm_score <= th.q2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored s JOIN th USING ({lang_col})
+ORDER BY s.{id_col}
 """

@@ -23,7 +23,7 @@ import hashlib
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["mixture_sample", "deterministic_shuffle",
+__all__ = ["mixture_sample", "deterministic_shuffle", "balance_mixture",
            "MIXTURE_RATE_SQL_CASE", "rate_to_hex"]
 
 
@@ -72,6 +72,100 @@ def mixture_sample(ds: rd.Dataset, rates: dict[str, float] | None = None,
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def balance_mixture(ds: rd.Dataset, token_budget: int,
+                    target_weights: dict[str, float] | None = None,
+                    id_col: str = "doc_id", source_col: str = "source",
+                    text_col: str = "text",
+                    buckets: int = 32) -> rd.Dataset:
+    """DoReMi-lite mixture rebalancing: derive per-source sampling rates
+    FROM the data so the expected sampled token count hits
+    ``token_budget`` at the target source proportions (uniform when
+    ``target_weights`` is None), then apply the same deterministic
+    md5-threshold filter as ``mixture_sample``.
+
+    Two passes, both bounded:
+    1. per-source token totals — per-batch (source, Σtokens) partials →
+       a |sources|-sized aggregate on the driver (sources are a mixture
+       policy's unit: dozens, not millions).
+       rate_s = min((budget·w_s)/T_s, 1) — computed in that exact
+       float-op order so the DuckDB twin reproduces it bit-for-bit.
+    2. stateless keep filter (no shuffle): md5-prefix(id) < hex(rate_s),
+       emitting (id, source, n_tokens) for the survivors.
+
+    Oversubscribed sources (T_s < budget·w_s) cap at rate 1 — the
+    "epochs over minority domains" decision DoReMi-class recipes make
+    explicit; the shortfall is visible by comparing the output's token
+    sum per source against budget·w_s."""
+    from ..functions.text import token_count
+    from ..pipelines.reports import bucketed_agg
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for s, t in zip(batch.column(source_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            c[s] += token_count(t)
+        return pa.table({source_col: pa.array(list(c.keys()), pa.string()),
+                         "t": pa.array(list(c.values()), pa.int64())})
+
+    totals = bucketed_agg(
+        ds.select_columns([source_col, text_col])
+        .map_batches(tok_partial, batch_format="pyarrow"),
+        source_col, {"t": ("t", "sum")}, buckets=buckets).to_pandas()
+    srcs = sorted(totals[source_col])
+    w = target_weights or {s: 1.0 / len(srcs) for s in srcs}
+    tmap = dict(zip(totals[source_col], totals["t"]))
+    thresholds = {
+        s: rate_to_hex(min((token_budget * w[s]) / tmap[s], 1.0))
+        for s in srcs}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sources = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        oi, os_, on = [], [], []
+        for i, s, t in zip(ids, sources, texts):
+            if _hex8(str(i)) < thresholds.get(s, "00000000"):
+                oi.append(i)
+                os_.append(s)
+                on.append(token_count(t))
+        return pa.table({id_col: pa.array(oi,
+                                          batch.column(id_col).type),
+                         source_col: pa.array(os_, pa.string()),
+                         "n_tokens": pa.array(on, pa.int64())})
+
+    return ds.select_columns([id_col, source_col, text_col]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def balance_mixture_sql(token_budget: int, table: str = "documents",
+                        id_col: str = "doc_id",
+                        source_col: str = "source",
+                        col: str = "text") -> str:
+    """DuckDB twin of the uniform-target configuration. The rate→hex
+    conversion mirrors ``rate_to_hex`` exactly: LEAST(rate·2^32,
+    2^32−1) then FLOOR (trunc == floor for non-negative), printf'%08x'."""
+    from .text import TOKEN_COUNT_SQL
+    n = TOKEN_COUNT_SQL.format(col=col)
+    return f"""
+WITH tok AS (SELECT {id_col}, {source_col}, {n} AS n FROM {table}),
+tot AS (SELECT {source_col}, SUM(n)::BIGINT AS t FROM tok
+        GROUP BY {source_col}),
+k AS (SELECT COUNT(*)::DOUBLE AS k FROM tot),
+thr AS (
+  SELECT {source_col},
+         printf('%08x', CAST(FLOOR(LEAST(
+             LEAST(({token_budget} * (1.0 / k.k)) / t, 1.0)
+             * 4294967296.0, 4294967295.0)) AS BIGINT)) AS th
+  FROM tot CROSS JOIN k
+)
+SELECT tok.{id_col}, tok.{source_col}, tok.n AS n_tokens
+FROM tok JOIN thr USING ({source_col})
+WHERE substr(md5(CAST(tok.{id_col} AS VARCHAR)), 1, 8) < thr.th
+ORDER BY tok.{id_col}
+"""
 
 
 def deterministic_shuffle(ds: rd.Dataset, id_col: str = "doc_id",

@@ -1263,3 +1263,112 @@ def test_source_vocab_overlap(docs_ds):
                 for a, b, i, n1, n2, j
                 in sql.itertuples(index=False, name=None)]
     assert sql_rows == want
+
+
+def test_quality_buckets_tertiles(docs_ds):
+    """Per-language head/middle/tail assignment == an independent sorted
+    recount with quantile_disc thresholds, and the three buckets are
+    within one doc of n/3 per language."""
+    import math
+    from collections import Counter, defaultdict
+
+    from librecrawl_ray.functions.lm import quality_buckets
+
+    got = quality_buckets(docs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    scores = dict(zip(got["doc_id"], got["lm_score"]))
+    langs = dict(zip(got["doc_id"], got["lang"]))
+    by_lang = defaultdict(list)
+    for d, s in scores.items():
+        by_lang[langs[d]].append(s)
+    th = {}
+    for lg, vals in by_lang.items():
+        vals = sorted(vals)
+        n = len(vals)
+        q1 = vals[max(math.ceil(n / 3) - 1, 0)]
+        q2 = vals[max(math.ceil(2 * n / 3) - 1, 0)]
+        th[lg] = (q1, q2)
+
+    for _, r in got.iterrows():
+        q1, q2 = th[r["lang"]]
+        want = ("tail" if r["lm_score"] <= q1
+                else "middle" if r["lm_score"] <= q2 else "head")
+        assert r["bucket"] == want, r
+
+    for lg in by_lang:
+        c = Counter(got[got["lang"] == lg]["bucket"])
+        n = len(by_lang[lg])
+        # quantile_disc puts ties below the threshold value into tail/
+        # middle; with 4-dp rounded scores ties are rare so each third
+        # stays within a few docs of n/3
+        for b in ("tail", "middle", "head"):
+            assert abs(c[b] - n / 3) <= max(3, 0.02 * n), (lg, c)
+
+
+def test_balance_mixture_budget_and_determinism(docs_ds):
+    """The sampled set == an exact recount of the rate/threshold math,
+    rates cap at 1.0 for oversubscribed sources, and a huge budget keeps
+    every doc."""
+    import hashlib
+
+    from librecrawl_ray.functions.sampling import (balance_mixture,
+                                                   rate_to_hex)
+    from librecrawl_ray.functions.text import token_count
+
+    budget = 20_000
+    got = balance_mixture(docs_ds, token_budget=budget).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    rows = docs_ds.select_columns(["doc_id", "source", "text"]).take_all()
+    totals: dict = {}
+    for r in rows:
+        totals[r["source"]] = totals.get(r["source"], 0) \
+            + token_count(r["text"])
+    k = len(totals)
+    want = []
+    for r in rows:
+        rate = min((budget * (1.0 / k)) / totals[r["source"]], 1.0)
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        if h < rate_to_hex(rate):
+            want.append((r["doc_id"], r["source"],
+                         token_count(r["text"])))
+    want.sort()
+    assert list(map(tuple, got[["doc_id", "source", "n_tokens"]]
+                    .itertuples(index=False, name=None))) == want
+
+    n_docs = len(rows)
+    full = balance_mixture(docs_ds, token_budget=10**12).to_pandas()
+    assert len(full) == n_docs  # rate caps at 1.0 → keep everything
+
+
+def test_boolean_search_conjunctive(docs_ds, tmp_path):
+    """Index-path conjunctive search == a direct corpus recount; bucket
+    pruning reads only the query terms' partitions; absent terms yield
+    an empty result."""
+    from collections import Counter
+
+    from librecrawl_ray.functions.lm import _TOKEN_RE
+    from librecrawl_ray.functions.search import (boolean_search,
+                                                 build_inverted_index)
+
+    idx = str(tmp_path / "inv_index")
+    build_inverted_index(docs_ds, idx, buckets=16)
+
+    terms = ["spark", "window", "merge"]
+    got = boolean_search(idx, terms, buckets=16).to_pandas()
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    want = []
+    for r in rows:
+        tf = Counter(_TOKEN_RE.findall((r["text"] or "").lower()))
+        if all(tf[t] > 0 for t in terms):
+            want.append((r["doc_id"], len(terms),
+                         sum(tf[t] for t in terms)))
+    want.sort()
+    assert list(map(tuple, got[["doc_id", "n_terms", "total_tf"]]
+                    .itertuples(index=False, name=None))) == want
+    assert len(want) > 0  # fixture actually exercises the path
+
+    empty = boolean_search(idx, ["nosuchtokenanywhere"], buckets=16)
+    assert empty.num_rows == 0
