@@ -353,7 +353,8 @@ class WaveCrawler:
 
     def __init__(self, corpus_dir: str, out_dir: str, cfg: CrawlConfig,
                  fetch_concurrency: int = 4, fetch_batch_size: int = 768,
-                 exact_seen: bool = True, small_wave_threshold: int = 512):
+                 exact_seen: bool = True, small_wave_threshold: int = 512,
+                 seen_filter_kind: str = "bloom"):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
         self.cfg = cfg
@@ -364,7 +365,8 @@ class WaveCrawler:
         self.exact_seen = exact_seen
         robots_tbl = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
         self.robots = robots_map(robots_tbl.to_pylist())
-        self.shards = make_shards(cfg.num_shards, exact=exact_seen)
+        self.shards = make_shards(cfg.num_shards, exact=exact_seen,
+                                  filter_kind=seen_filter_kind)
         from ..state.politeness import PolitenessScheduler
         self.politeness = PolitenessScheduler(cfg, self.robots)
         self._cfg_ref = ray.put(cfg)

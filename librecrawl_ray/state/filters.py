@@ -57,6 +57,123 @@ class BloomFilter:
         return self.bits.nbytes
 
 
+class CuckooFilter:
+    """Cuckoo filter (Fan et al. 2014, "Cuckoo Filter: Practically Better
+    Than Bloom") over 64-bit key hashes — the north rule's second
+    URL-seen representation. vs bloom: supports DELETION (retract a
+    host's URLs when its robots.txt turns disallow-all mid-crawl, or
+    roll back an uncommitted wave) and answers lookups from ≤2 cache
+    lines instead of k scattered bit probes, at a similar ~1.5 bytes/key
+    for a 16-bit fingerprint at 95% load.
+
+    Layout: ``num_buckets × 4`` uint16 slots, fingerprint = top 16 key
+    bits (0 reserved for empty → remapped to 1). Partial-key cuckoo
+    hashing: i2 = i1 XOR h(fp), so relocation needs only the stored
+    fingerprint — the property that makes the filter shardable (each
+    actor's table is self-contained, same as the bloom shards).
+
+    ``contains_many`` / ``delete_many`` are vectorized numpy;
+    ``add_many`` walks keys in Python because each insert may kick a
+    resident fingerprint (sequential dependency). At the engine's shard
+    fan-out that is ~10^4 inserts per actor per wave — the admission RPC
+    stays sub-second, and membership probes (the hot path) are bulk.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, slots_per_bucket: int = 4,
+                 load_factor: float = 0.95):
+        need = max(64, int(capacity / (slots_per_bucket * load_factor)))
+        self.num_buckets = 1 << int(np.ceil(np.log2(need)))
+        self.mask = np.uint64(self.num_buckets - 1)
+        self.slots = slots_per_bucket
+        self.table = np.zeros((self.num_buckets, slots_per_bucket),
+                              dtype=np.uint16)
+        self.count = 0
+        self.capacity = capacity
+
+    @staticmethod
+    def _fp(keys: np.ndarray) -> np.ndarray:
+        f = (keys >> np.uint64(48)).astype(np.uint16)
+        return np.where(f == 0, np.uint16(1), f)
+
+    def _alt(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key hash of the fingerprint (odd multiplier mix)
+        h = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return (idx ^ h) & self.mask
+
+    def add_many(self, keys: np.ndarray) -> None:
+        keys = keys.astype(np.uint64)
+        fps = self._fp(keys)
+        i1s = keys & self.mask
+        tbl = self.table
+        rng = np.uint64(0x9E3779B97F4A7C15)
+        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
+            placed = False
+            for idx in (i1, int(self._alt(np.uint64(i1),
+                                          np.uint16(fp)))):
+                row = tbl[idx]
+                empty = np.flatnonzero(row == 0)
+                if empty.size:
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                self.count += 1
+                continue
+            # relocate: kick a deterministic victim slot until a hole
+            idx, cur = i1, fp
+            seed = np.uint64(i1) * rng
+            for kick in range(self.MAX_KICKS):
+                victim = int((seed >> np.uint64(kick % 60)) & np.uint64(3)) \
+                    % self.slots
+                cur, tbl[idx][victim] = int(tbl[idx][victim]), cur
+                idx = int(self._alt(np.uint64(idx), np.uint16(cur)))
+                row = tbl[idx]
+                empty = np.flatnonzero(row == 0)
+                if empty.size:
+                    row[empty[0]] = cur
+                    cur = None
+                    break
+            if cur is not None:
+                raise RuntimeError(
+                    "cuckoo filter over capacity — size shards for "
+                    f"{self.capacity} keys at 95% load")
+            self.count += 1
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        keys = keys.astype(np.uint64)
+        fps = self._fp(keys)
+        i1 = keys & self.mask
+        i2 = self._alt(i1, fps)
+        hit1 = (self.table[i1] == fps[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def delete_many(self, keys: np.ndarray) -> np.ndarray:
+        """Remove ONE stored copy per present key; returns a bool array
+        (True = was present and removed). The bloom filter cannot do
+        this at all."""
+        keys = keys.astype(np.uint64)
+        fps = self._fp(keys)
+        i1s = keys & self.mask
+        out = np.zeros(len(keys), dtype=bool)
+        for n, (fp, i1) in enumerate(zip(fps.tolist(), i1s.tolist())):
+            for idx in (i1, int(self._alt(np.uint64(i1),
+                                          np.uint16(fp)))):
+                row = self.table[idx]
+                hit = np.flatnonzero(row == fp)
+                if hit.size:
+                    row[hit[0]] = 0
+                    out[n] = True
+                    self.count -= 1
+                    break
+        return out
+
+    def nbytes(self) -> int:
+        return self.table.nbytes
+
+
 def sha1_to_u64(sha1_hex: str) -> int:
     return int(sha1_hex[:16], 16)
 

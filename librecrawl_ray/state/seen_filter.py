@@ -29,9 +29,16 @@ class SeenShard:
     """One hash partition of the URL-seen state."""
 
     def __init__(self, shard_id: int, capacity: int = 1_000_000,
-                 fp_rate: float = 0.01, exact: bool = True):
+                 fp_rate: float = 0.01, exact: bool = True,
+                 filter_kind: str = "bloom"):
+        from .filters import CuckooFilter
         self.shard_id = shard_id
-        self.bloom = BloomFilter(capacity, fp_rate)
+        # "bloom" (default) or "cuckoo" — same add/contains surface; the
+        # cuckoo variant additionally supports deletion (north rule names
+        # both; filters.CuckooFilter docstring has the trade-off)
+        self.bloom = (BloomFilter(capacity, fp_rate)
+                      if filter_kind == "bloom"
+                      else CuckooFilter(capacity))
         self.exact_mode = exact
         self.exact: set[int] = set()
         # T4 trap-signature counts for signatures with
@@ -206,6 +213,7 @@ class SeenShard:
 
 
 def make_shards(num_shards: int, capacity_per_shard: int = 1_000_000,
-                exact: bool = True) -> list:
-    return [SeenShard.remote(i, capacity_per_shard, exact=exact)
+                exact: bool = True, filter_kind: str = "bloom") -> list:
+    return [SeenShard.remote(i, capacity_per_shard, exact=exact,
+                             filter_kind=filter_kind)
             for i in range(num_shards)]

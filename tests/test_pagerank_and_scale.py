@@ -149,3 +149,30 @@ def test_pagerank_distributed_equals_pandas(ray_session, t1_crawl):
     assert a["url"].tolist() == b["url"].tolist()
     import numpy as np
     assert np.allclose(a["rank"], b["rank"], atol=1e-11)
+
+
+def test_cuckoo_only_crawl(ray_session, t1_corpus_dir, t1_cfg, t1_oracle,
+                           tmp_path):
+    """seen_filter_kind="cuckoo" with exact_seen=False: shards admit on
+    the cuckoo filter alone (the deletion-capable 10^10 representation).
+    At fixture scale fingerprint collisions are ~0, so the crawl matches
+    the oracle exactly — same contract as the bloom-only mode."""
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    eng = WaveCrawler(t1_corpus_dir, str(tmp_path / "out"), t1_cfg,
+                      fetch_concurrency=2, exact_seen=False,
+                      seen_filter_kind="cuckoo")
+    s = eng.run(["https://site.example/"])
+    assert s["fetched_total"] == len(t1_oracle.crawl_order)
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(s["out_dir"], "pages",
+                                          "wave=*", "*.parquet")))
+    pages = pa.concat_tables([pq.read_table(f, columns=["url", "seq"])
+                              for f in files], promote_options="default")
+    got = sorted(zip(pages.column("url").to_pylist(),
+                     pages.column("seq").to_pylist()))
+    want = sorted((c["url"], c["seq"]) for c in t1_oracle.crawl_order)
+    assert got == want

@@ -88,3 +88,49 @@ def test_bloom_fp_rate_in_range():
 def test_sha1_stability():
     assert url_sha1("https://Site.Example/a/") == \
         url_sha1("https://site.example/a")
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=200, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    from librecrawl_ray.state.filters import CuckooFilter
+    cf = CuckooFilter(capacity=1000)
+    arr = np.array(keys, dtype=np.uint64)
+    cf.add_many(arr)
+    assert cf.contains_many(arr).all()
+
+
+def test_cuckoo_fp_rate_and_load():
+    """Fill to 95% of capacity: inserts succeed, false-positive rate stays
+    near the 16-bit-fingerprint bound (≈ 2b/2^16 ≈ 0.012%)."""
+    from librecrawl_ray.state.filters import CuckooFilter
+    rng = np.random.RandomState(7)
+    cf = CuckooFilter(capacity=50_000)
+    members = np.unique(rng.randint(0, 2**63, size=47_500)
+                        .astype(np.uint64))
+    cf.add_many(members)
+    assert cf.contains_many(members).all()
+    probe = rng.randint(0, 2**63, size=100_000).astype(np.uint64)
+    fp = cf.contains_many(probe).mean()
+    assert fp < 0.005, fp
+
+
+def test_cuckoo_delete():
+    """Deletion (the capability bloom lacks): removed keys disappear,
+    everything else still answers present, count tracks."""
+    from librecrawl_ray.state.filters import CuckooFilter
+    rng = np.random.RandomState(11)
+    cf = CuckooFilter(capacity=10_000)
+    keys = np.unique(rng.randint(0, 2**63, size=8_000).astype(np.uint64))
+    cf.add_many(keys)
+    victims, rest = keys[: len(keys) // 2], keys[len(keys) // 2:]
+    removed = cf.delete_many(victims)
+    assert removed.all()
+    assert cf.contains_many(rest).all()
+    # deleted keys may still collide with a survivor's fingerprint in a
+    # shared bucket; the rate must drop to fingerprint-collision noise
+    assert cf.contains_many(victims).mean() < 0.005
+    assert cf.count == len(rest)
+    # deleting an absent key reports False and is a no-op
+    assert not cf.delete_many(victims[:10]).any()
