@@ -110,6 +110,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dtype=np.float64)
         return S.ivf_topk(ds, q, k=10, num_centroids=8, nprobe=8).to_pandas()
 
+    def q_pq_topk(sf_dir):
+        ds = _emb(sf_dir)
+        q = np.asarray(
+            ds.filter(expr="vec_id == 0").take(1)[0]["embedding"],
+            dtype=np.float64)
+        # rerank covers every batch -> exact top-k (ADC candidate stage
+        # verified approximate configs live in pytest), same oracle
+        # contract as ivf_topk's exhaustive probe
+        return S.pq_topk(ds, q, k=10, num_subspaces=4, num_codes=16,
+                         rerank=1000).to_pandas()
+
     def q_repetition_stats(sf_dir):
         out = _docs(sf_dir).map_batches(
             T.repetition_stats_batch, batch_format="pyarrow").to_pandas()
@@ -307,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_neardup": q_winnow_neardup,
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
         "repetition_stats": q_repetition_stats,
@@ -346,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
+        "crawl_section_components": C.crawl_section_components,
         # rows-only entries (no SQL twin) deliberately last: if the
         # driver's sweep budget cuts the tail, full-oracle rows survive
         "crawl_neardup": C.crawl_neardup,
@@ -606,6 +619,8 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce
         "ivf_topk": knn_sql,
+        # pq_topk runs at the driver's exact-rerank config -> exact top-k
+        "pq_topk": knn_sql,
         "top_keywords": __import__(
             "librecrawl_ray.functions.keywords",
             fromlist=["top_keywords_sql"]).top_keywords_sql(20),
@@ -705,4 +720,6 @@ ORDER BY doc_id"""
         out["crawl_host_sizes"] = C.crawl_host_sizes_sql(path)
         out["crawl_span_kinds"] = C.crawl_span_kinds_sql(path)
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)
+        out["crawl_section_components"] = \
+            C.crawl_section_components_sql(path)
     return out

@@ -1410,6 +1410,25 @@ class WaveCrawler:
             out.update(sn)
         return out
 
+    def retract_urls(self, urls: list[str]) -> int:
+        """Remove URLs from the seen state (mid-crawl policy flip — a
+        host's robots.txt turned disallow-all, or an operator withdraws
+        a section): routes each url's sha1 to its shard (same ``shard_of``
+        partitioning as admission) and deletes there. The URLs become
+        re-admittable on the next wave. Requires exact or cuckoo shards
+        (bloom bits cannot be unset — SeenShard.retract raises).
+        Returns the number of keys actually removed."""
+        from ..canonical import shard_of, url_sha1
+
+        per_shard: dict[int, list[str]] = {}
+        for u in urls:
+            sha = url_sha1(u)
+            per_shard.setdefault(shard_of(sha, self.cfg.num_shards),
+                                 []).append(sha)
+        counts = ray.get([self.shards[s].retract.remote(sh)
+                          for s, sh in per_shard.items()])
+        return int(sum(counts))
+
     def seen_sha1s(self) -> set[int]:
         """Union of all shard key sets (exact mode; tests only)."""
         parts = ray.get([s.snapshot_keys.remote() for s in self.shards])

@@ -74,6 +74,34 @@ def hyperplane_buckets(ds: rd.Dataset, num_planes: int = 8, seed: int = 11,
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
+def _deterministic_sample(ds: rd.Dataset, sample_limit: int,
+                          id_col: str, vec_col: str) -> np.ndarray:
+    """The bounded training sample every index trainer here uses: the
+    ``sample_limit`` rows with smallest ``md5(str(id))`` (a fixed random
+    permutation — ``limit()`` alone selects rows in Ray's unstable
+    block-gather order), pruned per batch before a sort+limit over the
+    pruned stream so no full-data shuffle happens, then sorted by id so
+    seeded k-means sees a canonical row order. Returns the raw (n, d)
+    matrix (caller normalizes if it wants cosine geometry)."""
+    import hashlib
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keys = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                         for i in batch.column(id_col).to_pylist()])
+        batch = batch.append_column("__skey", keys)
+        if batch.num_rows > sample_limit:
+            idx = pc.sort_indices(batch, sort_keys=[("__skey",
+                                                     "ascending")])
+            batch = batch.take(idx[:sample_limit])
+        return batch
+
+    sample = ds.select_columns([id_col, vec_col]) \
+               .map_batches(prune, batch_format="pyarrow") \
+               .sort("__skey").limit(sample_limit) \
+               .to_pandas().sort_values(id_col)
+    return _as_matrix(sample[vec_col].to_numpy())
+
+
 def train_centroids(ds: rd.Dataset, num_centroids: int = 16,
                     sample_limit: int = 10_000, iters: int = 10,
                     seed: int = 5, vec_col: str = "embedding",
@@ -91,23 +119,8 @@ def train_centroids(ds: rd.Dataset, num_centroids: int = 16,
     initial pick. Together the centroids are a pure function of the
     input rows, so side-table writers and query paths in different
     processes agree bit-for-bit."""
-    import hashlib
-
-    def prune(batch: pa.Table) -> pa.Table:
-        keys = pa.array([hashlib.md5(str(i).encode()).hexdigest()
-                         for i in batch.column(id_col).to_pylist()])
-        batch = batch.append_column("__skey", keys)
-        if batch.num_rows > sample_limit:
-            idx = pc.sort_indices(batch, sort_keys=[("__skey",
-                                                     "ascending")])
-            batch = batch.take(idx[:sample_limit])
-        return batch
-
-    sample = ds.select_columns([id_col, vec_col]) \
-               .map_batches(prune, batch_format="pyarrow") \
-               .sort("__skey").limit(sample_limit) \
-               .to_pandas().sort_values(id_col)
-    m = _normalize(_as_matrix(sample[vec_col].to_numpy()))
+    m = _normalize(_deterministic_sample(ds, sample_limit, id_col,
+                                         vec_col))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(num_centroids, len(m)),
                         replace=False)]
@@ -336,3 +349,124 @@ SELECT {label_col}::BIGINT AS {label_col}, rank, {id_col}, cosine
 FROM ranked WHERE rank <= {k}
 ORDER BY {label_col}, rank
 """
+
+
+def train_pq_codebooks(ds: rd.Dataset, num_subspaces: int = 4,
+                       num_codes: int = 16, sample_limit: int = 10_000,
+                       iters: int = 10, seed: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the (normalized)
+    vector into ``num_subspaces`` contiguous chunks and run an
+    independent seeded L2 k-means per chunk on the deterministic bounded
+    sample. Returns (M, K, d/M). The memory story at 100 TB: a 768-dim
+    float32 vector is 3 KB; M=96 one-byte codes are 96 B — the index
+    fits in RAM where the vectors never could."""
+    m = _normalize(_deterministic_sample(ds, sample_limit, id_col,
+                                         vec_col))
+    d = m.shape[1]
+    if d % num_subspaces:
+        raise ValueError(f"dim {d} not divisible by {num_subspaces}")
+    sd = d // num_subspaces
+    books = np.empty((num_subspaces, num_codes, sd), dtype=np.float64)
+    for s in range(num_subspaces):
+        sub = m[:, s * sd:(s + 1) * sd]
+        rng = np.random.RandomState(seed + s)
+        cent = sub[rng.choice(len(sub), size=min(num_codes, len(sub)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, :len(cent)] = cent
+        if len(cent) < num_codes:          # degenerate tiny-sample case
+            books[s, len(cent):] = cent[0]
+    return books
+
+
+def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """Streaming encode: (id, pq_code list<int64>). Broadcast codebooks
+    once; one matmul-free argmin per subspace per batch."""
+    cb_ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        M, K, sd = cb.shape
+        m = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        codes = np.empty((len(m), M), dtype=np.int64)
+        for s in range(M):
+            sub = m[:, s * sd:(s + 1) * sd]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pq_code": pa.array(codes.tolist(),
+                                pa.list_(pa.int64()))})
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+            num_subspaces: int = 4, num_codes: int = 16,
+            rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            codebooks: np.ndarray | None = None) -> pa.Table:
+    """PQ top-k with asymmetric-distance (ADC) candidate generation and
+    exact re-rank: per batch, approx cosine = Σ_s lut[s, code_s] (the
+    query×codebook lookup table — M table reads per vector instead of a
+    d-dim dot product), keep the ``rerank·k`` best candidates, score
+    ONLY those exactly, merge partials on the driver (top-k of exact
+    top-ks is exact over the candidate union).
+
+    In this sandbox the exact re-rank reads the vector from the same
+    batch; a 100-TB deployment stores codes in RAM and fetches the few
+    re-rank vectors from the parquet row group — the scan itself never
+    touches raw vectors. ``rerank`` large enough to cover a batch makes
+    the result exactly the brute-force top-k (the configuration the
+    driver oracle pins, same contract as ivf_topk's exhaustive probe);
+    pytest pins the approximate configurations' recall."""
+    cb = codebooks if codebooks is not None else train_pq_codebooks(
+        ds, num_subspaces, num_codes, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    M, K, sd = cb.shape
+    lut = np.stack([q[s * sd:(s + 1) * sd] @ cb[s].T
+                    for s in range(M)])           # (M, K)
+    cb_ref = ray.put(cb)
+    lut_ref = ray.put(lut)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cbl = ray.get(cb_ref)
+        lutl = ray.get(lut_ref)
+        qv = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        codes = np.empty((len(m), M), dtype=np.int64)
+        for s in range(M):
+            sub = m[:, s * sd:(s + 1) * sd]
+            d2 = ((sub[:, None, :] - cbl[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        approx = lutl[np.arange(M)[None, :], codes].sum(axis=1)
+        cand = min(rerank * k, len(ids))
+        idx = np.argpartition(-approx, cand - 1)[:cand]
+        sims = m[idx] @ qv                      # exact re-rank, cands only
+        take = min(k, len(idx))
+        best = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(ids[idx][best], pa.int64()),
+                         "cosine": pa.array(sims[best], pa.float64())})
+
+    parts = ds.select_columns([id_col, vec_col]) \
+              .map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["cosine"] = parts["cosine"].round(6)
+    parts = parts.sort_values(["cosine", id_col],
+                              ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)

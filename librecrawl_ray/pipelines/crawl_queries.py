@@ -291,6 +291,125 @@ def crawl_host_sizes_sql(path: str) -> str:
             f"FROM read_parquet('{path}') GROUP BY host ORDER BY host")
 
 
+def _section_of(url: str) -> str:
+    """host/first-path-segment node key (query-stripped), mirroring the
+    SQL split_part chain exactly: '' segment for the root."""
+    rest = url.split("//", 1)[1] if "//" in url else url
+    parts = rest.split("/")
+    host = parts[0].lower()
+    seg = (parts[1] if len(parts) > 1 else "").split("?", 1)[0]
+    return host + "/" + seg
+
+
+def crawl_section_components(sf_dir: str) -> pd.DataFrame:
+    """Site-structure clustering: weakly-connected components over the
+    SECTION-contracted link graph (section = host + first path segment —
+    the granularity SEO audits reason about; the reference's viz graph
+    is the per-URL uncontracted version of the same structure).
+
+    Scale shape: the URL-level edge set is corpus-sized, but the
+    contraction happens inside ``map_batches`` (each batch emits its
+    DISTINCT section pairs only), so what reaches the driver is bounded
+    by #sections² — metadata-sized for any real site (sections are
+    path taxonomy, not pages). Union-find over that tiny graph on the
+    driver; at 10^9 sections one would switch to iterative min-label
+    joins, but a web host taxonomy never approaches that.
+
+    Output: (section, component, n_sections), component = min section
+    key in the cluster (deterministic label).
+    """
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+    extractor = make_edge_extractor(BASE_DOMAIN)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        edges = extractor(batch)
+        pairs = set()
+        for s, t in zip(edges.column("source_url").to_pylist(),
+                        edges.column("target_url").to_pylist()):
+            a, b = _section_of(s), _section_of(t)
+            if a != b:
+                pairs.add((a, b))
+        aa, bb = zip(*sorted(pairs)) if pairs else ((), ())
+        return pa.table({"src": pa.array(list(aa), pa.string()),
+                         "dst": pa.array(list(bb), pa.string())})
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        secs = sorted({_section_of(u)
+                       for u in batch.column("doc_id").to_pylist()})
+        return pa.table({"section": pa.array(secs, pa.string())})
+
+    pair_df = ds.map_batches(
+        pair_partial, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates()
+    nodes = sorted(set(ds.map_batches(
+        node_partial, batch_format="pyarrow").to_pandas()["section"]))
+    node_set = set(nodes)
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pair_df["src"], pair_df["dst"]):
+        if a in node_set and b in node_set:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comp = {n: find(n) for n in nodes}
+    sizes: dict = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = pd.DataFrame({
+        "section": nodes,
+        "component": [comp[n] for n in nodes],
+        "n_sections": [sizes[comp[n]] for n in nodes]})
+    return out.sort_values("section").reset_index(drop=True)
+
+
+def crawl_section_components_sql(path: str) -> str:
+    """Recursive-CTE twin: min-label reachability over the contracted
+    section graph (tiny, so the closure is cheap in DuckDB)."""
+    sec_src = ("lower(split_part(split_part(doc_id, '//', 2), '/', 1)) "
+               "|| '/' || split_part(split_part(split_part(doc_id, "
+               "'//', 2), '/', 2), '?', 1)")
+    tgt = _edge_sql_target()
+    sec_dst = (f"lower(split_part(split_part({tgt}, '//', 2), '/', 1)) "
+               f"|| '/' || split_part(split_part(split_part({tgt}, "
+               f"'//', 2), '/', 2), '?', 1)")
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT DISTINCT {sec_src} AS section
+          FROM read_parquet('{path}')),
+raw AS (SELECT DISTINCT {sec_src} AS src, {sec_dst} AS dst
+        FROM (SELECT doc_id, host,
+                     unnest(list_filter(spans,
+                        s -> s.kind LIKE 'link%' AND {LINK_KEEP_SQL})) AS u
+              FROM read_parquet('{path}'))),
+uedges AS (
+  SELECT src, dst FROM raw
+  WHERE src <> dst AND dst IN (SELECT section FROM nodes)
+  UNION
+  SELECT dst, src FROM raw
+  WHERE src <> dst AND dst IN (SELECT section FROM nodes)
+),
+reach(a, b) AS (
+  SELECT section, section FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN uedges e ON e.src = r.b
+),
+comp AS (SELECT a AS section, MIN(b) AS component FROM reach GROUP BY a),
+sizes AS (SELECT component, COUNT(*)::BIGINT AS n_sections
+          FROM comp GROUP BY component)
+SELECT comp.section, comp.component, sizes.n_sections
+FROM comp JOIN sizes USING (component)
+ORDER BY comp.section
+"""
+
+
 # ------------------------------------------------- full crawl (rows-only)
 
 def full_crawl_pages(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \

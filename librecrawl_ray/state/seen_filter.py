@@ -82,6 +82,34 @@ class SeenShard:
         self.bloom.add_many(arr)
         return len(arr)
 
+    def retract(self, sha1s: list[str]) -> int:
+        """Remove previously admitted keys — the mid-crawl policy flip
+        (a host's robots.txt turns disallow-all; an uncommitted wave
+        rolls back). Exact sets and cuckoo filters delete truly; a
+        BLOOM filter cannot un-set bits, so in bloom-probabilistic mode
+        retraction is refused (switch the shard to
+        ``filter_kind="cuckoo"`` — the capability is the reason that
+        representation exists). Returns the number of keys removed from
+        the authoritative structure."""
+        keys = sha1s_to_u64(sha1s)
+        can_delete = hasattr(self.bloom, "delete_many")
+        if not self.exact_mode and not can_delete:
+            raise RuntimeError(
+                "retract() needs an exact set or a cuckoo filter; "
+                "bloom bits cannot be unset")
+        n = 0
+        if self.exact_mode:
+            for k in keys.tolist():
+                if k in self.exact:
+                    self.exact.discard(k)
+                    n += 1
+        if can_delete:
+            present = self.bloom.contains_many(keys)
+            removed = self.bloom.delete_many(keys[present])
+            if not self.exact_mode:
+                n = int(removed.sum())
+        return n
+
     def contains(self, sha1s: list[str]) -> list[bool]:
         keys = sha1s_to_u64(sha1s)
         if self.exact_mode:

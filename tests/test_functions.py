@@ -1372,3 +1372,42 @@ def test_boolean_search_conjunctive(docs_ds, tmp_path):
 
     empty = boolean_search(idx, ["nosuchtokenanywhere"], buckets=16)
     assert empty.num_rows == 0
+
+
+def test_pq_topk_exact_config_and_recall(emb_ds):
+    """PQ with batch-covering rerank == brute-force exactly; the genuinely
+    approximate config (small rerank) still recalls most of the true
+    top-k; codes are deterministic and block-layout-invariant."""
+    import numpy as np
+
+    from librecrawl_ray.functions.similarity import (pq_encode, pq_topk,
+                                                     topk_bruteforce,
+                                                     train_pq_codebooks)
+
+    q = np.asarray(
+        emb_ds.filter(expr="vec_id == 0").take(1)[0]["embedding"],
+        dtype=np.float64)
+    exact = topk_bruteforce(emb_ds, q, k=10).to_pandas()
+
+    full = pq_topk(emb_ds, q, k=10, rerank=1000).to_pandas()
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["cosine"].tolist() == exact["cosine"].tolist()
+
+    approx = pq_topk(emb_ds, q, k=10, rerank=2).to_pandas()
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5, recall
+    # re-ranked scores are exact cosines, so any overlap agrees exactly
+    em = dict(zip(exact["vec_id"], exact["cosine"]))
+    for _, r in approx.iterrows():
+        if r["vec_id"] in em:
+            assert r["cosine"] == em[r["vec_id"]]
+
+    cb = train_pq_codebooks(emb_ds)
+    codes1 = pq_encode(emb_ds, cb).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    codes2 = pq_encode(emb_ds.repartition(7), cb).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert codes1["pq_code"].map(tuple).tolist() == \
+        codes2["pq_code"].map(tuple).tolist()
+    M, K, sd = cb.shape
+    assert all(0 <= c < K for cs in codes1["pq_code"] for c in cs)

@@ -176,3 +176,45 @@ def test_cuckoo_only_crawl(ray_session, t1_corpus_dir, t1_cfg, t1_oracle,
                      pages.column("seq").to_pylist()))
     want = sorted((c["url"], c["seq"]) for c in t1_oracle.crawl_order)
     assert got == want
+
+
+def test_seen_retraction(ray_session, t1_corpus_dir, t1_cfg, tmp_path):
+    """Mid-crawl policy flip: retract_urls removes admitted URLs from the
+    seen shards (cuckoo/exact modes), they become re-admittable, and
+    bloom-probabilistic shards refuse (bits cannot be unset)."""
+    import pytest as _pytest
+    import ray as _ray
+
+    from librecrawl_ray.canonical import url_sha1
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    from librecrawl_ray.state.seen_filter import SeenShard
+
+    # shard-level: cuckoo without exact set deletes truly
+    sh = SeenShard.remote(0, 10_000, exact=False, filter_kind="cuckoo")
+    sha = [url_sha1(f"https://site.example/p{i}") for i in range(50)]
+    assert all(_ray.get(sh.admit.remote(sha)))
+    assert all(_ray.get(sh.contains.remote(sha)))
+    assert _ray.get(sh.retract.remote(sha[:20])) == 20
+    assert not any(_ray.get(sh.contains.remote(sha[:20])))
+    assert all(_ray.get(sh.contains.remote(sha[20:])))
+    assert all(_ray.get(sh.admit.remote(sha[:20])))  # re-admittable
+
+    # bloom-probabilistic shard refuses retraction
+    bl = SeenShard.remote(0, 10_000, exact=False, filter_kind="bloom")
+    _ray.get(bl.admit.remote(sha))
+    with _pytest.raises(_ray.exceptions.RayTaskError):
+        _ray.get(bl.retract.remote(sha[:5]))
+
+    # engine-level routing across shards (exact mode)
+    eng = WaveCrawler(t1_corpus_dir, str(tmp_path / "out"), t1_cfg,
+                      fetch_concurrency=1)
+    urls = [f"https://site.example/page/{c}" for c in "abcdefgh"]
+    from librecrawl_ray.canonical import shard_of
+    for u in urls:
+        s = shard_of(url_sha1(u), t1_cfg.num_shards)
+        _ray.get(eng.shards[s].admit.remote([url_sha1(u)]))
+    assert eng.retract_urls(urls[:5]) == 5
+    assert eng.retract_urls(urls[:5]) == 0   # already gone
+    for u in urls[5:]:
+        s = shard_of(url_sha1(u), t1_cfg.num_shards)
+        assert _ray.get(eng.shards[s].contains.remote([url_sha1(u)]))[0]

@@ -645,3 +645,36 @@ def test_bucketed_agg_matches_pandas(ray_session):
     empty = bucketed_agg(
         rd.from_pandas(df.head(0)), "ik", {"t": ("v", "sum")}).to_pandas()
     assert len(empty) == 0
+
+
+def test_crawl_section_components_invariants(ray_session):
+    """Every link edge's two section endpoints share a component; labels
+    are the component's min section; sizes are consistent."""
+    from collections import Counter
+
+    from librecrawl_ray.pipelines.crawl_queries import (
+        BASE_DOMAIN, _docs, _section_of, crawl_section_components)
+    from librecrawl_ray.stages.parse import make_edge_extractor
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_section_components(sf)
+    comp = dict(zip(got["section"], got["component"]))
+
+    # labels are min-of-cluster and sizes match the label partition
+    by_label = Counter(got["component"])
+    for _, r in got.iterrows():
+        assert r["component"] <= r["section"]
+        assert r["n_sections"] == by_label[r["component"]]
+    assert set(got["component"]).issubset(set(got["section"]))
+
+    # every intra-corpus edge is within one component
+    edges = _docs(sf, ["doc_id", "spans"]).map_batches(
+        make_edge_extractor(BASE_DOMAIN),
+        batch_format="pyarrow").to_pandas()
+    n_cross = 0
+    for s, t in zip(edges["source_url"], edges["target_url"]):
+        a, b = _section_of(s), _section_of(t)
+        if a in comp and b in comp:
+            assert comp[a] == comp[b], (a, b)
+            n_cross += a != b
+    assert n_cross > 0  # fixture graph actually links across sections
