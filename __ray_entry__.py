@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "source", "lang"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_curate_ccnet(sf_dir):
+        from librecrawl_ray.pipelines.curate import curate_corpus_ccnet
+        out = curate_corpus_ccnet(_docs(sf_dir),
+                                  token_budget=BALANCE_BUDGET).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_curate_corpus(sf_dir):
         from librecrawl_ray.pipelines.curate import curate_corpus
         out = curate_corpus(_docs(sf_dir)).to_pandas()
@@ -327,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": q_reservoir_sample,
         "stratified_split": q_stratified_split,
         "curate_corpus": q_curate_corpus,
+        "curate_corpus_ccnet": q_curate_ccnet,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "segment_dedup": q_segment_dedup,
@@ -636,6 +643,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "curate_corpus": __import__(
             "librecrawl_ray.pipelines.curate",
             fromlist=["curate_corpus_sql"]).curate_corpus_sql(),
+        "curate_corpus_ccnet": __import__(
+            "librecrawl_ray.pipelines.curate",
+            fromlist=["curate_corpus_ccnet_sql"]).curate_corpus_ccnet_sql(
+                token_budget=BALANCE_BUDGET),
         "chunk_documents": __import__(
             "librecrawl_ray.functions.chunking",
             fromlist=["chunk_documents_sql"]).chunk_documents_sql(),

@@ -30,7 +30,8 @@ import ray.data as rd
 from ..functions import text as T
 from ..functions.sampling import MIXTURE_RATE_SQL_CASE, mixture_sample
 
-__all__ = ["curate_corpus", "curate_corpus_sql"]
+__all__ = ["curate_corpus", "curate_corpus_sql",
+           "curate_corpus_ccnet", "curate_corpus_ccnet_sql"]
 
 
 def _annotate(batch: pa.Table) -> pa.Table:
@@ -93,3 +94,141 @@ SELECT doc_id, source, lang_pred, n_words
 FROM __kept
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {MIXTURE_RATE_SQL_CASE}
 ORDER BY doc_id"""
+
+
+def curate_corpus_ccnet(ds: rd.Dataset, token_budget: int = 20_000,
+                        buckets: int = 32) -> rd.Dataset:
+    """The CCNet-shaped curation composition (Wenzek et al. 2020):
+    LM-quality tertile gate → exact dedup → token-budget mixture — the
+    recipe that keeps the BEST two thirds per language instead of
+    curate_corpus's hard lang/Gopher gate, then rebalances sources to a
+    token budget derived FROM the surviving data.
+
+      1. quality_buckets — per-language head/middle/tail at exact
+         lm_score tertiles; drop 'tail' (CCNet trains on head+middle)
+      2. join — attach (source, fingerprint) via the adaptive hash join
+         (narrow side: id + source + 16-char fp; text never shuffles)
+      3. dedup — first-wins min-id per fingerprint (bucketed)
+      4. balance — per-source rates min(budget·wₛ/Tₛ, 1) from the KEPT
+         rows' token totals (a |sources|-sized aggregate), applied as
+         the stateless md5-threshold filter
+
+    Output: (doc_id, source, lang, bucket, n_tokens). Exact DuckDB twin
+    in ``curate_corpus_ccnet_sql`` — every stage is deterministic, so
+    the whole composition hash-matches.
+    """
+    from ..functions.lm import quality_buckets
+    from ..functions.sampling import _hex8, rate_to_hex
+    from .reports import bucketed_agg, bucketed_groups, hash_join
+
+    scored = quality_buckets(ds, buckets=buckets) \
+        .filter(expr="bucket != 'tail'")
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "fingerprint": pa.array(
+                [T.fingerprint(t)
+                 for t in batch.column("text").to_pylist()], pa.string()),
+        })
+
+    side = ds.select_columns(["doc_id", "source", "text"]) \
+        .map_batches(fp_partial, batch_format="pyarrow")
+    joined = hash_join(scored, side, "doc_id", buckets=buckets)
+
+    def keep_min(df):
+        return df.sort_values("doc_id") \
+            .groupby("fingerprint", sort=False).head(1)
+
+    deduped = bucketed_groups(joined, "fingerprint", keep_min,
+                              buckets=buckets) \
+        .drop_columns(["fingerprint", "lm_score"])
+
+    def tok_partial(df):
+        return df.groupby("source", as_index=False) \
+            .agg(t=("n_tokens", "sum"))
+
+    totals = bucketed_agg(
+        deduped.map_batches(tok_partial, batch_format="pandas"),
+        "source", {"t": ("t", "sum")}, buckets=buckets).to_pandas()
+    k = len(totals)
+    tmap = dict(zip(totals["source"], totals["t"]))
+    thresholds = {
+        s: rate_to_hex(min((token_budget * (1.0 / k)) / tmap[s], 1.0))
+        for s in tmap}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = [_hex8(str(i)) < thresholds.get(s, "00000000")
+                for i, s in zip(ids, srcs)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return deduped.map_batches(keep, batch_format="pyarrow") \
+        .select_columns(["doc_id", "source", "lang", "bucket",
+                         "n_tokens"])
+
+
+def curate_corpus_ccnet_sql(table: str = "documents",
+                            token_budget: int = 20_000) -> str:
+    """DuckDB twin: the quality_buckets CTE chain + fingerprint
+    first-wins + the printf-hex rate thresholds, same float-op order."""
+    fp = T.FINGERPRINT_SQL.format(col="d.text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+  FROM {table}
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c)::DOUBLE AS total FROM counts),
+doc_tok AS (SELECT doc_id, lang, tok, COUNT(*) AS n FROM toks
+            GROUP BY doc_id, lang, tok),
+scored AS (
+  SELECT dt.doc_id, dt.lang,
+         SUM(dt.n)::BIGINT AS n_tokens,
+         ROUND(SUM(dt.n * LN(c.c)) / SUM(dt.n) - LN(t.total), 4)
+           AS lm_score
+  FROM doc_tok dt JOIN counts c USING (tok) CROSS JOIN tot t
+  GROUP BY dt.doc_id, dt.lang, t.total
+),
+th AS (
+  SELECT lang,
+         quantile_disc(lm_score, 1.0/3) AS q1,
+         quantile_disc(lm_score, 2.0/3) AS q2
+  FROM scored GROUP BY lang
+),
+labeled AS (
+  SELECT s.doc_id, s.lang, s.n_tokens,
+         CASE WHEN s.lm_score <= th.q1 THEN 'tail'
+              WHEN s.lm_score <= th.q2 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM scored s JOIN th USING (lang)
+),
+keep AS (
+  SELECT l.doc_id, d.source, l.lang, l.bucket, l.n_tokens,
+         {fp} AS fingerprint
+  FROM labeled l JOIN {table} d USING (doc_id)
+  WHERE l.bucket <> 'tail'
+),
+kept AS (
+  SELECT * FROM keep
+  QUALIFY row_number() OVER (PARTITION BY fingerprint
+                             ORDER BY doc_id) = 1
+),
+tot2 AS (SELECT source, SUM(n_tokens)::BIGINT AS t FROM kept
+         GROUP BY source),
+k2 AS (SELECT COUNT(*)::DOUBLE AS k FROM tot2),
+thr AS (
+  SELECT source,
+         printf('%08x', CAST(FLOOR(LEAST(
+             LEAST(({token_budget} * (1.0 / k2.k)) / t, 1.0)
+             * 4294967296.0, 4294967295.0)) AS BIGINT)) AS th
+  FROM tot2 CROSS JOIN k2
+)
+SELECT kept.doc_id, kept.source, kept.lang, kept.bucket, kept.n_tokens
+FROM kept JOIN thr USING (source)
+WHERE substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 8) < thr.th
+ORDER BY kept.doc_id
+"""

@@ -1411,3 +1411,46 @@ def test_pq_topk_exact_config_and_recall(emb_ds):
         codes2["pq_code"].map(tuple).tolist()
     M, K, sd = cb.shape
     assert all(0 <= c < K for cs in codes1["pq_code"] for c in cs)
+
+
+def test_curate_corpus_ccnet_stages(docs_ds):
+    """The CCNet composition's stage semantics: no tail-bucket docs, no
+    duplicate fingerprints, every kept doc passes its source's
+    md5-threshold, and kept == an independent recount of the chain."""
+    import hashlib
+
+    from librecrawl_ray.functions.lm import quality_buckets
+    from librecrawl_ray.functions.sampling import rate_to_hex
+    from librecrawl_ray.functions.text import fingerprint
+    from librecrawl_ray.pipelines.curate import curate_corpus_ccnet
+
+    budget = 20_000
+    got = curate_corpus_ccnet(docs_ds, token_budget=budget).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(got["bucket"]) <= {"head", "middle"}
+
+    scored = quality_buckets(docs_ds).to_pandas()
+    rows = docs_ds.select_columns(
+        ["doc_id", "source", "text"]).take_all()
+    meta = {r["doc_id"]: (r["source"], fingerprint(r["text"]))
+            for r in rows}
+
+    kept, seen_fp = [], set()
+    for _, r in scored[scored["bucket"] != "tail"] \
+            .sort_values("doc_id").iterrows():
+        src, fp = meta[r["doc_id"]]
+        if fp in seen_fp:
+            continue
+        seen_fp.add(fp)
+        kept.append((int(r["doc_id"]), src, r["lang"], r["bucket"],
+                     int(r["n_tokens"])))
+    totals: dict = {}
+    for d, s, lg, b, n in kept:
+        totals[s] = totals.get(s, 0) + n
+    k = len(totals)
+    want = [(d, s, lg, b, n) for d, s, lg, b, n in kept
+            if hashlib.md5(str(d).encode()).hexdigest()[:8]
+            < rate_to_hex(min((budget * (1.0 / k)) / totals[s], 1.0))]
+    assert list(map(tuple, got.itertuples(index=False, name=None))) \
+        == want
+    assert 0 < len(got) < len(scored)
