@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.decontam import decontaminate
         return decontaminate(_docs(sf_dir), n=5).to_pandas()
 
+    def q_dedup_rates(sf_dir):
+        from librecrawl_ray.functions.stats import dedup_rates
+        return dedup_rates(_docs(sf_dir)).to_pandas()
+
     def q_dataset_stats(sf_dir):
         from librecrawl_ray.functions.stats import dataset_stats
         return dataset_stats(_docs(sf_dir)).to_pandas()
@@ -345,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "decontaminate": q_decontaminate,
         "dataset_stats": q_dataset_stats,
+        "dedup_rates": q_dedup_rates,
         "length_quantiles": q_length_quantiles,
         "normalize_text": q_normalize_text,
         "semantic_dedup": q_semantic_dedup,
@@ -678,6 +683,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "dataset_stats": __import__(
             "librecrawl_ray.functions.stats",
             fromlist=["dataset_stats_sql"]).dataset_stats_sql(),
+        "dedup_rates": __import__(
+            "librecrawl_ray.functions.stats",
+            fromlist=["dedup_rates_sql"]).dedup_rates_sql(),
         "length_quantiles": __import__(
             "librecrawl_ray.functions.stats",
             fromlist=["length_quantiles_sql"]).length_quantiles_sql(),

@@ -268,3 +268,68 @@ JOIN sizes sa ON sa.{group_col} = i.s1
 JOIN sizes sb ON sb.{group_col} = i.s2
 ORDER BY i.s1, i.s2
 """
+
+
+def dedup_rates(ds: rd.Dataset, group_col: str = "source",
+                text_col: str = "text", buckets: int = 32) -> pa.Table:
+    """Per-source duplication diagnostics — the dashboard number a
+    curation run checks BEFORE paying for a full dedup pass: doc count,
+    EXACT distinct-fingerprint count, and the duplicate rate.
+
+    Shape: per-batch (group, fingerprint) DISTINCT partials collapse each
+    block before the shuffle; a fingerprint-bucketed global dedup gives
+    the exact distinct count (same machinery as dataset_stats' distinct
+    docs — never an all-pairs or a full-row shuffle); doc counts ride the
+    same partials. Output (group, n_docs, n_unique, dup_rate)."""
+    from collections import Counter
+
+    from ..pipelines.reports import bucketed_agg, bucketed_groups
+    from .text import fingerprint
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group_col).to_pylist()
+        fps = [fingerprint(t)
+               for t in batch.column(text_col).to_pylist()]
+        pair_counts = Counter(zip(gs, fps))
+        g2, f2, n2 = [], [], []
+        for (g, f), n in pair_counts.items():
+            g2.append(g)
+            f2.append(f)
+            n2.append(n)
+        return pa.table({group_col: pa.array(g2, pa.string()),
+                         "fingerprint": pa.array(f2, pa.string()),
+                         "n": pa.array(n2, pa.int64())})
+
+    # global (group, fp, total n) — bucketed by fp so each pair lands once
+    merged = bucketed_agg(
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col, "fingerprint"], {"n": ("n", "sum")},
+        bucket_on="fingerprint")
+
+    def per_group(df):
+        return df.groupby(group_col, as_index=False).agg(
+            n_docs=("n", "sum"), n_unique=("fingerprint", "size"))
+
+    out = bucketed_groups(merged, group_col, per_group,
+                          buckets=buckets).to_pandas()
+    out = out.groupby(group_col, as_index=False).sum(numeric_only=True)
+    out["dup_rate"] = (1.0 - out["n_unique"] / out["n_docs"]).round(6)
+    out = out.sort_values(group_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_rates_sql(table: str = "documents", group_col: str = "source",
+                    text_col: str = "text") -> str:
+    from .text import FINGERPRINT_SQL
+    fp = FINGERPRINT_SQL.format(col=text_col)
+    return f"""
+SELECT {group_col},
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT {fp})::BIGINT AS n_unique,
+       ROUND(1.0 - COUNT(DISTINCT {fp}) / COUNT(*)::DOUBLE, 6)
+         AS dup_rate
+FROM {table}
+GROUP BY {group_col}
+ORDER BY {group_col}
+"""

@@ -1454,3 +1454,22 @@ def test_curate_corpus_ccnet_stages(docs_ds):
     assert list(map(tuple, got.itertuples(index=False, name=None))) \
         == want
     assert 0 < len(got) < len(scored)
+
+
+def test_dedup_rates_recount(docs_ds):
+    """dedup_rates == a direct pandas recount; duplicate-bearing fixture
+    sources show dup_rate > 0 and all-unique ones exactly 0."""
+    from librecrawl_ray.functions.stats import dedup_rates
+    from librecrawl_ray.functions.text import fingerprint
+
+    got = dedup_rates(docs_ds).to_pandas()
+    df = docs_ds.select_columns(["doc_id", "source", "text"]).to_pandas()
+    df["fp"] = df["text"].map(fingerprint)
+    want = df.groupby("source").agg(
+        n_docs=("fp", "size"), n_unique=("fp", "nunique")).reset_index()
+    want["dup_rate"] = (1.0 - want["n_unique"] / want["n_docs"]).round(6)
+    want = want.sort_values("source").reset_index(drop=True)
+    assert got.to_dict("list") == want.to_dict("list")
+    # the sf0.001 fixture has no within-source exact dups; the rate math
+    # is pinned by the recount above and the sf0.01 driver oracle
+    assert (got["n_unique"] <= got["n_docs"]).all()
