@@ -382,14 +382,14 @@ def crawl_section_components_sql(path: str) -> str:
                f"'//', 2), '/', 2), '?', 1)")
     return f"""
 WITH RECURSIVE
-nodes AS (SELECT DISTINCT {sec_src} AS section
+nodes AS MATERIALIZED (SELECT DISTINCT {sec_src} AS section
           FROM read_parquet('{path}')),
-raw AS (SELECT DISTINCT {sec_src} AS src, {sec_dst} AS dst
+raw AS MATERIALIZED (SELECT DISTINCT {sec_src} AS src, {sec_dst} AS dst
         FROM (SELECT doc_id, host,
                      unnest(list_filter(spans,
                         s -> s.kind LIKE 'link%' AND {LINK_KEEP_SQL})) AS u
               FROM read_parquet('{path}'))),
-uedges AS (
+uedges AS MATERIALIZED (
   SELECT src, dst FROM raw
   WHERE src <> dst AND dst IN (SELECT section FROM nodes)
   UNION
