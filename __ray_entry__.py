@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.winnow_neardup_pairs(_docs(sf_dir),
                                       min_shared=12).to_pandas()
 
+    def q_containment_pairs(sf_dir):
+        return D.containment_pairs(_docs(sf_dir),
+                                   threshold=0.5).to_pandas()
+
     def q_neardup_clusters(sf_dir):
         return D.neardup_clusters(_docs(sf_dir), threshold=0.5).to_pandas()
 
@@ -326,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "winnow_neardup": q_winnow_neardup,
+        "containment_pairs": q_containment_pairs,
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -627,6 +632,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "top_similar_pairs": top_similar_pairs_sql,
         "minhash_lsh_pairs": minhash_sql,
         "winnow_neardup": winnow_sql,
+        "containment_pairs": __import__(
+            "librecrawl_ray.functions.dedup",
+            fromlist=["containment_pairs_sql"]).containment_pairs_sql(
+                threshold=0.5),
         "neardup_clusters": neardup_clusters_sql,
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce

@@ -472,6 +472,147 @@ def winnow_neardup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                                 preserve_index=False)
 
 
+def containment_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      prefix: int | None = 512,
+                      buckets: int = 32) -> pa.Table:
+    """ASYMMETRIC containment detection over winnowing sketches: ordered
+    pairs where |fp(a) ∩ fp(b)| / |fp(a)| ≥ threshold — the
+    quote/boilerplate/article-plus-chrome case symmetric Jaccard misses
+    (a short doc fully quoted inside a long one has tiny Jaccard but
+    containment ≈ 1; Lee et al. 2022 dedup uses exactly this signal to
+    drop the contained copy).
+
+    Shape: the same fp-bucketed pair expansion + int-bucketed pair count
+    as winnow_neardup_pairs (shared counts are symmetric — computed once
+    per unordered pair), then per-doc sketch sizes attach through the
+    adaptive hash join (broadcast under the threshold, bucketed above)
+    and each direction thresholds independently. Output (id_a, id_b,
+    shared, size_a, containment): 'id_a is contained in id_b'.
+    """
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_groups, hash_join
+    from .text import winnow_fingerprints
+
+    def to_fps(batch: pa.Table) -> pa.Table:
+        out_id, out_f = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for f in winnow_fingerprints(t, prefix=prefix):
+                out_id.append(i)
+                out_f.append(f)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "f": pa.array(out_f, pa.string())})
+
+    # materialized because BOTH the pair expansion and the size
+    # aggregate read it (narrow id+8-hex rows — plasma-spillable; a
+    # production run persists this sketch table to parquet instead, the
+    # same side-table discipline as write_cluster_assignments)
+    flat = ds.select_columns([id_col, text_col]) \
+             .map_batches(to_fps, batch_format="pyarrow").materialize()
+    # winnow minima are distinct per doc, so |fp(doc)| = the doc's flat
+    # row count — derived from the SAME stream, no second fingerprint pass
+    from ..pipelines.reports import bucketed_agg
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter(batch.column("id").to_pylist())
+        return pa.table({"id_a": pa.array(list(c.keys()), pa.int64()),
+                         "size_a": pa.array(list(c.values()), pa.int64())})
+
+    sizes = bucketed_agg(
+        flat.map_batches(size_partial, batch_format="pyarrow"),
+        "id_a", {"size_a": ("size_a", "sum")}, buckets=buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, g in df.groupby("f", sort=False):
+            ids = sorted(set(g["id"]))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    rows_a.append(ids[x])
+                    rows_b.append(ids[y])
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
+
+    pairs = bucketed_groups(flat, "f", per_bucket, buckets=buckets)
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        bk = ((a * np.int64(2654435761) + b) % buckets).astype("int32")
+        return batch.append_column("__bucket", pa.array(bk))
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_a", "id_b"], sort=False)
+                .size().reset_index(name="shared"))
+
+    counted = (pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(lambda df: count_bucket(
+                   df.drop(columns="__bucket")), batch_format="pandas"))
+
+    # both directions, then attach |fp(id_a)| and threshold per direction
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a")
+        b = batch.column("id_b")
+        sh = batch.column("shared")
+        return pa.table({
+            "id_a": pa.concat_arrays([a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a,
+                                      b.combine_chunks()
+                                      if isinstance(b, pa.ChunkedArray)
+                                      else b]),
+            "id_b": pa.concat_arrays([b.combine_chunks()
+                                      if isinstance(b, pa.ChunkedArray)
+                                      else b,
+                                      a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a]),
+            "shared": pa.concat_arrays(
+                [sh.combine_chunks() if isinstance(sh, pa.ChunkedArray)
+                 else sh] * 2)})
+
+    directed = counted.map_batches(both_dirs, batch_format="pyarrow")
+    joined = hash_join(directed, sizes, "id_a", buckets=buckets)
+
+    out = joined.to_pandas()
+    out["containment"] = (out["shared"] / out["size_a"]).round(6)
+    out = out[out["shared"] / out["size_a"] >= threshold]
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("shared", pa.int64()), ("size_a", pa.int64()),
+                        ("containment", pa.float64())])
+    if out.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b", "shared", "size_a", "containment"]],
+        schema=schema, preserve_index=False)
+
+
+def containment_pairs_sql(table: str = "documents",
+                          threshold: float = 0.8,
+                          prefix: int = 512) -> str:
+    """DuckDB twin over the same winnowing CTE chain."""
+    from .text import winnow_fps_cte
+    return f"""
+WITH fps AS MATERIALIZED ({winnow_fps_cte(table, prefix=prefix)}),
+flat AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+sizes AS (SELECT doc_id, len(fp)::BIGINT AS sz FROM fps),
+sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       FROM flat a JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+bidi AS (SELECT id_a, id_b, shared FROM sh
+         UNION ALL SELECT id_b, id_a, shared FROM sh)
+SELECT b.id_a, b.id_b, b.shared::BIGINT AS shared, s.sz AS size_a,
+       ROUND(b.shared / s.sz::DOUBLE, 6) AS containment
+FROM bidi b JOIN sizes s ON s.doc_id = b.id_a
+WHERE b.shared / s.sz::DOUBLE >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------- semantic dedup
 
 SEMANTIC_SCHEMA = pa.schema([("vec_id", pa.int64()),

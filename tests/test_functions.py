@@ -1473,3 +1473,34 @@ def test_dedup_rates_recount(docs_ds):
     # the sf0.001 fixture has no within-source exact dups; the rate math
     # is pinned by the recount above and the sf0.01 driver oracle
     assert (got["n_unique"] <= got["n_docs"]).all()
+
+
+def test_containment_pairs_asymmetric(docs_ds):
+    """Containment == a set-arithmetic recount over per-doc winnow
+    sketches, and the signal is genuinely asymmetric: the fixture has
+    (a ⊂ b) pairs where the reverse direction fails the threshold."""
+    from librecrawl_ray.functions.dedup import containment_pairs
+    from librecrawl_ray.functions.text import winnow_fingerprints
+
+    thr = 0.5
+    got = containment_pairs(docs_ds, threshold=thr).to_pandas()
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    fps = {r["doc_id"]: set(winnow_fingerprints(r["text"], prefix=512))
+           for r in rows}
+    want = []
+    ids = sorted(fps)
+    for a in ids:
+        for b in ids:
+            if a == b or not fps[a]:
+                continue
+            shared = len(fps[a] & fps[b])
+            c = shared / len(fps[a])
+            if c >= thr:
+                want.append((a, b, shared, len(fps[a]), round(c, 6)))
+    want.sort()
+    assert list(map(tuple, got.itertuples(index=False, name=None))) \
+        == want
+    directed = {(a, b) for a, b, *_ in want}
+    assert any((b, a) not in directed for a, b in directed), \
+        "fixture should exercise the asymmetric case"
