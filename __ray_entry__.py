@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_section_components": C.crawl_section_components,
+        "crawl_trap_signatures": C.crawl_trap_signatures,
         # rows-only entries (no SQL twin) deliberately last: if the
         # driver's sweep budget cuts the tail, full-oracle rows survive
         "crawl_neardup": C.crawl_neardup,
@@ -750,4 +751,5 @@ ORDER BY doc_id"""
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)
         out["crawl_section_components"] = \
             C.crawl_section_components_sql(path)
+        out["crawl_trap_signatures"] = C.crawl_trap_signatures_sql(path)
     return out

@@ -291,6 +291,66 @@ def crawl_host_sizes_sql(path: str) -> str:
             f"FROM read_parquet('{path}') GROUP BY host ORDER BY host")
 
 
+def crawl_trap_signatures(sf_dir: str, min_urls: int = 2) -> pd.DataFrame:
+    """Trap-signature frequency report (T4's observable face): collapse
+    every corpus URL to its trap signature (host + path with digit runs
+    and UUIDs collapsed — canonical.url_signature) and count URLs per
+    signature. The signatures crossing the engine's trap threshold are
+    exactly the ones the gate starts rejecting; this query is the audit
+    view an operator reads to see WHICH url families tripped it.
+
+    Shape: per-batch signature Counter partials → bucketed sum (the
+    shuffle ships (signature, count), never URLs)."""
+    from ..canonical import url_signature
+    from .reports import bucketed_agg
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter(url_signature(u)
+                    for u in batch.column("doc_id").to_pylist())
+        return pa.table({
+            "signature": pa.array(list(c.keys()), pa.string()),
+            "n_urls": pa.array(list(c.values()), pa.int64())})
+
+    out = bucketed_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       "signature",
+                       {"n_urls": ("n_urls", "sum")}).to_pandas()
+    out = out[out["n_urls"] >= min_urls]
+    return out.sort_values("signature").reset_index(drop=True)
+
+
+def crawl_trap_signatures_sql(path: str, min_urls: int = 2) -> str:
+    """DuckDB twin of url_signature: netloc lowercased + www-stripped,
+    path query/fragment-free, UUIDs then digit runs collapsed to the
+    same literal replacement tokens."""
+    return f"""
+WITH parts AS (
+  SELECT split_part(doc_id, '//', 2) AS rest FROM read_parquet('{path}')
+),
+split AS (
+  SELECT lower(split_part(rest, '/', 1)) AS netloc,
+         CASE WHEN strpos(rest, '/') = 0 THEN ''
+              ELSE split_part(split_part(
+                     substr(rest, strpos(rest, '/')), '?', 1), '#', 1)
+         END AS path
+  FROM parts
+),
+sigs AS (
+  SELECT (CASE WHEN netloc LIKE 'www.%' THEN substr(netloc, 5)
+               ELSE netloc END) ||
+         regexp_replace(regexp_replace(path,
+             '[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}',
+             '\\\\uuid', 'g'), '\\d+', '\\\\d+', 'g') AS signature
+  FROM split
+)
+SELECT signature, COUNT(*)::BIGINT AS n_urls
+FROM sigs GROUP BY signature HAVING COUNT(*) >= {min_urls}
+ORDER BY signature
+"""
+
+
 def _section_of(url: str) -> str:
     """host/first-path-segment node key (query-stripped), mirroring the
     SQL split_part chain exactly: '' segment for the root."""

@@ -678,3 +678,24 @@ def test_crawl_section_components_invariants(ray_session):
             assert comp[a] == comp[b], (a, b)
             n_cross += a != b
     assert n_cross > 0  # fixture graph actually links across sections
+
+
+def test_crawl_trap_signatures_matches_python(ray_session):
+    """The query's signature collapse == canonical.url_signature applied
+    row-wise, including the UUID and digit-run tokens."""
+    from collections import Counter
+
+    from librecrawl_ray.canonical import url_signature
+    from librecrawl_ray.pipelines.crawl_queries import (
+        _docs, crawl_trap_signatures)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_trap_signatures(sf)
+    urls = [r["doc_id"]
+            for r in _docs(sf, ["doc_id"]).take_all()]
+    c = Counter(url_signature(u) for u in urls)
+    want = sorted((s, n) for s, n in c.items() if n >= 2)
+    assert list(map(tuple, got.itertuples(index=False, name=None))) \
+        == want
+    assert any(
+        "\\d+" in s for s, _ in want), "fixture has digit-collapsed sigs"
