@@ -578,7 +578,11 @@ def containment_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     joined = hash_join(directed, sizes, "id_a", buckets=buckets)
 
     out = joined.to_pandas()
-    out["containment"] = (out["shared"] / out["size_a"]).round(6)
+    # half-away at 6 dp matching DuckDB ROUND (pandas .round is
+    # half-even and diverges on exact .5e-6 ratio boundaries, e.g.
+    # shared/size_a = 1/640)
+    out["containment"] = np.floor(
+        out["shared"] / out["size_a"] * 1e6 + 0.5) / 1e6
     out = out[out["shared"] / out["size_a"] >= threshold]
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),

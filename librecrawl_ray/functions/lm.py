@@ -37,13 +37,28 @@ _TOKEN_RE = re.compile(r"\w+")
 
 
 def train_unigram_lm(ds: rd.Dataset, text_col: str = "text",
-                     min_count: int = 1) -> tuple["ray.ObjectRef", float]:
+                     min_count: int = 1,
+                     max_vocab: int | None = 5_000_000
+                     ) -> tuple["ray.ObjectRef", float]:
     """One pass over ``ds`` → (broadcast {token: ln(count)}, ln(total)).
 
     ``min_count`` drops rare tokens from the vocabulary (they score at the
     OOV floor ln(1/total) — the reference-corpus smoothing CCNet applies
     through KenLM's backoff). Total counts all token occurrences, kept
     tokens or not, so the distribution stays a distribution.
+
+    ``max_vocab`` bounds the broadcast AND the driver copy by default: on
+    a 100-TB web corpus the raw vocabulary (typo/hash-garbage tail) is
+    billions of terms, so an uncapped {token: ln count} dict would sink
+    the driver long before any worker. When the MEASURED vocabulary
+    exceeds the cap, only the top-``max_vocab`` tokens by (count DESC,
+    token ASC — deterministic) are kept, via a distributed sort+limit on
+    the (token, count) table; everything cut scores at the same OOV
+    floor min_count already routes through, so the cap composes with the
+    existing smoothing rather than adding a new semantics. ``None``
+    restores the exact unbounded mode (the SQL-twin configuration —
+    fixtures sit far under the default cap, so the twin is exact there).
+    ``total`` is summed over ALL tokens before any cut.
     """
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -53,10 +68,15 @@ def train_unigram_lm(ds: rd.Dataset, text_col: str = "text",
                          "count": pa.array(list(c.values()), pa.int64())})
 
     from ..pipelines.reports import bucketed_agg
-    vocab = bucketed_agg(
+    vocab_ds = bucketed_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        "token", {"count": ("count", "sum")}).to_pandas()
-    total = int(vocab["count"].sum())
+        "token", {"count": ("count", "sum")}).materialize()
+    total = int(vocab_ds.sum("count"))
+    if max_vocab is not None and vocab_ds.count() > max_vocab:
+        vocab_ds = vocab_ds.sort(["count", "token"],
+                                 descending=[True, False]) \
+            .limit(max_vocab)
+    vocab = vocab_ds.to_pandas()
     kept = vocab[vocab["count"] >= min_count]
     logc = {t: math.log(c) for t, c in zip(kept["token"], kept["count"])}
     return ray.put(logc), math.log(total)

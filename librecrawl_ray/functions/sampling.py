@@ -117,8 +117,12 @@ def balance_mixture(ds: rd.Dataset, token_budget: int,
     srcs = sorted(totals[source_col])
     w = target_weights or {s: 1.0 / len(srcs) for s in srcs}
     tmap = dict(zip(totals[source_col], totals["t"]))
+    # sources absent from explicit target_weights get weight 0 (excluded
+    # from the mixture, not a KeyError); zero-token sources sample at
+    # rate 0 rather than dividing by zero
     thresholds = {
-        s: rate_to_hex(min((token_budget * w[s]) / tmap[s], 1.0))
+        s: rate_to_hex(min((token_budget * w.get(s, 0.0)) / tmap[s], 1.0)
+                       if tmap[s] > 0 else 0.0)
         for s in srcs}
 
     def keep(batch: pa.Table) -> pa.Table:

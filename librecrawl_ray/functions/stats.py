@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -314,7 +315,10 @@ def dedup_rates(ds: rd.Dataset, group_col: str = "source",
     out = bucketed_groups(merged, group_col, per_group,
                           buckets=buckets).to_pandas()
     out = out.groupby(group_col, as_index=False).sum(numeric_only=True)
-    out["dup_rate"] = (1.0 - out["n_unique"] / out["n_docs"]).round(6)
+    # half-away at 6 dp matching DuckDB ROUND (pandas .round is
+    # half-even and diverges on exact .5e-6 ratio boundaries)
+    out["dup_rate"] = np.floor(
+        (1.0 - out["n_unique"] / out["n_docs"]) * 1e6 + 0.5) / 1e6
     out = out.sort_values(group_col).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -31,7 +31,8 @@ from ..functions import text as T
 from ..functions.sampling import MIXTURE_RATE_SQL_CASE, mixture_sample
 
 __all__ = ["curate_corpus", "curate_corpus_sql",
-           "curate_corpus_ccnet", "curate_corpus_ccnet_sql"]
+           "curate_corpus_ccnet", "curate_corpus_ccnet_sql",
+           "curate_corpus_containment", "curate_corpus_containment_sql"]
 
 
 def _annotate(batch: pa.Table) -> pa.Table:
@@ -231,4 +232,81 @@ SELECT kept.doc_id, kept.source, kept.lang, kept.bucket, kept.n_tokens
 FROM kept JOIN thr USING (source)
 WHERE substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 8) < thr.th
 ORDER BY kept.doc_id
+"""
+
+
+def curate_corpus_containment(ds: rd.Dataset, threshold: float = 0.5,
+                              prefix: int | None = 512,
+                              buckets: int = 32) -> rd.Dataset:
+    """Containment-gated curation: drop every document whose winnowing
+    sketch is >= threshold contained in another document's sketch — the
+    quoted-copy / article-plus-boilerplate signal (Lee et al. 2022) that
+    symmetric near-dup gates miss, composed into a corpus filter.
+
+    Drop rule (deterministic, order-free): a document ``a`` is dropped
+    iff some directed pair (a contained-in b) passed the threshold AND
+    NOT (b is also contained in a with a < b). Strictly-contained docs
+    always drop; mutually-contained (near-identical) groups keep the
+    smallest doc_id; containment chains a⊂b⊂c keep only the outermost.
+
+    Scale shape: the pair detection is ``containment_pairs`` (fp-bucketed
+    shuffle of narrow sketch rows — text never moves); the surviving
+    pair table is near-dup-pair-sized (bounded, same budget as
+    ``neardup_clusters``'s union-find input), and the resulting drop set
+    is id-only, broadcast ONCE via ``ray.put`` and applied as a
+    stateless ``pc.is_in`` batch filter — the ``incremental_dedup``
+    broadcast-set shape. At 10^10-drop scale the broadcast becomes a
+    bucketed anti-join on doc_id ranges; the broadcast form is exact and
+    right whenever the drop set fits a worker heap (~10^8 ids).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.dedup import containment_pairs
+
+    pairs = containment_pairs(ds, threshold=threshold, prefix=prefix,
+                              buckets=buckets)
+    pairset = set(zip(pairs.column("id_a").to_pylist(),
+                      pairs.column("id_b").to_pylist()))
+    drops = sorted({a for (a, b) in pairset
+                    if (b, a) not in pairset or b < a})
+    ref = ray.put(pa.array(drops, pa.int64()))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        drop_arr = ray.get(ref)
+        return batch.filter(pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=drop_arr)))
+
+    return ds.select_columns(["doc_id", "source", "lang"]) \
+        .map_batches(gate, batch_format="pyarrow")
+
+
+def curate_corpus_containment_sql(table: str = "documents",
+                                  threshold: float = 0.5,
+                                  prefix: int = 512) -> str:
+    """DuckDB twin: the containment_pairs CTE chain, the same drop rule
+    as an anti-join, projected to (doc_id, source, lang)."""
+    from ..functions.text import winnow_fps_cte
+    return f"""
+WITH fps AS MATERIALIZED ({winnow_fps_cte(table, prefix=prefix)}),
+flat AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+sizes AS (SELECT doc_id, len(fp)::BIGINT AS sz FROM fps),
+sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       FROM flat a JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+bidi AS (SELECT id_a, id_b, shared FROM sh
+         UNION ALL SELECT id_b, id_a, shared FROM sh),
+pairs AS MATERIALIZED (
+  SELECT b.id_a, b.id_b
+  FROM bidi b JOIN sizes s ON s.doc_id = b.id_a
+  WHERE b.shared / s.sz::DOUBLE >= {threshold}),
+drops AS (
+  SELECT DISTINCT p.id_a
+  FROM pairs p
+  LEFT JOIN pairs q ON q.id_a = p.id_b AND q.id_b = p.id_a
+  WHERE q.id_a IS NULL OR p.id_b < p.id_a)
+SELECT d.doc_id, d.source, d.lang
+FROM {table} d
+WHERE d.doc_id NOT IN (SELECT id_a FROM drops)
+ORDER BY d.doc_id
 """

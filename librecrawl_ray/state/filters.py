@@ -107,7 +107,6 @@ class CuckooFilter:
         fps = self._fp(keys)
         i1s = keys & self.mask
         tbl = self.table
-        rng = np.uint64(0x9E3779B97F4A7C15)
         for fp, i1 in zip(fps.tolist(), i1s.tolist()):
             placed = False
             for idx in (i1, int(self._alt(np.uint64(i1),
@@ -121,12 +120,21 @@ class CuckooFilter:
             if placed:
                 self.count += 1
                 continue
-            # relocate: kick a deterministic victim slot until a hole
+            # relocate: the victim slot is derived from the CURRENT walk
+            # state (bucket, in-hand fp, kick number) — a sequence fixed
+            # per insert and independent of the walk can cycle through
+            # the same slots and report over-capacity while holes remain;
+            # state-derived choice breaks cycles yet stays deterministic
+            # (reproducible shards, no RNG state to checkpoint)
             idx, cur = i1, fp
-            seed = np.uint64(i1) * rng
+            path: list[tuple[int, int]] = []   # swap log for unwind
             for kick in range(self.MAX_KICKS):
-                victim = int((seed >> np.uint64(kick % 60)) & np.uint64(3)) \
-                    % self.slots
+                mix = ((idx * 0x9E3779B97F4A7C15)
+                       ^ (cur * 0xC2B2AE3D27D4EB4F)
+                       ^ (kick * 0x165667B19E3779F9)) \
+                    & 0xFFFFFFFFFFFFFFFF
+                victim = int((mix >> 29) & 0xFFFF) % self.slots
+                path.append((idx, victim))
                 cur, tbl[idx][victim] = int(tbl[idx][victim]), cur
                 idx = int(self._alt(np.uint64(idx), np.uint16(cur)))
                 row = tbl[idx]
@@ -136,6 +144,12 @@ class CuckooFilter:
                     cur = None
                     break
             if cur is not None:
+                # unwind the kick path so every PREVIOUSLY admitted
+                # fingerprint is back in the table (abandoning the
+                # in-flight victim would silently turn an admitted key
+                # into a false negative); only the NEW key fails
+                for b, s in reversed(path):
+                    cur, tbl[b][s] = int(tbl[b][s]), cur
                 raise RuntimeError(
                     "cuckoo filter over capacity — size shards for "
                     f"{self.capacity} keys at 95% load")

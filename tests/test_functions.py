@@ -1504,3 +1504,107 @@ def test_containment_pairs_asymmetric(docs_ds):
     directed = {(a, b) for a, b, *_ in want}
     assert any((b, a) not in directed for a, b in directed), \
         "fixture should exercise the asymmetric case"
+
+
+def test_balance_mixture_partial_weights_and_zero_tokens(ray_session):
+    """Explicit target_weights missing a source excludes that source
+    (weight 0) instead of raising KeyError; a zero-token source samples
+    at rate 0 instead of dividing by zero."""
+    import ray.data as rd
+
+    from librecrawl_ray.functions.sampling import balance_mixture
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "source": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+        "text": ["alpha beta gamma delta " * 5] * 20 + [""] * 10,
+    })
+    ds = rd.from_arrow(tbl)
+    out = balance_mixture(ds, token_budget=10**9,
+                          target_weights={"a": 1.0}).to_pandas()
+    assert set(out["source"]) == {"a"}          # b, c excluded, no error
+    assert len(out) == 10                       # rate capped at 1
+    out2 = balance_mixture(ds, token_budget=10**9).to_pandas()
+    assert not (out2["source"] == "c").any()    # zero-token: rate 0
+    assert set(out2["source"]) == {"a", "b"}
+
+
+def test_tfidf_join_path_matches_broadcast(docs_ds):
+    """The exact bucketed-join scale path (vocab over the broadcast cap)
+    is bit-identical to the broadcast path."""
+    from librecrawl_ray.functions.tfidf import tfidf_top_terms
+
+    want = tfidf_top_terms(docs_ds, k=5).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    got = tfidf_top_terms(docs_ds, k=5, max_broadcast_vocab=10) \
+        .to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)[want.columns.tolist()]
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_unigram_lm_vocab_cap(ray_session):
+    """max_vocab bounds the broadcast dict on an adversarial vocabulary
+    (every doc contributes unique garbage tokens); cut tokens score at
+    the OOV floor and ln(total) still covers ALL occurrences."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from librecrawl_ray.functions.lm import lm_score, train_unigram_lm
+
+    rows = [f"common words here junk{i}a junk{i}b junk{i}c"
+            for i in range(100)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "text": rows}))
+    ref, ln_total = train_unigram_lm(ds, max_vocab=50)
+    vocab = ray.get(ref)
+    assert len(vocab) <= 50
+    # top-by-count kept: the three common tokens appear in every doc
+    assert {"common", "words", "here"} <= set(vocab)
+    # total covers all occurrences (6 tokens x 100 docs), cut or not
+    assert math.isclose(ln_total, math.log(600))
+    scored = lm_score(ds, ref, ln_total).to_pandas()
+    assert len(scored) == 100 and scored["lm_score"].notna().all()
+    # uncapped mode unchanged
+    ref2, t2 = train_unigram_lm(ds, max_vocab=None)
+    assert len(ray.get(ref2)) == 3 + 300 and t2 == ln_total
+
+
+def test_curate_corpus_containment_matches_duckdb(docs_ds):
+    """Containment-gated curation == its DuckDB twin (pair chain + drop
+    rule + anti-join), and the drop rule's invariants hold: dropped docs
+    each have a surviving container unless mutually-contained with a
+    smaller id."""
+    import duckdb
+
+    from librecrawl_ray.functions.dedup import containment_pairs
+    from librecrawl_ray.pipelines.curate import (
+        curate_corpus_containment, curate_corpus_containment_sql)
+
+    got = curate_corpus_containment(docs_ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(
+        curate_corpus_containment_sql(threshold=0.5)).fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+
+    pairs = containment_pairs(docs_ds, threshold=0.5)
+    pairset = set(zip(pairs.column("id_a").to_pylist(),
+                      pairs.column("id_b").to_pylist()))
+    kept = set(got["doc_id"])
+    all_ids = set(r["doc_id"]
+                  for r in docs_ds.select_columns(["doc_id"]).take_all())
+    dropped = all_ids - kept
+    assert dropped, "fixtures contain contained near-copies"
+    # the drop rule, recomputed independently from the pair table:
+    # a drops iff strictly contained somewhere, or mutually contained
+    # with a smaller id
+    want_drops = {a for (a, b) in pairset
+                  if (b, a) not in pairset or b < a}
+    assert dropped == want_drops

@@ -134,3 +134,28 @@ def test_cuckoo_delete():
     assert cf.count == len(rest)
     # deleting an absent key reports False and is a no-op
     assert not cf.delete_many(victims[:10]).any()
+
+
+def test_cuckoo_overflow_unwind_keeps_admitted_keys():
+    """When an insert fails at MAX_KICKS the kick path is unwound: every
+    PREVIOUSLY admitted key must still answer present (the pre-fix bug
+    dropped the in-flight evicted fingerprint, silently turning an
+    admitted key into a false negative)."""
+    from librecrawl_ray.state.filters import CuckooFilter
+    rng = np.random.RandomState(3)
+    cf = CuckooFilter(capacity=64)       # 64 buckets x 4 slots = 256
+    keys = np.unique(rng.randint(0, 2**63, size=4000).astype(np.uint64))
+    admitted = []
+    raised = False
+    for k in keys:
+        try:
+            cf.add_many(np.array([k], dtype=np.uint64))
+            admitted.append(k)
+        except RuntimeError:
+            raised = True
+            break
+    assert raised, "filter never overflowed — test setup wrong"
+    adm = np.array(admitted, dtype=np.uint64)
+    # the cuckoo no-false-negative invariant survives the failed insert
+    assert cf.contains_many(adm).all()
+    assert cf.count == len(admitted)
