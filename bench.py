@@ -167,6 +167,57 @@ def run_bench() -> None:
     big_c = max(cells_sum["waves"], key=lambda w: w["fetched"])
     cells_sustained = round(big_c["fetched"] / big_c["elapsed_s"], 1)
 
+    # ---- cuckoo-shard crawl + bulk retraction (T1/T4 at bench scale):
+    # the round-4 cuckoo/retraction surface was pytest-only; this runs
+    # the full 549k-page crawl on PURE cuckoo shards (exact_seen=False —
+    # the 10^10 memory story), asserts it fetches the identical page
+    # set, then retracts a 50k-URL family mid-state (the robots-flip
+    # scenario) and verifies the seen-set flip plus the RPC cost.
+    cuckoo_out = out_dir + "-cuckoo"
+    shutil.rmtree(cuckoo_out, ignore_errors=True)
+    eng = WaveCrawler(cdir, cuckoo_out, cfg,
+                      fetch_concurrency=max(2, num_cpus
+                                            - max(2, num_cpus // 4)),
+                      fetch_batch_size=768, small_wave_threshold=0,
+                      exact_seen=False, seen_filter_kind="cuckoo")
+    eng.warm_pool()
+    t0 = time.perf_counter()
+    s_cuckoo = eng.run(["https://site.example/"])
+    cuckoo_sec = time.perf_counter() - t0
+    assert s_cuckoo["fetched_total"] == fetched, \
+        "cuckoo crawl fetched a different page set"
+    queries["crawl_full_cuckoo"] = round(cuckoo_sec, 3)
+    runs["crawl_full_cuckoo"] = [round(cuckoo_sec, 3)]
+
+    import numpy as _np
+    import pyarrow.dataset as _pds
+    adm = _pds.dataset(os.path.join(cuckoo_out, "admitted")) \
+        .to_table(columns=["url", "sha64"])
+    urls_all = adm.column("url").to_pylist()
+    sha_all = adm.column("sha64").to_numpy()
+    n_retract = min(50_000, len(urls_all) // 2)
+    family, fam_sha = urls_all[:n_retract], sha_all[:n_retract]
+    kept_sha = sha_all[n_retract:n_retract + 10_000]
+    t0 = time.perf_counter()
+    n_removed = eng.retract_urls(family)
+    retract_sec = time.perf_counter() - t0
+
+    from librecrawl_ray.canonical import shard_of_u64
+    S = cfg.num_shards
+    def _present(keys: "_np.ndarray") -> int:
+        sh = _np.array([shard_of_u64(int(k), S) for k in keys.tolist()])
+        futs = [eng.shards[s].contains_u64.remote(keys[sh == s])
+                for s in _np.unique(sh).tolist()]
+        import ray as _ray
+        return int(sum(_np.asarray(_ray.get(f)).sum() for f in futs))
+    fam_left = _present(fam_sha)        # cuckoo FPs only (≈0.012%)
+    kept_there = _present(kept_sha)     # no false negatives allowed
+    assert n_removed == n_retract, (n_removed, n_retract)
+    assert kept_there == len(kept_sha), "cuckoo lost an admitted key"
+    assert fam_left <= max(20, n_retract // 1000), \
+        f"retraction left {fam_left}/{n_retract} keys visible"
+    eng.release_workers()
+
     # ---- report / relational / parse queries: warm median-of-N each
     # (VERDICT r2 #1 — a single cold-ish run let one noisy hypervisor
     # window become the round's official number)
@@ -230,6 +281,11 @@ def run_bench() -> None:
         "num_waves": summary["num_waves"],
         "cells_crawl_pages_per_sec": round(fetched / cells_sec, 1),
         "cells_sustained_pages_per_sec": cells_sustained,
+        "retraction_urls": n_retract,
+        "retraction_removed": n_removed,
+        "retraction_sec": round(retract_sec, 3),
+        "retraction_urls_per_sec": round(n_retract / retract_sec, 1),
+        "retraction_residual_fp": fam_left,
     }
     ray.shutdown()
     print(json.dumps(result))
@@ -301,8 +357,67 @@ def _normalized_eff(eff: float, lo_runs: list, hi_runs: list) -> \
     return round(eff * (min(hi_b) / min(lo_b)), 3)
 
 
+def run_bench3() -> None:
+    """One-shot ~4.9M-page tier (bench3): the final BFS wave gates ~4.8M
+    rows, organically crossing the measured 2M distributed-admission
+    threshold — so the cells path engages WITHOUT being forced (the
+    bench2 `crawl_full_cells` entry forces it). Runs the crawl twice —
+    auto thresholds (cells path on the big wave) vs driver-admission
+    forced off — and prints one JSON line with both walls and which
+    waves took the distributed path. Not part of the driver's default
+    bench: corpus generation is ~20 min cold (then cached under
+    /tmp/graft_corpus), each crawl ~2 min."""
+    import dataclasses
+
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from librecrawl_ray.corpus import write_corpus
+    from librecrawl_ray.engine.crawl import WaveCrawler
+    from librecrawl_ray.policy import CrawlConfig
+    cdir = write_corpus("bench3")
+    with open(os.path.join(cdir, "config.json")) as f:
+        cfg = CrawlConfig.from_fixture(json.load(f), "site.example")
+    cfg = dataclasses.replace(cfg, max_urls=10_000_000)
+    out: dict = {}
+    for label, forced in (("auto", None), ("driver", 1 << 62)):
+        odir = f"/tmp/graft_bench/bench3-{label}"
+        shutil.rmtree(odir, ignore_errors=True)
+        eng = WaveCrawler(cdir, odir, cfg,
+                          fetch_concurrency=max(2, num_cpus
+                                                - max(2, num_cpus // 4)),
+                          fetch_batch_size=768, small_wave_threshold=0)
+        if forced is not None:
+            eng.distributed_dedup_threshold = forced
+        eng.warm_pool()
+        t0 = time.perf_counter()
+        s = eng.run(["https://site.example/"])
+        wall = time.perf_counter() - t0
+        eng.release_workers()
+        out[label] = {
+            "wall_sec": round(wall, 3),
+            "fetched_total": s["fetched_total"],
+            "pages_per_sec": round(s["fetched_total"] / wall, 1),
+            "distributed_waves": [w["wave"] for w in s["waves"]
+                                  if w.get("admission") == "distributed"],
+            "waves": [{k: w.get(k) for k in
+                       ("wave", "fetched", "candidates", "admitted",
+                        "elapsed_s", "admission")} for w in s["waves"]],
+        }
+    assert out["auto"]["fetched_total"] == out["driver"]["fetched_total"], \
+        "admission paths fetched different page sets"
+    assert out["auto"]["distributed_waves"], \
+        "bench3 never crossed the distributed-admission threshold"
+    print(json.dumps({"metric": "bench3_crawl", "num_cpus": num_cpus,
+                      **out}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--bench3" in sys.argv:
+        run_bench3()
     else:
         run_bench()

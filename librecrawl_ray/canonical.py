@@ -114,12 +114,37 @@ def strip_www(host: str) -> str:
     return host[4:] if host.startswith("www.") else host
 
 
+def _host_path(url: str) -> tuple[str, str]:
+    """(netloc.lower(), path) — fast manual split for absolute http(s)
+    URLs (identical to urlsplit for these shapes, ~5× cheaper; urlsplit
+    is the hottest call of the candidate-canonicalization path). Falls
+    back to urlsplit for anything else."""
+    if url.startswith("https://"):
+        s = 8
+    elif url.startswith("http://"):
+        s = 7
+    else:
+        p = urlsplit(url)
+        return p.netloc.lower(), p.path
+    end = len(url)
+    q = url.find("?", s)
+    if q != -1:
+        end = q
+    f = url.find("#", s)
+    if f != -1 and f < end:
+        end = f
+    sl = url.find("/", s)
+    if sl == -1 or sl >= end:
+        return url[s:end].lower(), ""
+    return url[s:sl].lower(), url[sl:end]
+
+
 def url_signature(url: str) -> str:
     """Trap signature: host + path with digit runs and UUIDs collapsed."""
-    parts = urlsplit(url)
-    path = _UUID_RE.sub(r"\\uuid", parts.path)
+    host, path = _host_path(url)
+    path = _UUID_RE.sub(r"\\uuid", path)
     path = _DIGITS_RE.sub(r"\\d+", path)
-    return f"{strip_www(parts.netloc.lower())}{path}"
+    return f"{strip_www(host)}{path}"
 
 
 def is_internal(url: str, base_domain: str) -> bool:
@@ -140,7 +165,7 @@ def classify_scope(url: str, base_domain: str) -> str:
 
 def url_extension(url: str) -> str:
     """Lowercased file extension of the path ('' if none)."""
-    path = urlsplit(url).path
+    path = _host_path(url)[1]
     last = path.rsplit("/", 1)[-1]
     if "." in last:
         return "." + last.rsplit(".", 1)[-1].lower()

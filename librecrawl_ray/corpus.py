@@ -110,6 +110,10 @@ TIERS = {
     # bench tiers — larger trees, same structure
     "bench1": CorpusTier("bench1", sections=60, fanout=40, subdomains=4),
     "bench2": CorpusTier("bench2", sections=150, fanout=60, subdomains=4),
+    # ~4.9M pages: the tier where the final BFS wave's gated rows (~4.8M)
+    # organically cross the measured 2M distributed-admission crossover,
+    # so `bench.py --bench3` exercises _run_wave_cells without forcing
+    "bench3": CorpusTier("bench3", sections=160, fanout=175, subdomains=4),
 }
 
 DEFAULT_CONFIG = {

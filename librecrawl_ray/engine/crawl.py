@@ -79,11 +79,25 @@ CANDIDATE_SCHEMA = pa.schema([
 FRONTIER_COLS = ["url", "depth", "seq", "wave", "host", "part"]
 
 
+_CANON_MEMO_CAP = 500_000    # per-worker entries (~150 MB); generational
+
+
 def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
                             robots: dict[str, RobotsRules] | None,
-                            num_parts: int) -> pa.Table:
+                            num_parts: int,
+                            memo: dict | None = None) -> pa.Table:
     """Clean candidate URLs, apply the should-crawl predicate (M4) and
-    compute sha1 / corpus part / seen shard / trap signature."""
+    compute sha1 / corpus part / seen shard / trap signature.
+
+    ``memo`` (optional, owned by a persistent fetch worker) caches the
+    per-URL result ACROSS chunks and waves: crawl candidates repeat
+    heavily — wave k+1's edges mostly point at pages admitted in wave k
+    (nav links, breadcrumbs), so the stringy URL work (urlsplit / sha1 /
+    signature regex, ~15 µs) collapses to one dict hit per repeat. The
+    memo is pure per-URL derivation (cfg/robots are fixed for a crawl),
+    so results are identical with or without it; capacity-capped with a
+    generational clear so a 10^10-URL crawl cannot grow it unboundedly.
+    """
     urls = batch.column("url").to_pylist()
     depths = batch.column("depth").to_pylist()
     pseqs = batch.column("parent_seq").to_pylist()
@@ -95,21 +109,35 @@ def canonicalize_candidates(batch: pa.Table, cfg: CrawlConfig,
     from zlib import crc32
     c_url, c_depth, c_pseq, c_pos = [], [], [], []
     c_host, c_sha64, c_part, c_shard, c_sig, c_sigsh = [], [], [], [], [], []
+    if memo is None:
+        memo = {}
+    elif len(memo) > _CANON_MEMO_CAP:
+        memo.clear()
     for u, d, ps, po in zip(urls, depths, pseqs, poss):
-        if not should_crawl(u, cfg, robots):
+        hit = memo.get(u, 0)
+        if hit is None:                     # memoized reject
             continue
-        sha = url_sha1(u)
-        sig = url_signature(u)
+        if hit == 0:                        # miss: derive + memoize
+            if not should_crawl(u, cfg, robots):
+                memo[u] = None
+                continue
+            sha = url_sha1(u)
+            sig = url_signature(u)
+            hit = (url_host(u), int(sha[:16], 16),
+                   shard_of(sha, num_parts),
+                   shard_of(sha, cfg.num_shards), sig,
+                   crc32(sig.encode()) % cfg.num_shards)
+            memo[u] = hit
         c_url.append(u)
         c_depth.append(d)
         c_pseq.append(ps)
         c_pos.append(po)
-        c_host.append(url_host(u))
-        c_sha64.append(int(sha[:16], 16))
-        c_part.append(shard_of(sha, num_parts))
-        c_shard.append(shard_of(sha, cfg.num_shards))
-        c_sig.append(sig)
-        c_sigsh.append(crc32(sig.encode()) % cfg.num_shards)
+        c_host.append(hit[0])
+        c_sha64.append(hit[1])
+        c_part.append(hit[2])
+        c_shard.append(hit[3])
+        c_sig.append(hit[4])
+        c_sigsh.append(hit[5])
     if not c_url:
         return CANDIDATE_SCHEMA.empty_table()
     return pa.Table.from_arrays([
@@ -132,10 +160,11 @@ class Canonicalizer:
         self.cfg: CrawlConfig = ray.get(cfg_ref)
         self.robots: dict[str, RobotsRules] | None = ray.get(robots_ref)
         self.num_parts = num_parts
+        self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return canonicalize_candidates(batch, self.cfg, self.robots,
-                                       self.num_parts)
+                                       self.num_parts, memo=self._memo)
 
 
 @ray.remote
@@ -978,9 +1007,14 @@ class WaveCrawler:
         if raw_tbl.num_rows:
             n_candidates = raw_tbl.num_rows
             # first sighting per sha64 by (parent_seq, pos) via ONE numpy
-            # lexsort + one take of the kept rows — replaces two full Arrow
-            # table sorts of the candidate set (serial driver time hurts
-            # the N→4N scaling ratio twice)
+            # lexsort over int columns; the kept-row index array (`keep`,
+            # in global admission order) carries through the whole
+            # admission instead of materializing a kept-row table — the
+            # wide Arrow take (url/host/signature string gathers for
+            # every kept candidate) is DEFERRED to the admitted subset
+            # only, which on seen-saturated waves is orders of magnitude
+            # smaller (bench2 wave 3: 1.2M candidates → 4 admitted;
+            # serial driver time hurts the N→4N scaling ratio twice)
             s64 = raw_tbl.column("sha64").to_numpy()
             ps_np = raw_tbl.column("parent_seq").to_numpy()
             pos_np = raw_tbl.column("pos").to_numpy()
@@ -991,9 +1025,8 @@ class WaveCrawler:
             np.not_equal(s_sorted[1:], s_sorted[:-1], out=first_mask[1:])
             keep = order[first_mask]
             keep = keep[np.lexsort((pos_np[keep], ps_np[keep]))]
-            cand_tbl = raw_tbl.take(pa.array(keep))
         else:
-            cand_tbl = raw_tbl
+            keep = np.empty(0, dtype=np.int64)
             n_candidates = 0
         t_dedup = time.perf_counter() - t0 - t_fetch
 
@@ -1005,10 +1038,10 @@ class WaveCrawler:
         # (3) bulk insert of survivors. The driver is the sole writer
         # within a wave so the phases compose atomically; replay after a
         # crash re-runs all three idempotently.
-        n = cand_tbl.num_rows
+        n = len(keep)
         if n:
-            sha64 = cand_tbl.column("sha64").to_numpy()
-            shard_np = cand_tbl.column("shard").to_numpy()
+            sha64 = s64[keep]
+            shard_np = raw_tbl.column("shard").to_numpy()[keep]
             is_new = np.zeros(n, dtype=bool)
             shard_masks = {}
             futs = {}
@@ -1021,11 +1054,13 @@ class WaveCrawler:
 
             # trap gating (T4 running signature counts, sharded into the
             # SeenShard actors by crc32(signature) % num_shards — one
-            # parallel ordered-mask RPC per signature shard; cand_tbl is in
+            # parallel ordered-mask RPC per signature shard; `keep` is in
             # (parent_seq, pos) order so each shard's subset preserves the
-            # global admission order for its signatures)
-            sig_shard_np = cand_tbl.column("sig_shard").to_numpy()
-            sig_col = cand_tbl.column("signature")
+            # global admission order for its signatures). Signature
+            # strings are gathered ONLY for the is_new rows (the seen
+            # majority never touches a string gather).
+            sig_shard_np = raw_tbl.column("sig_shard").to_numpy()[keep]
+            sig_col = raw_tbl.column("signature")
             admitted_mask = np.zeros(n, dtype=bool)
             tfuts, tidx = {}, {}
             for t in np.unique(sig_shard_np[is_new]).tolist():
@@ -1035,12 +1070,14 @@ class WaveCrawler:
                 # Python strings in parallel (driver pylist + pickled list
                 # cost ~1.0 s/wave at 560k candidates, this shape 0.22 s)
                 tfuts[t] = self.shards[t].trap_gate_mask.remote(
-                    sig_col.take(pa.array(idx)), self.cfg.trap_threshold)
+                    sig_col.take(pa.array(keep[idx])),
+                    self.cfg.trap_threshold)
             for t, idx in tidx.items():
                 admitted_mask[idx] = ray.get(tfuts[t])
             trap_rejected = int(is_new.sum() - admitted_mask.sum())
 
-            adm_tbl = cand_tbl.filter(pa.array(admitted_mask))
+            # the one wide row gather of the wave: admitted rows only
+            adm_tbl = raw_tbl.take(pa.array(keep[admitted_mask]))
             n_adm = adm_tbl.num_rows
             seqs = np.arange(self.next_seq, self.next_seq + n_adm,
                              dtype=np.int64)

@@ -392,6 +392,8 @@ class FetchWorker:
         self.cfg = cfg
         self.robots = robots
         self.num_parts = num_parts
+        # cross-wave canonicalization memo (see canonicalize_candidates)
+        self._canon_memo: dict = {}
 
     def process(self, frontier_chunk: pa.Table, pages_dir: str,
                 links_dir: str) -> pa.Table:
@@ -402,7 +404,8 @@ class FetchWorker:
         self.fetcher.links_dir = links_dir
         cand = self.fetcher(frontier_chunk)
         return canonicalize_candidates(cand, self.cfg, self.robots,
-                                       self.num_parts)
+                                       self.num_parts,
+                                       memo=self._canon_memo)
 
     def process_sliced(self, frontier_tbl: pa.Table, start: int,
                        length: int, pages_dir: str,
