@@ -377,6 +377,131 @@ def _gate_cell_task(ref, start: int, length: int, wave: int,
                             int(deferred.num_rows))
 
 
+class _StreamAdmit:
+    """Streaming driver admission: within-wave first-sighting dedup and
+    the seen-shard membership probe run DURING the fetch window instead
+    of after it (the driver otherwise idles in ``ray.wait`` for the
+    whole fetch). Safe because the seen set is frozen within a wave —
+    shard inserts land only at wave end, so mid-fetch probes read the
+    exact same state the post-fetch probe would.
+
+    A background thread drains completed candidate-chunk refs in groups:
+    per group it dedups to first sighting by (parent_seq, pos), then
+    fires the per-shard ``contains_u64`` probes (futures collected, not
+    waited). ``finalize`` merges the per-group NEW uniques into the
+    global first-sighting set — identical output to the post-fetch
+    lexsort path: a seen sha64 dies either way, and the global min
+    (parent_seq, pos) over per-group minima is the global minimum.
+    The dispatch loop stays hot: numpy sorts release the GIL and run
+    off the submit path.
+    """
+
+    GROUP = 48          # chunks per dedup+probe group (~37k rows)
+
+    def __init__(self, shards: list):
+        import queue
+        import threading
+        self.shards = shards
+        self._q: "queue.Queue" = queue.Queue()
+        self._tbls: list[pa.Table] = []       # nonempty chunks, feed order
+        self._groups: list[dict] = []
+        self._buf: list[pa.Table] = []
+        self._base = 0                        # rows fed so far (nonempty)
+        self.probe_wait = 0.0                 # residual probe wait in finalize
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def feed(self, ref) -> None:
+        self._q.put(ref)
+
+    def _drain(self) -> None:
+        import numpy as np
+        try:
+            while True:
+                ref = self._q.get()
+                if ref is None:
+                    if self._buf:
+                        self._flush(np)
+                    return
+                tbl = ray.get(ref)
+                if tbl.num_rows == 0:
+                    continue
+                self._tbls.append(tbl)
+                self._buf.append(tbl)
+                if len(self._buf) >= self.GROUP:
+                    self._flush(np)
+        except BaseException as e:   # surface in finalize — a silent
+            self._err = e            # drain death would DROP candidates
+            while self._q.get() is not None:
+                pass                 # keep feed() non-blocking until seal
+
+    def _flush(self, np) -> None:
+        tbls, self._buf = self._buf, []
+        g = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+        base = self._base
+        self._base += g.num_rows
+        s64 = g.column("sha64").to_numpy()
+        ps = g.column("parent_seq").to_numpy()
+        pos = g.column("pos").to_numpy()
+        order = np.lexsort((pos, ps, s64))
+        s_sorted = s64[order]
+        first = np.empty(len(s_sorted), dtype=bool)
+        first[:1] = True
+        np.not_equal(s_sorted[1:], s_sorted[:-1], out=first[1:])
+        kept = order[first]                    # group-local first sightings
+        k64 = s64[kept]
+        shard_np = g.column("shard").to_numpy()[kept]
+        futs, masks = {}, {}
+        for s in np.unique(shard_np).tolist():
+            m = shard_np == s
+            masks[s] = m
+            futs[s] = self.shards[s].contains_u64.remote(k64[m])
+        self._groups.append({
+            "base": base, "kept": kept, "s64": k64,
+            "ps": ps[kept], "pos": pos[kept], "futs": futs, "masks": masks,
+        })
+
+    def finalize(self) -> tuple[pa.Table, "object", int]:
+        """Join the drain thread, resolve probes, merge groups. Returns
+        (raw_tbl, keep, n_candidates) with ``keep`` the global indices of
+        NEW first-sighting rows in (parent_seq, pos) admission order —
+        the seen-filter probe is already applied (is_new ≡ True)."""
+        import numpy as np
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        raw_tbl = (pa.concat_tables(self._tbls) if self._tbls
+                   else CANDIDATE_SCHEMA.empty_table())
+        n_candidates = raw_tbl.num_rows
+        t_w0 = time.perf_counter()
+        idx_parts, s_parts, ps_parts, pos_parts = [], [], [], []
+        for grp in self._groups:
+            new = np.ones(len(grp["kept"]), dtype=bool)
+            for s, m in grp["masks"].items():
+                new[m] = ~np.asarray(ray.get(grp["futs"][s]), dtype=bool)
+            idx_parts.append(grp["base"] + grp["kept"][new])
+            s_parts.append(grp["s64"][new])
+            ps_parts.append(grp["ps"][new])
+            pos_parts.append(grp["pos"][new])
+        self.probe_wait = time.perf_counter() - t_w0
+        if not idx_parts:
+            return raw_tbl, np.empty(0, dtype=np.int64), n_candidates
+        idx = np.concatenate(idx_parts)
+        s_all = np.concatenate(s_parts)
+        ps_all = np.concatenate(ps_parts)
+        pos_all = np.concatenate(pos_parts)
+        order = np.lexsort((pos_all, ps_all, s_all))
+        s_sorted = s_all[order]
+        first = np.empty(len(s_sorted), dtype=bool)
+        first[:1] = True
+        np.not_equal(s_sorted[1:], s_sorted[:-1], out=first[1:])
+        sel = order[first]
+        sel = sel[np.lexsort((pos_all[sel], ps_all[sel]))]
+        return raw_tbl, idx[sel], n_candidates
+
+
 class WaveCrawler:
     """Drives the crawl; owns shard actors and the per-wave driver state."""
 
@@ -801,7 +926,8 @@ class WaveCrawler:
     PRESPLIT_GROUP = 64
 
     def _dispatch_chunks(self, chunks: list, pages_dir: str,
-                         links_dir: str, presplit: int | None = None):
+                         links_dir: str, presplit: int | None = None,
+                         stream: "_StreamAdmit | None" = None):
         """Pull-based fetch dispatch with affinity-preferred work stealing
         over (part, ref, off, len) chunks; returns candidate chunk refs.
         Cache affinity: part % pool (matches the prefetch); a worker that
@@ -845,14 +971,18 @@ class WaveCrawler:
         t_s0 = time.perf_counter()
         for w_idx in range(pool):
             submit(w_idx)   # 1 in flight: a queued chunk on a slow core
-                            # can't be stolen, so don't buffer
+                            # can't be stolen, so don't buffer (2-in-flight
+                            # double-buffering A/B'd slower, BASELINE.md r5)
         chunk_refs: list = []
         pending: list = []
         while inflight:
             done, _ = ray.wait(list(inflight), num_returns=1)
             w_idx = inflight.pop(done[0])
             if presplit is None:
-                chunk_refs.append(done[0])   # candidates stay in plasma
+                if stream is not None:
+                    stream.feed(done[0])     # dedup+probe off-thread
+                else:
+                    chunk_refs.append(done[0])   # candidates stay in plasma
             else:
                 pending.append(done[0])
                 if len(pending) >= self.PRESPLIT_GROUP:
@@ -883,6 +1013,7 @@ class WaveCrawler:
         import numpy as np
 
         t0 = time.perf_counter()
+        self._t_probe = self._t_trap = self._t_take = self._t_addfut = 0.0
         frontier = frontier.sort_by([("depth", "ascending"),
                                      ("seq", "ascending")])
         fetchable_tbl = frontier.filter(
@@ -919,6 +1050,7 @@ class WaveCrawler:
         os.makedirs(links_dir, exist_ok=True)
         frontier_tbl = gated_tbl.sort_by("part")
         n_gated = frontier_tbl.num_rows
+        stream: _StreamAdmit | None = None
         if n_gated < self.small_wave_threshold and not self._big_corpus:
             # small-wave fast path: identical pure functions, driver-local —
             # skips per-wave executor + actor-pool startup (a few seconds)
@@ -968,24 +1100,23 @@ class WaveCrawler:
                     chunks.append((part, frontier_ref, off,
                                    min(self.fetch_batch_size, e0 - off)))
             distributed = n_gated >= self.distributed_dedup_threshold
+            stream = None if distributed else _StreamAdmit(self.shards)
             dispatched = self._dispatch_chunks(
                 chunks, pages_dir, links_dir,
-                presplit=self.cfg.num_shards if distributed else None)
+                presplit=self.cfg.num_shards if distributed else None,
+                stream=stream)
             if distributed:
                 raw_tbl = None   # dedup + admission distributed below
                 presplit_out = dispatched
             else:
-                blocks = [b for b in ray.get(dispatched) if b.num_rows]
-                raw_tbl = (pa.concat_tables(blocks,
-                                            promote_options="default")
-                           if blocks else CANDIDATE_SCHEMA.empty_table())
+                raw_tbl = None   # resolved by stream.finalize() post-seal
                 del dispatched, frontier_ref
         t_fetch = time.perf_counter() - t0
         # previous wave's checkpoint IO overlapped this fetch; seal it now
         t_s = time.perf_counter()
         self._flush_pending()
         self._t_seal = time.perf_counter() - t_s
-        if raw_tbl is None:
+        if raw_tbl is None and stream is None:
             # fully distributed admission: candidates never visit the
             # driver. Deferred rows (driver-resident on this path) ride
             # along as next-wave cells.
@@ -997,14 +1128,19 @@ class WaveCrawler:
                 k, presplit_out, t0, t_fetch, n_gated, by_part,
                 ("table", deferred_tbl), stopped, parent_lo)
         # within-wave dedup + membership probe: first sighting per sha64 by
-        # (parent_seq, pos), then the shard filter. Distributed path (used
-        # above the frontier-size threshold, and the only viable shape at
-        # 10^10): one task per seen-filter shard reads the fetch chunks
-        # from plasma — the hash-partitioned groupby-aggregate against the
-        # filter shards of the north rule. Below the threshold a driver-
-        # side Arrow sort is faster (per-task chunk-scan overhead
-        # dominates at small candidate volumes).
-        if raw_tbl.num_rows:
+        # (parent_seq, pos), then the shard filter. Three shapes share the
+        # semantics: STREAMED driver admission (actor-pool waves below the
+        # distributed threshold — per-group dedup + seen probes already ran
+        # inside the fetch window, _StreamAdmit), post-hoc driver lexsort
+        # (small local waves), and the fully distributed tail above (the
+        # hash-partitioned groupby-aggregate against the filter shards of
+        # the north rule — the only viable shape at 10^10).
+        pre_probed = stream is not None
+        if pre_probed:
+            raw_tbl, keep, n_candidates = stream.finalize()
+            if n_candidates:
+                s64 = raw_tbl.column("sha64").to_numpy()
+        elif raw_tbl.num_rows:
             n_candidates = raw_tbl.num_rows
             # first sighting per sha64 by (parent_seq, pos) via ONE numpy
             # lexsort over int columns; the kept-row index array (`keep`,
@@ -1039,18 +1175,27 @@ class WaveCrawler:
         # within a wave so the phases compose atomically; replay after a
         # crash re-runs all three idempotently.
         n = len(keep)
+        t_a0 = time.perf_counter()
         if n:
             sha64 = s64[keep]
             shard_np = raw_tbl.column("shard").to_numpy()[keep]
-            is_new = np.zeros(n, dtype=bool)
-            shard_masks = {}
-            futs = {}
-            for s in np.unique(shard_np).tolist():
-                m = shard_np == s
-                shard_masks[s] = m
-                futs[s] = self.shards[s].contains_u64.remote(sha64[m])
-            for s, m in shard_masks.items():
-                is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
+            if pre_probed:
+                # seen-membership already probed inside the fetch window
+                # (per-group, seen set frozen within the wave); keep holds
+                # NEW first sightings only
+                is_new = np.ones(n, dtype=bool)
+                self._t_probe = round(stream.probe_wait, 3)
+            else:
+                is_new = np.zeros(n, dtype=bool)
+                shard_masks = {}
+                futs = {}
+                for s in np.unique(shard_np).tolist():
+                    m = shard_np == s
+                    shard_masks[s] = m
+                    futs[s] = self.shards[s].contains_u64.remote(sha64[m])
+                for s, m in shard_masks.items():
+                    is_new[m] = ~np.asarray(ray.get(futs[s]), dtype=bool)
+                self._t_probe = time.perf_counter() - t_a0
 
             # trap gating (T4 running signature counts, sharded into the
             # SeenShard actors by crc32(signature) % num_shards — one
@@ -1062,22 +1207,42 @@ class WaveCrawler:
             sig_shard_np = raw_tbl.column("sig_shard").to_numpy()[keep]
             sig_col = raw_tbl.column("signature")
             admitted_mask = np.zeros(n, dtype=bool)
+            new_rows = np.flatnonzero(is_new)
             tfuts, tidx = {}, {}
-            for t in np.unique(sig_shard_np[is_new]).tolist():
-                idx = np.flatnonzero(is_new & (sig_shard_np == t))
-                tidx[t] = idx
-                # ship the slice as an Arrow array; the actor converts to
-                # Python strings in parallel (driver pylist + pickled list
-                # cost ~1.0 s/wave at 560k candidates, this shape 0.22 s)
-                tfuts[t] = self.shards[t].trap_gate_mask.remote(
-                    sig_col.take(pa.array(keep[idx])),
-                    self.cfg.trap_threshold)
+            if new_rows.size:
+                # ONE signature string gather for all new rows (stable
+                # argsort by sig shard → per-shard runs are contiguous
+                # zero-copy slices of it, each still in global admission
+                # order); the old per-shard take loop was 32 separate
+                # driver-serial string gathers. The actor converts to
+                # Python strings in parallel (driver pylist + pickled
+                # list cost ~1.0 s/wave at 560k candidates).
+                sgord = np.argsort(sig_shard_np[new_rows], kind="stable")
+                sorted_rows = new_rows[sgord]
+                sig_all = sig_col.take(
+                    pa.array(keep[sorted_rows])).combine_chunks()
+                sg_sorted = sig_shard_np[sorted_rows]
+                sb = np.flatnonzero(np.diff(sg_sorted)) + 1
+                s0s = np.concatenate(([0], sb))
+                e0s = np.concatenate((sb, [len(sg_sorted)]))
+                for a, z in zip(s0s.tolist(), e0s.tolist()):
+                    t = int(sg_sorted[a])
+                    tidx[t] = sorted_rows[a:z]
+                    tfuts[t] = self.shards[t].trap_gate_mask.remote(
+                        sig_all.slice(a, z - a), self.cfg.trap_threshold)
             for t, idx in tidx.items():
                 admitted_mask[idx] = ray.get(tfuts[t])
             trap_rejected = int(is_new.sum() - admitted_mask.sum())
+            self._t_trap = time.perf_counter() - t_a0 - (
+                0.0 if pre_probed else self._t_probe)
 
-            # the one wide row gather of the wave: admitted rows only
-            adm_tbl = raw_tbl.take(pa.array(keep[admitted_mask]))
+            # the one wide row gather of the wave: admitted rows only,
+            # checkpoint/frontier columns only (parent_seq/pos/shard/
+            # sig_shard never leave the candidate table)
+            t_tk0 = time.perf_counter()
+            adm_tbl = raw_tbl.select(
+                ["url", "depth", "host", "sha64", "part", "signature"]
+            ).take(pa.array(keep[admitted_mask]))
             n_adm = adm_tbl.num_rows
             seqs = np.arange(self.next_seq, self.next_seq + n_adm,
                              dtype=np.int64)
@@ -1088,6 +1253,7 @@ class WaveCrawler:
             add_futs = [self.shards[s].add_bulk.remote(
                             adm_sha64[adm_shards == s])
                         for s in np.unique(adm_shards).tolist()]
+            self._t_take = time.perf_counter() - t_tk0
         else:
             adm_tbl = None
             n_adm = 0
@@ -1140,7 +1306,9 @@ class WaveCrawler:
         if add_futs:
             # shard inserts must land before this wave's lineage commit —
             # _flush_pending joins the write thread; inserts land here
+            t_af0 = time.perf_counter()
             ray.get(add_futs)
+            self._t_addfut = time.perf_counter() - t_af0
         n_skipped = getattr(self, "_skipped_oversize", 0)
         # S2 skips produce no pages row: exclude them from the crawled
         # count so exports (csv rows) == fetched_total (ADVICE r2)
@@ -1161,6 +1329,10 @@ class WaveCrawler:
             "t_admit": round(elapsed - t_fetch - t_dedup, 3),
             "t_put": round(getattr(self, "_t_put", 0.0), 3),
             "t_gather": round(getattr(self, "_t_gather", 0.0), 3),
+            "t_probe": round(getattr(self, "_t_probe", 0.0), 3),
+            "t_trap": round(getattr(self, "_t_trap", 0.0), 3),
+            "t_take": round(getattr(self, "_t_take", 0.0), 3),
+            "t_addfut": round(getattr(self, "_t_addfut", 0.0), 3),
             "busy_max": round(getattr(self, "_busy_max", 0.0), 3),
             "busy_sum": round(getattr(self, "_busy_sum", 0.0), 3),
             "busy_all": getattr(self, "_busy_all", []),
