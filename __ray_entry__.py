@@ -100,6 +100,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_neardup_clusters(sf_dir):
         return D.neardup_clusters(_docs(sf_dir), threshold=0.5).to_pandas()
 
+    def q_neardup_clusters_dist(sf_dir):
+        # identical contract, forced through the distributed CC path
+        # (min-label propagation + pointer jumping over bucketed shuffles)
+        return D.neardup_clusters(_docs(sf_dir), threshold=0.5,
+                                  distributed=True).to_pandas()
+
+    def q_section_components_dist(sf_dir):
+        return C.crawl_section_components(sf_dir, distributed=True)
+
     def q_top_similar_pairs(sf_dir):
         return S.top_similar_pairs(_emb(sf_dir), k=20).to_pandas()
 
@@ -341,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rates": q_dedup_rates,
         # containment-gated curation (new round 5)
         "curate_corpus_containment": q_curate_containment,
+        # distributed connected-components paths (new round 5): same SQL
+        # twins as their driver-union-find siblings
+        "neardup_clusters_dist": q_neardup_clusters_dist,
+        "crawl_section_components_dist": q_section_components_dist,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -674,6 +687,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             fromlist=["containment_pairs_sql"]).containment_pairs_sql(
                 threshold=0.5),
         "neardup_clusters": neardup_clusters_sql,
+        "neardup_clusters_dist": neardup_clusters_sql,
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce
         "ivf_topk": knn_sql,
@@ -790,6 +804,8 @@ ORDER BY doc_id"""
         out["crawl_span_kinds"] = C.crawl_span_kinds_sql(path)
         out["crawl_issue_counts"] = C.crawl_issue_counts_sql(path)
         out["crawl_section_components"] = \
+            C.crawl_section_components_sql(path)
+        out["crawl_section_components_dist"] = \
             C.crawl_section_components_sql(path)
         out["crawl_trap_signatures"] = C.crawl_trap_signatures_sql(path)
     return out

@@ -757,6 +757,11 @@ CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()),
                             ("cluster_id", pa.int64()),
                             ("is_keeper", pa.bool_())])
 
+# pair-count crossover to the distributed CC path: a single-task
+# union-find is faster below this (the pair list is already driver-
+# resident from the LSH verify), the bucketed-shuffle iteration above it
+DISTRIBUTED_CC_PAIRS = 10_000_000
+
 
 def connected_components(pairs: pa.Table) -> dict[int, int]:
     """Union-find (union-by-min, path halving) over a near-dup pair edge
@@ -795,6 +800,7 @@ def connected_components(pairs: pa.Table) -> dict[int, int]:
 def neardup_clusters(ds: rd.Dataset, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.5,
                      pairs: pa.Table | None = None,
+                     distributed: bool | None = None,
                      **lsh_kwargs) -> pa.Table:
     """Per-document near-dup cluster assignment + canonical-keeper
     election: connected components over minhash-LSH verified pairs
@@ -804,12 +810,43 @@ def neardup_clusters(ds: rd.Dataset, id_col: str = "doc_id",
     their own singleton cluster (keeper=True).
 
     The distributed shape: pair generation is the data-sized stage
-    (minhash_lsh_pairs — band-key shuffle only); the root map covers only
-    paired docs, is broadcast once via ray.put, and every document labels
-    itself in one map_batches pass over the corpus."""
+    (minhash_lsh_pairs — band-key shuffle only). The component labeling
+    has two identical-output paths, switched on pair count:
+
+    * driver union-find over the pair list + ``ray.put`` root-map
+      broadcast — fastest up to ~10^7 edges;
+    * ``distributed=True`` (auto above ``DISTRIBUTED_CC_PAIRS``):
+      iterative min-label propagation with pointer jumping over bucketed
+      shuffles (``functions.graph.connected_components_ds``) + an
+      adaptive hash join of the label table back onto the corpus — no
+      driver-resident edge set anywhere, the 10^10-edge shape."""
     if pairs is None:
         pairs = minhash_lsh_pairs(ds, id_col, text_col,
                                   threshold=threshold, **lsh_kwargs)
+    if distributed is None:
+        distributed = pairs.num_rows > DISTRIBUTED_CC_PAIRS
+    if distributed:
+        import pyarrow.compute as pc
+
+        from ..pipelines.reports import hash_join
+        from .graph import connected_components_ds
+        labels = connected_components_ds(
+            rd.from_arrow(pairs.select(["id_a", "id_b"])),
+            src_col="id_a", dst_col="id_b")
+        joined = hash_join(ds.select_columns([id_col]), labels,
+                           key=id_col, right_key="node", how="left")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).cast(pa.int64())
+            cl = pc.coalesce(batch.column("component").cast(pa.int64()),
+                             ids)
+            return pa.table({"doc_id": ids, "cluster_id": cl,
+                             "is_keeper": pc.equal(cl, ids)})
+
+        out = (joined.map_batches(finish, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        return pa.Table.from_pandas(out, schema=CLUSTER_SCHEMA,
+                                    preserve_index=False)
     roots_ref = ray.put(connected_components(pairs))
 
     def label(batch: pa.Table) -> pa.Table:

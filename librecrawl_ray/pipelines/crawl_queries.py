@@ -18,6 +18,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -361,7 +362,8 @@ def _section_of(url: str) -> str:
     return host + "/" + seg
 
 
-def crawl_section_components(sf_dir: str) -> pd.DataFrame:
+def crawl_section_components(sf_dir: str,
+                             distributed: bool = False) -> pd.DataFrame:
     """Site-structure clustering: weakly-connected components over the
     SECTION-contracted link graph (section = host + first path segment —
     the granularity SEO audits reason about; the reference's viz graph
@@ -371,9 +373,13 @@ def crawl_section_components(sf_dir: str) -> pd.DataFrame:
     contraction happens inside ``map_batches`` (each batch emits its
     DISTINCT section pairs only), so what reaches the driver is bounded
     by #sections² — metadata-sized for any real site (sections are
-    path taxonomy, not pages). Union-find over that tiny graph on the
-    driver; at 10^9 sections one would switch to iterative min-label
-    joins, but a web host taxonomy never approaches that.
+    path taxonomy, not pages). Two identical-output labeling paths:
+    union-find over that tiny graph on the driver (default — a host
+    taxonomy never needs more), or ``distributed=True``: iterative
+    min-label propagation with pointer jumping over bucketed shuffles
+    (``functions.graph.connected_components_ds``) with the node set
+    broadcast once for the edge semijoin — the shape that holds if the
+    node universe were pages instead of sections.
 
     Output: (section, component, n_sections), component = min section
     key in the cluster (deterministic label).
@@ -398,12 +404,37 @@ def crawl_section_components(sf_dir: str) -> pd.DataFrame:
                        for u in batch.column("doc_id").to_pylist()})
         return pa.table({"section": pa.array(secs, pa.string())})
 
-    pair_df = ds.map_batches(
-        pair_partial, batch_format="pyarrow").to_pandas() \
-        .drop_duplicates()
+    pair_ds = ds.map_batches(pair_partial, batch_format="pyarrow")
     nodes = sorted(set(ds.map_batches(
         node_partial, batch_format="pyarrow").to_pandas()["section"]))
     node_set = set(nodes)
+
+    if distributed:
+        from ..functions.graph import connected_components_ds
+        nodes_ref = ray.put(node_set)
+
+        def in_scope(batch: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            keep = [s in ns and d in ns for s, d in
+                    zip(batch.column("src").to_pylist(),
+                        batch.column("dst").to_pylist())]
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        lab = connected_components_ds(
+            pair_ds.map_batches(in_scope, batch_format="pyarrow")
+        ).to_pandas()
+        comp = dict(zip(lab["node"], lab["component"]))
+        comp = {n: comp.get(n, n) for n in nodes}   # singleton sections
+        sizes: dict = {}
+        for c in comp.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        out = pd.DataFrame({
+            "section": nodes,
+            "component": [comp[n] for n in nodes],
+            "n_sections": [sizes[comp[n]] for n in nodes]})
+        return out.sort_values("section").reset_index(drop=True)
+
+    pair_df = pair_ds.to_pandas().drop_duplicates()
 
     parent = {n: n for n in nodes}
 

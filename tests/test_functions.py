@@ -1608,3 +1608,61 @@ def test_curate_corpus_containment_matches_duckdb(docs_ds):
     want_drops = {a for (a, b) in pairset
                   if (b, a) not in pairset or b < a}
     assert dropped == want_drops
+
+
+def test_connected_components_ds_matches_union_find(ray_session):
+    """Distributed CC (min-label propagation + pointer jumping over
+    bucketed shuffles) == driver union-find on adversarial shapes: a
+    long chain (diameter >> rounds a naive single-hop propagation with
+    no pointer jumping would need), a cycle, a star, singleton pairs,
+    and string node ids (lexicographic min)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from librecrawl_ray.functions.dedup import connected_components
+    from librecrawl_ray.functions.graph import connected_components_ds
+
+    edges = ([(i, i + 1) for i in range(100, 140)]        # chain, 41 nodes
+             + [(1, 2), (2, 3), (3, 1)]                   # cycle
+             + [(50, j) for j in range(51, 58)]           # star
+             + [(90, 91)])
+    pairs = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                      "id_b": pa.array([b for _, b in edges], pa.int64()),
+                      "jaccard": pa.array([1.0] * len(edges))})
+    want = connected_components(pairs)
+    got = connected_components_ds(
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+        buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == want
+
+    sedges = [("b", "c"), ("c", "d"), ("x", "y"), ("a", "b")]
+    got_s = connected_components_ds(
+        rd.from_pandas(pd.DataFrame(sedges, columns=["src", "dst"])),
+        buckets=2).to_pandas()
+    comp = dict(zip(got_s["node"], got_s["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x"}
+
+
+def test_neardup_clusters_distributed_path_identical(docs_ds):
+    """neardup_clusters(distributed=True) — CC via bucketed-shuffle label
+    propagation + hash-join labeling — is row-identical to the driver
+    union-find path on the real LSH pair output."""
+    from librecrawl_ray.functions.dedup import (minhash_lsh_pairs,
+                                                neardup_clusters)
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5)
+    a = neardup_clusters(docs_ds, pairs=pairs,
+                         distributed=False).to_pandas()
+    b = neardup_clusters(docs_ds, pairs=pairs,
+                         distributed=True).to_pandas()
+    assert a.equals(b)
+    assert (b["cluster_id"] <= b["doc_id"]).all()
+
+
+def test_section_components_distributed_path_identical(ray_session):
+    from librecrawl_ray.pipelines.crawl_queries import \
+        crawl_section_components
+    a = crawl_section_components(SF)
+    b = crawl_section_components(SF, distributed=True)
+    assert a.equals(b)
+    assert (a["n_sections"] >= 1).all()
