@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_section_components_dist(sf_dir):
         return C.crawl_section_components(sf_dir, distributed=True)
 
+    def q_dup_ngram_stats(sf_dir):
+        from librecrawl_ray.functions.substring import dup_ngram_stats
+        return dup_ngram_stats(_docs(sf_dir), n=40).to_pandas()
+
     def q_top_similar_pairs(sf_dir):
         return S.top_similar_pairs(_emb(sf_dir), k=20).to_pandas()
 
@@ -354,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twins as their driver-union-find siblings
         "neardup_clusters_dist": q_neardup_clusters_dist,
         "crawl_section_components_dist": q_section_components_dist,
+        # exact-substring duplication census (new round 5)
+        "dup_ngram_stats": q_dup_ngram_stats,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -688,6 +694,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
                 threshold=0.5),
         "neardup_clusters": neardup_clusters_sql,
         "neardup_clusters_dist": neardup_clusters_sql,
+        "dup_ngram_stats": __import__(
+            "librecrawl_ray.functions.substring",
+            fromlist=["dup_ngram_stats_sql"]).dup_ngram_stats_sql(n=40),
         # ivf_topk runs exhaustive at the driver's config (nprobe == all
         # centroids) → exact top-k, same contract as knn_bruteforce
         "ivf_topk": knn_sql,

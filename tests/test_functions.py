@@ -1666,3 +1666,61 @@ def test_section_components_distributed_path_identical(ray_session):
     b = crawl_section_components(SF, distributed=True)
     assert a.equals(b)
     assert (a["n_sections"] >= 1).all()
+
+
+def test_dup_ngram_stats_matches_duckdb(docs_ds):
+    """Exact-substring duplication census == its DuckDB twin on the
+    fixture corpus, in BOTH wire formats (exact gram bytes, 64-bit gram
+    hashes)."""
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions.substring import (dup_ngram_stats,
+                                                    dup_ngram_stats_sql)
+    got = dup_ngram_stats(docs_ds, n=40).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(dup_ngram_stats_sql(n=40)).fetchdf()
+    cast = {"doc_id": "int64", "n_grams": "int64", "n_dup_grams": "int64"}
+    pd.testing.assert_frame_equal(got.astype(cast), want.astype(cast))
+    got_h = dup_ngram_stats(docs_ds, n=40, hash_grams=True).to_pandas()
+    pd.testing.assert_frame_equal(got_h.astype(cast), want.astype(cast))
+
+
+def test_dup_ngram_stats_semantics(ray_session):
+    """Hand-built case: a 40-char span shared by docs 1 and 2 marks
+    exactly its grams duplicated; doc 3 is all-unique; doc 4 is shorter
+    than n and absent; a self-repeat within ONE doc does NOT count
+    (document frequency, not occurrence count)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from librecrawl_ray.functions.substring import dup_ngram_stats
+
+    shared = "S" * 10 + "hello common span here!" + "T" * 7   # 40 chars
+    assert len(shared) == 40
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "A" * 25 + shared + "B" * 25,       # 90 chars
+            "C" * 5 + shared + "D" * 45,        # 90 chars
+            "".join(chr(97 + (7 * i) % 26) + chr(97 + (11 * i + 3) % 26)
+                    for i in range(45)),         # unique-ish 90 chars
+            "too short",                          # < n -> absent
+            ("Z" * 50) + ("Z" * 50),             # self-repeat only
+        ]})
+    got = dup_ngram_stats(rd.from_pandas(rows), n=40, buckets=4) \
+        .to_pandas().set_index("doc_id")
+    assert 4 not in got.index
+    # doc 1: distinct grams of a 90-char string = 51 positions, minus
+    # in-doc dups (A-runs collapse); the SHARED 40-gram is its only
+    # cross-doc duplicate gram = exactly 1
+    assert got.loc[1, "n_dup_grams"] == 1
+    assert got.loc[2, "n_dup_grams"] == 1
+    assert got.loc[3, "n_dup_grams"] == 0
+    # doc 5: 100 Z's -> one distinct gram, repeated in-doc only
+    assert got.loc[5, "n_grams"] == 1
+    assert got.loc[5, "n_dup_grams"] == 0
+    assert got.loc[3, "dup_fraction"] == 0.0
+    assert got.loc[1, "n_grams"] > got.loc[1, "n_dup_grams"]
