@@ -283,20 +283,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               token_budget=BALANCE_BUDGET).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
-    def q_boolean_search(sf_dir):
+    def _index_dir(sf_dir):
+        """Build-or-reuse the inverted index for this corpus. Cache key
+        covers corpus CONTENT identity (path + per-file size/mtime) plus
+        an index LAYOUT version (v2 added the _doclen sidecar), so a
+        corpus regenerated in place — or an index built by an older
+        layout — is never reused; build into a scratch dir + atomic
+        rename so a concurrent driver never reads a half-built bucket
+        directory."""
         import hashlib as _hl
         import os as _os
         import shutil as _sh
 
-        from librecrawl_ray.functions.search import (boolean_search,
-                                                     build_inverted_index)
-        # cache key covers corpus CONTENT identity (path + per-file
-        # size/mtime), so a corpus regenerated in place gets a fresh
-        # index; build into a scratch dir + atomic rename so a
-        # concurrent driver never reads a half-built bucket directory
+        from librecrawl_ray.functions.search import build_inverted_index
         doc = _os.path.join(sf_dir, "documents.parquet")
         st = _os.stat(doc)
-        sig = f"{_os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}"
+        sig = f"v2|{_os.path.abspath(doc)}|{st.st_size}|{st.st_mtime_ns}"
         tag = _hl.md5(sig.encode()).hexdigest()[:10]
         idx = f"/tmp/librecrawl_index_{tag}"
         if not _os.path.isdir(idx):
@@ -307,8 +309,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _os.rename(tmp, idx)
             except OSError:  # lost the race; another builder won
                 _sh.rmtree(tmp, ignore_errors=True)
-        out = boolean_search(idx, SEARCH_TERMS).to_pandas()
+        return idx
+
+    def q_boolean_search(sf_dir):
+        from librecrawl_ray.functions.search import boolean_search
+        out = boolean_search(_index_dir(sf_dir), SEARCH_TERMS).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
+
+    def q_bm25_topk(sf_dir):
+        from librecrawl_ray.functions.search import bm25_search
+        return bm25_search(_index_dir(sf_dir), SEARCH_TERMS,
+                           k=10).to_pandas()
 
     # ORDERING CONTRACT: the driver's oracle sweep verifies the FIRST 50
     # keys only. Least-recently-driver-verified queries therefore come
@@ -360,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_section_components_dist": q_section_components_dist,
         # exact-substring duplication census (new round 5)
         "dup_ngram_stats": q_dup_ngram_stats,
+        # BM25 ranked retrieval over the postings index (new round 5)
+        "bm25_topk": q_bm25_topk,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -776,6 +789,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.search",
             fromlist=["boolean_search_sql"]).boolean_search_sql(
                 SEARCH_TERMS),
+        "bm25_topk": __import__(
+            "librecrawl_ray.functions.search",
+            fromlist=["bm25_search_sql"]).bm25_search_sql(
+                SEARCH_TERMS, k=10),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

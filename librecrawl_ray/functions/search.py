@@ -42,7 +42,8 @@ import ray.data as rd
 
 from .lm import _TOKEN_RE
 
-__all__ = ["build_inverted_index", "boolean_search", "boolean_search_sql"]
+__all__ = ["build_inverted_index", "boolean_search", "boolean_search_sql",
+           "bm25_search", "bm25_search_sql"]
 
 
 def _token_bucket(token: str, buckets: int) -> int:
@@ -76,6 +77,20 @@ def build_inverted_index(ds: rd.Dataset, out_dir: str,
     (ds.select_columns([id_col, text_col])
      .map_batches(tf_partial, batch_format="pyarrow")
      .write_parquet(out_dir, partition_cols=["bucket"]))
+
+    # doc-length sidecar for BM25 (each doc is one input row, so
+    # per-batch lengths are exact — no shuffle); dl=0 docs included so
+    # N/avgdl cover the whole corpus
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        dls = [len(_TOKEN_RE.findall((t or "").lower()))
+               for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    (ds.select_columns([id_col, text_col])
+     .map_batches(dl_partial, batch_format="pyarrow")
+     .write_parquet(os.path.join(out_dir, "_doclen")))
     return out_dir
 
 
@@ -128,6 +143,144 @@ def boolean_search(index_dir: str, terms: list[str],
          .astype({"n_terms": "int64", "total_tf": "int64"})
          .sort_values([id_col]).reset_index(drop=True))
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def bm25_search(index_dir: str, terms: list[str], k: int = 10,
+                id_col: str = "doc_id", buckets: int = 32,
+                k1: float = 1.2, b: float = 0.75) -> "pa.Table":
+    """BM25-ranked disjunctive retrieval against a built index
+    (Robertson & Walker; the Lucene idf variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``): top-``k`` documents by
+    summed per-term BM25 contribution over the query terms.
+
+    Scale shape: reads ONLY the query terms' postings buckets (like
+    :func:`boolean_search`); corpus statistics (N, avgdl) come from the
+    index's ``_doclen`` sidecar as two scalar aggregates; per-term df is
+    a terms-sized reduce; the postings ⋈ doclen join is the adaptive
+    hash join; candidate scores reduce per-doc in bucketed groupbys and
+    only per-block top-k partials reach the driver.
+
+    Determinism across engines: each (term, doc) contribution is
+    half-away-rounded to integer MICRO-units before summation, so the
+    per-doc score is an exact int64 sum (float addition order never
+    matters); ties rank by doc id. The DuckDB twin mirrors the float
+    expression op-for-op."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_agg, hash_join
+
+    want = sorted({t.lower() for t in terms})
+    dirs = sorted({_token_bucket(t, buckets) for t in want})
+    paths = []
+    for bk in dirs:
+        d = os.path.join(index_dir, f"bucket={bk}")
+        if os.path.isdir(d):
+            paths.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")))
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bm25": pa.array([], pa.float64())})
+    if not paths:
+        return empty
+
+    doclen = rd.read_parquet(os.path.join(index_dir, "_doclen"))
+    n_docs = doclen.count()
+    sum_dl = doclen.sum("dl")
+    avgdl = float(sum_dl) / float(n_docs)
+
+    post = (rd.read_parquet(paths, columns=["token", id_col, "tf"])
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t.column("token"),
+                                            pa.array(want))),
+                batch_format="pyarrow"))
+    # collapse per-build-batch partials to global postings, once; both
+    # the df reduce and the scoring pass read the materialized result
+    dedup = bucketed_agg(post, ["token", id_col], {"tf": ("tf", "sum")},
+                         bucket_on=id_col).materialize()
+
+    df_rows = (dedup.groupby("token").count().to_pandas())
+    if df_rows.empty:
+        return empty
+    idf = {t: float(np.log((float(n_docs) - float(c) + 0.5)
+                           / (float(c) + 0.5) + 1.0))
+           for t, c in zip(df_rows["token"], df_rows["count()"])}
+
+    scored = hash_join(dedup, doclen, key=id_col, how="inner")
+
+    def contrib(pdf: pd.DataFrame) -> pd.DataFrame:
+        idf_arr = pdf["token"].map(idf).to_numpy(dtype="float64")
+        tf = pdf["tf"].to_numpy(dtype="float64")
+        dl = pdf["dl"].to_numpy(dtype="float64")
+        denom = tf + k1 * (1 - b + b * dl / avgdl)
+        micro = np.floor(idf_arr * tf / denom * 1000000.0 + 0.5) \
+            .astype("int64")
+        return pd.DataFrame({id_col: pdf[id_col], "micro": micro})
+
+    per_doc = bucketed_agg(
+        scored.map_batches(contrib, batch_format="pandas"),
+        id_col, {"micro": ("micro", "sum")})
+
+    def topk_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["micro", id_col], ascending=[False, True]).head(k)
+
+    cand = per_doc.map_batches(
+        topk_partial, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["micro", id_col],
+                           ascending=[False, True]).head(k)
+    out = pd.DataFrame({
+        id_col: top[id_col].to_numpy(),
+        "bm25": top["micro"].to_numpy(dtype="float64") / 1000000.0})
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def bm25_search_sql(terms: list[str], k: int = 10,
+                    table: str = "documents", id_col: str = "doc_id",
+                    col: str = "text", k1: float = 1.2,
+                    b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_search`: same tokenization, same idf
+    variant, identical float op order, same micro-unit rounding before
+    the per-doc sum."""
+    want = sorted({t.lower() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in want)
+    return f"""
+WITH dl AS (
+  SELECT {id_col},
+         len(regexp_extract_all(lower({col}), '\\w+'))::BIGINT AS dl
+  FROM {table}
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+), toks AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, tok, count(*)::BIGINT AS tf FROM toks
+  WHERE tok IN ({in_list}) GROUP BY {id_col}, tok
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), contrib AS (
+  SELECT tf.{id_col},
+         CAST(floor(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf::DOUBLE
+           / (tf.tf::DOUBLE
+              + {k1} * (1 - {b} + {b} * dl.dl::DOUBLE / stats.avgdl))
+           * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM tf
+  CROSS JOIN stats
+  JOIN df USING (tok)
+  JOIN dl USING ({id_col})
+)
+SELECT {id_col}, sum(micro)::DOUBLE / 1000000.0 AS bm25
+FROM contrib
+GROUP BY {id_col}
+ORDER BY sum(micro) DESC, {id_col}
+LIMIT {k}"""
 
 
 def boolean_search_sql(terms: list[str], table: str = "documents",

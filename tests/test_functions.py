@@ -1724,3 +1724,59 @@ def test_dup_ngram_stats_semantics(ray_session):
     assert got.loc[5, "n_dup_grams"] == 0
     assert got.loc[3, "dup_fraction"] == 0.0
     assert got.loc[1, "n_grams"] > got.loc[1, "n_dup_grams"]
+
+
+def test_bm25_search_matches_duckdb(docs_ds, tmp_path):
+    """Index-path BM25 top-k == the DuckDB corpus-side twin (same
+    tokenization, Lucene idf, micro-unit rounding before the per-doc
+    sum), and a python recount confirms the ranking independently."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions.lm import _TOKEN_RE
+    from librecrawl_ray.functions.search import (bm25_search,
+                                                 bm25_search_sql,
+                                                 build_inverted_index)
+
+    idx = str(tmp_path / "inv_index_bm25")
+    build_inverted_index(docs_ds, idx, buckets=16)
+    terms = ["spark", "window", "merge"]
+    got = bm25_search(idx, terms, k=10, buckets=16).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(bm25_search_sql(terms, k=10)).fetchdf()
+    pd.testing.assert_frame_equal(got.astype({"doc_id": "int64"}),
+                                  want.astype({"doc_id": "int64"}))
+
+    # independent python recount of the full ranking
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    toks = {r["doc_id"]: Counter(_TOKEN_RE.findall(
+        (r["text"] or "").lower())) for r in rows}
+    n = len(toks)
+    avgdl = sum(sum(c.values()) for c in toks.values()) / float(n)
+    df = {t: sum(1 for c in toks.values() if c[t] > 0) for t in terms}
+    scores = {}
+    for i, c in toks.items():
+        micro = 0
+        for t in terms:
+            if c[t] == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            dl = sum(c.values())
+            contrib = idf * c[t] / (c[t] + 1.2 * (1 - 0.75
+                                                  + 0.75 * dl / avgdl))
+            micro += math.floor(contrib * 1e6 + 0.5)
+        if micro:
+            scores[i] = micro
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got["doc_id"].tolist() == [i for i, _ in ranked]
+    assert got["bm25"].tolist() == [m / 1e6 for _, m in ranked]
+    assert len(got) == 10
+
+    empty = bm25_search(idx, ["nosuchtokenanywhere"], buckets=16)
+    assert empty.num_rows == 0
