@@ -321,6 +321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bm25_search(_index_dir(sf_dir), SEARCH_TERMS,
                            k=10).to_pandas()
 
+    def q_dsir_topk(sf_dir):
+        from librecrawl_ray.functions.dsir import dsir_topk
+        return dsir_topk(_docs(sf_dir), target_lang="en",
+                         k=50).to_pandas()
+
     # ORDERING CONTRACT: the driver's oracle sweep verifies the FIRST 50
     # keys only. Least-recently-driver-verified queries therefore come
     # first: the crawl block (stale since round 2; five entries never
@@ -373,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         # BM25 ranked retrieval over the postings index (new round 5)
         "bm25_topk": q_bm25_topk,
+        # DSIR importance-resampling selection (new round 5)
+        "dsir_topk": q_dsir_topk,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -793,6 +800,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.search",
             fromlist=["bm25_search_sql"]).bm25_search_sql(
                 SEARCH_TERMS, k=10),
+        "dsir_topk": __import__(
+            "librecrawl_ray.functions.dsir",
+            fromlist=["dsir_topk_sql"]).dsir_topk_sql(
+                target_lang="en", k=50),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

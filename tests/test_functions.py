@@ -1780,3 +1780,27 @@ def test_bm25_search_matches_duckdb(docs_ds, tmp_path):
 
     empty = bm25_search(idx, ["nosuchtokenanywhere"], buckets=16)
     assert empty.num_rows == 0
+
+
+def test_dsir_topk_matches_duckdb(docs_ds):
+    """DSIR importance-resampling selection == its DuckDB twin
+    (identical md5 feature hash, add-1 smoothing, micro-unit rounding),
+    plus structural invariants: k respected, weights non-increasing,
+    and re-running is deterministic."""
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions.dsir import dsir_topk, dsir_topk_sql
+
+    got = dsir_topk(docs_ds, target_lang="en", k=25).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(dsir_topk_sql(target_lang="en", k=25)).fetchdf()
+    pd.testing.assert_frame_equal(got.astype({"doc_id": "int64"}),
+                                  want.astype({"doc_id": "int64"}))
+    assert len(got) == 25
+    w = got["dsir_logweight"].to_numpy()
+    assert (w[:-1] >= w[1:]).all()
+    again = dsir_topk(docs_ds, target_lang="en", k=25).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
