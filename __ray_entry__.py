@@ -326,6 +326,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dsir_topk(_docs(sf_dir), target_lang="en",
                          k=50).to_pandas()
 
+    def q_pmi_collocations(sf_dir):
+        from librecrawl_ray.functions.keywords import pmi_collocations
+        return pmi_collocations(_docs(sf_dir), k=30,
+                                min_count=5).to_pandas()
+
     # ORDERING CONTRACT: the driver's oracle sweep verifies the FIRST 50
     # keys only. Least-recently-driver-verified queries therefore come
     # first: the crawl block (stale since round 2; five entries never
@@ -380,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         # DSIR importance-resampling selection (new round 5)
         "dsir_topk": q_dsir_topk,
+        # PMI collocation mining (new round 5)
+        "pmi_collocations": q_pmi_collocations,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -804,6 +811,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.dsir",
             fromlist=["dsir_topk_sql"]).dsir_topk_sql(
                 target_lang="en", k=50),
+        "pmi_collocations": __import__(
+            "librecrawl_ray.functions.keywords",
+            fromlist=["pmi_collocations_sql"]).pmi_collocations_sql(
+                k=30, min_count=5),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

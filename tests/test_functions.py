@@ -1804,3 +1804,26 @@ def test_dsir_topk_matches_duckdb(docs_ds):
     assert (w[:-1] >= w[1:]).all()
     again = dsir_topk(docs_ds, target_lang="en", k=25).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_pmi_collocations_matches_duckdb(docs_ds):
+    """PMI collocation mining == its DuckDB twin, plus invariants:
+    min_count floor respected, PMI non-increasing, lexicographic tie
+    order."""
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions.keywords import (pmi_collocations,
+                                                   pmi_collocations_sql)
+
+    got = pmi_collocations(docs_ds, k=20, min_count=3).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(pmi_collocations_sql(k=20, min_count=3)).fetchdf()
+    pd.testing.assert_frame_equal(got.astype({"n_pairs": "int64"}),
+                                  want.astype({"n_pairs": "int64"}))
+    assert (got["n_pairs"] >= 3).all()
+    p = got["pmi"].to_numpy()
+    assert (p[:-1] >= p[1:]).all()
+    assert len(got) > 0
