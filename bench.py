@@ -261,6 +261,12 @@ def run_bench() -> None:
               os.path.join(sf_dir, "documents.parquet"))
           .map_batches(annotate_batch, batch_format="pyarrow").count())
 
+    from librecrawl_ray.functions.substring import dup_ngram_stats
+    timed("dup_ngram_stats",
+          lambda: dup_ngram_stats(
+              rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"]), n=40))
+
     result = {
         "metric": "crawl_wall_seconds",
         "value": round(crawl_sec, 3),
