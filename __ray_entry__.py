@@ -335,10 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # keys only. Least-recently-driver-verified queries therefore come
     # first: the crawl block (stale since round 2; five entries never
     # driver-tested), then the twelve round-4 ops the window cut, then
-    # the text ops last verified in round 3, then two relational
-    # sentinels to fill slot 50. The long-stable relational block
-    # (41/41 green in rounds 3 AND 4) rotates to the tail, alongside
-    # the nine text ops green in round 4.
+    # the seven NEW round-5 ops (containment curation, distributed CC
+    # pair, substring census, BM25, DSIR, PMI), then the text ops last
+    # verified in round 3 filling to slot 50. The long-stable relational
+    # block (41/41 green in rounds 3 AND 4) rotates to the tail,
+    # alongside the nine text ops green in round 4.
     return {
         # crawl engine over the input_hint corpus (driver rows stale:
         # r2 for most, never for the five round-4 audit queries)

@@ -1827,3 +1827,32 @@ def test_pmi_collocations_matches_duckdb(docs_ds):
     p = got["pmi"].to_numpy()
     assert (p[:-1] >= p[1:]).all()
     assert len(got) > 0
+
+
+def test_connected_components_ds_random_graphs(ray_session):
+    """Property check: distributed CC == driver union-find on random
+    graphs (hypothesis-driven edge lists over a small node universe, so
+    merges/chains/self-loops occur organically)."""
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from librecrawl_ray.functions.dedup import connected_components
+    from librecrawl_ray.functions.graph import connected_components_ds
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                    min_size=1, max_size=60))
+    def check(edges):
+        pairs = pa.table({
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+            "jaccard": pa.array([1.0] * len(edges))})
+        want = connected_components(pairs)
+        got = connected_components_ds(
+            rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+            buckets=3).to_pandas()
+        assert dict(zip(got["node"], got["component"])) == want
+
+    check()
