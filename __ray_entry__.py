@@ -331,6 +331,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pmi_collocations(_docs(sf_dir), k=30,
                                 min_count=5).to_pandas()
 
+    def q_clustered_slice(sf_dir):
+        """Storage-layer gate: write the documents table clustered on
+        n_chars (content-keyed /tmp cache, atomic rename — same recipe
+        as the search index), then answer a range query through the
+        manifest-pruned read path."""
+        import hashlib as _hl
+        import os as _os
+        import shutil as _sh
+
+        from librecrawl_ray.sources.clustered import (read_clustered,
+                                                      write_clustered)
+        doc = _os.path.join(sf_dir, "documents.parquet")
+        st = _os.stat(doc)
+        sig = f"clustered-v1|{_os.path.abspath(doc)}|{st.st_size}|" \
+              f"{st.st_mtime_ns}"
+        tag = _hl.md5(sig.encode()).hexdigest()[:10]
+        cl = f"/tmp/librecrawl_clustered_{tag}"
+        if not _os.path.isdir(cl):
+            tmp = f"{cl}.build.{_os.getpid()}"
+            _sh.rmtree(tmp, ignore_errors=True)
+            write_clustered(_docs(sf_dir), tmp, key="n_chars",
+                            n_ranges=8)
+            try:
+                _os.rename(tmp, cl)
+            except OSError:
+                _sh.rmtree(tmp, ignore_errors=True)
+        out = read_clustered(cl, lo=100, hi=200,
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     # ORDERING CONTRACT: the driver's oracle sweep verifies the FIRST 50
     # keys only. Least-recently-driver-verified queries therefore come
     # first: the crawl block (stale since round 2; five entries never
@@ -388,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_topk": q_dsir_topk,
         # PMI collocation mining (new round 5)
         "pmi_collocations": q_pmi_collocations,
+        # clustered-layout ranged read (new round 5)
+        "clustered_slice": q_clustered_slice,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -816,6 +848,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.keywords",
             fromlist=["pmi_collocations_sql"]).pmi_collocations_sql(
                 k=30, min_count=5),
+        "clustered_slice": """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id""",
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

@@ -171,3 +171,48 @@ def test_blocklist_filter_and_jsonl_roundtrip(ray_session, tmp_path):
     a = kept.sort_values("doc_id").reset_index(drop=True)
     b = back[a.columns].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_clustered_layout_roundtrip_and_pruning(ray_session, tmp_path):
+    """Clustered parquet layout: full read == original; a ranged read
+    == a DuckDB BETWEEN filter; the manifest actually PRUNES (a narrow
+    slice opens strictly fewer files than the layout holds); column
+    projection and open-ended/empty slices behave."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from librecrawl_ray.sources.clustered import (clustered_paths,
+                                                  read_clustered,
+                                                  write_clustered)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = rd.read_parquet(src)
+    out = str(tmp_path / "clustered")
+    write_clustered(ds, out, key="n_chars", n_ranges=8)
+
+    full = read_clustered(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(full[sorted(full.columns)],
+                                  orig[sorted(orig.columns)])
+
+    sl = read_clustered(out, lo=100, hi=200).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT * FROM read_parquet('{src}') "
+        f"WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(sl[sorted(sl.columns)],
+                                  want[sorted(want.columns)])
+
+    pruned, _ = clustered_paths(out, 100, 200)
+    everything, _ = clustered_paths(out)
+    assert 0 < len(pruned) < len(everything)
+
+    proj = read_clustered(out, lo=100, hi=200,
+                          columns=["doc_id"]).to_pandas()
+    assert sorted(proj.columns) == ["doc_id"] and len(proj) == len(sl)
+
+    lo_only = read_clustered(out, lo=400).to_pandas()
+    assert (lo_only["n_chars"] >= 400).all()
+    assert read_clustered(out, lo=10 ** 9).to_pandas().empty
