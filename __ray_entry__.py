@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pmi_collocations(_docs(sf_dir), k=30,
                                 min_count=5).to_pandas()
 
+    def q_source_divergence(sf_dir):
+        from librecrawl_ray.functions.stats import source_divergence
+        return source_divergence(_docs(sf_dir), min_count=5)
+
     def q_clustered_slice(sf_dir):
         """Storage-layer gate: write the documents table clustered on
         n_chars (content-keyed /tmp cache, atomic rename — same recipe
@@ -420,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": q_pmi_collocations,
         # clustered-layout ranged read (new round 5)
         "clustered_slice": q_clustered_slice,
+        # per-source KL mixture-drift diagnostic (new round 5)
+        "source_divergence": q_source_divergence,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -851,6 +857,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "clustered_slice": """
 SELECT doc_id, n_chars FROM documents
 WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id""",
+        "source_divergence": __import__(
+            "librecrawl_ray.functions.stats",
+            fromlist=["source_divergence_sql"]).source_divergence_sql(
+                min_count=5),
         # crawl_neardup / crawl_full / crawl_pagerank: non-SQL-expressible
         # (staged scoring, stateful BFS, iterative PR) → rows-only; pytest
         # pins them to independent python references

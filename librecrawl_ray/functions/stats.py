@@ -337,3 +337,157 @@ FROM {table}
 GROUP BY {group_col}
 ORDER BY {group_col}
 """
+
+
+def source_divergence(ds: rd.Dataset, group_col: str = "source",
+                      text_col: str = "text", min_count: int = 5,
+                      buckets: int = 32) -> pd.DataFrame:
+    """Per-source KL divergence from the corpus token distribution —
+    the mixture-drift diagnostic (how far each source's unigram
+    distribution sits from the blend it contributes to; spikes flag
+    sources that need their own mixture weight or a closer look).
+
+    Definition (engine-portable, mirrored exactly by the twin): over
+    the bounded vocabulary V = {token : corpus count ≥ min_count},
+    with add-1 smoothing, p_s(t) = (c_st + 1)/(T_s + |V|) and
+    q(t) = (c_t + 1)/(T + |V|); KL(p_s‖q) = Σ_{t∈V} p_s(t)·(ln p_s(t)
+    − ln q(t)) — INCLUDING the zero-count terms of V, which this
+    implementation folds in closed form (p₀·(n_absent·ln p₀ −
+    Σ_absent ln q)) instead of materializing the source × V grid the
+    SQL twin writes out. Final value half-away-rounded at 6 dp (the
+    repo's float-sum precedent from lm scoring: sub-1e-12 cross-engine
+    sum-order noise vs a 1e-6 grid).
+
+    Scale shape: (source, token) count partials → ONE token-bucketed
+    reduce feeds both the per-source table and the corpus table; the
+    min_count cut bounds V (the same bounded-vocab discipline as
+    tfidf/lm); per-source totals are a sources-sized broadcast; the
+    per-term scoring pass and the two Σln q reductions stay
+    distributed. Output: (source, n_tokens, kl) sorted by source."""
+    import math
+
+    from ..pipelines.reports import bucketed_agg, hash_join
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from .lm import _TOKEN_RE
+        c: "Counter" = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for tok in _TOKEN_RE.findall((t or "").lower()):
+                c[(g, tok)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "token": pa.array([k[1] for k in ks], pa.string()),
+            "c": pa.array([int(c[k]) for k in ks], pa.int64())})
+
+    st = bucketed_agg(
+        ds.select_columns([group_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow"),
+        [group_col, "token"], {"c": ("c", "sum")},
+        bucket_on="token", buckets=buckets).materialize()
+
+    ct = bucketed_agg(st, "token", {"c": ("c", "sum")},
+                      buckets=buckets)
+    vocab = ct.map_batches(
+        lambda df: df[df["c"] >= min_count], batch_format="pandas") \
+        .materialize()
+    nv = float(vocab.count())
+    if nv == 0:
+        return pd.DataFrame({group_col: [], "n_tokens": [], "kl": []})
+    tt = float(vocab.sum("c"))
+
+    def lnq(df):
+        q = (df["c"].to_numpy(dtype="float64") + 1.0) / (tt + nv)
+        return df.assign(lnq=np.log(q))[["token", "lnq"]]
+
+    lnq_tbl = vocab.map_batches(lnq, batch_format="pandas") \
+        .materialize()
+    sum_lnq_all = float(lnq_tbl.sum("lnq"))
+
+    # per-source totals over V + present-term joins (both V-bounded)
+    stv = hash_join(st, lnq_tbl, key="token")
+    per_src = bucketed_agg(
+        stv.map_batches(
+            lambda df: df.groupby(group_col, as_index=False).agg(
+                t_s=("c", "sum"), n_present=("token", "size"),
+                sum_lnq_present=("lnq", "sum")),
+            batch_format="pandas"),
+        group_col, {"t_s": ("t_s", "sum"),
+                    "n_present": ("n_present", "sum"),
+                    "sum_lnq_present": ("sum_lnq_present", "sum")}) \
+        .to_pandas()
+    totals = dict(zip(per_src[group_col], per_src["t_s"]))
+
+    def present_contrib(df):
+        ts = df[group_col].map(totals).to_numpy(dtype="float64")
+        p = (df["c"].to_numpy(dtype="float64") + 1.0) / (ts + nv)
+        term = p * (np.log(p) - df["lnq"].to_numpy(dtype="float64"))
+        return pd.DataFrame({group_col: df[group_col], "kl_part": term})
+
+    present = bucketed_agg(
+        stv.map_batches(present_contrib, batch_format="pandas"),
+        group_col, {"kl_part": ("kl_part", "sum")}).to_pandas()
+
+    out = per_src.merge(present, on=group_col)
+    kl = []
+    for _, r in out.iterrows():
+        p0 = 1.0 / (float(r["t_s"]) + nv)
+        n_absent = nv - float(r["n_present"])
+        absent = p0 * (n_absent * math.log(p0)
+                       - (sum_lnq_all - float(r["sum_lnq_present"])))
+        kl.append(math.floor((float(r["kl_part"]) + absent) * 1e6
+                             + 0.5) / 1e6)
+    res = pd.DataFrame({group_col: out[group_col],
+                        "n_tokens": out["t_s"].astype("int64"),
+                        "kl": kl})
+    return res.sort_values(group_col).reset_index(drop=True)
+
+
+def source_divergence_sql(min_count: int = 5, table: str = "documents",
+                          group_col: str = "source",
+                          col: str = "text") -> str:
+    """DuckDB twin of :func:`source_divergence`: materializes the
+    source × V grid with zero fills (what the engine folds in closed
+    form) — identical smoothing and 6-dp half-away final rounding."""
+    return f"""
+WITH toks AS (
+  SELECT {group_col},
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table}
+), stc AS (
+  SELECT {group_col}, tok, count(*)::DOUBLE AS c FROM toks
+  GROUP BY {group_col}, tok
+), ctv AS (
+  SELECT tok, sum(c) AS c FROM stc GROUP BY tok
+  HAVING sum(c) >= {min_count}
+), consts AS (
+  SELECT (SELECT count(*)::DOUBLE FROM ctv) AS nv,
+         (SELECT sum(c) FROM ctv) AS tt
+), srcs AS (
+  SELECT DISTINCT {group_col} FROM stc JOIN ctv USING (tok)
+), grid AS (
+  SELECT s.{group_col}, v.tok, v.c AS cq, coalesce(stc.c, 0) AS c
+  FROM srcs s
+  CROSS JOIN ctv v
+  LEFT JOIN stc ON stc.{group_col} = s.{group_col}
+              AND stc.tok = v.tok
+), ts AS (
+  SELECT {group_col}, sum(c) AS t_s FROM grid GROUP BY {group_col}
+), term AS (
+  SELECT g.{group_col},
+         ((g.c + 1.0) / (ts.t_s + consts.nv))
+         * (ln((g.c + 1.0) / (ts.t_s + consts.nv))
+            - ln((g.cq + 1.0) / (consts.tt + consts.nv))) AS kl_term
+  FROM grid g
+  JOIN ts USING ({group_col})
+  CROSS JOIN consts
+)
+SELECT t.{group_col},
+       CAST(ts.t_s AS BIGINT) AS n_tokens,
+       floor(sum(t.kl_term) * 1000000.0 + 0.5) / 1000000.0 AS kl
+FROM term t JOIN ts USING ({group_col})
+GROUP BY t.{group_col}, ts.t_s
+ORDER BY t.{group_col}"""

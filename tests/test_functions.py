@@ -1856,3 +1856,24 @@ def test_connected_components_ds_random_graphs(ray_session):
         assert dict(zip(got["node"], got["component"])) == want
 
     check()
+
+
+def test_source_divergence_matches_duckdb(docs_ds):
+    """Per-source KL divergence == its DuckDB twin (the engine's
+    closed-form fold of the zero-count vocabulary terms == the twin's
+    materialized source×V grid), and KL ≥ 0 everywhere."""
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions.stats import (source_divergence,
+                                                source_divergence_sql)
+
+    got = source_divergence(docs_ds, min_count=3)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(source_divergence_sql(min_count=3)).fetchdf()
+    pd.testing.assert_frame_equal(got.astype({"n_tokens": "int64"}),
+                                  want.astype({"n_tokens": "int64"}))
+    assert (got["kl"] >= 0).all()
+    assert len(got) > 1
