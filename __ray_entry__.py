@@ -367,13 +367,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDERING CONTRACT: the driver's oracle sweep verifies the FIRST 50
     # keys only. Least-recently-driver-verified queries therefore come
-    # first: the crawl block (stale since round 2; five entries never
-    # driver-tested), then the twelve round-4 ops the window cut, then
-    # the seven NEW round-5 ops (containment curation, distributed CC
-    # pair, substring census, BM25, DSIR, PMI), then the text ops last
-    # verified in round 3 filling to slot 50. The long-stable relational
-    # block (41/41 green in rounds 3 AND 4) rotates to the tail,
-    # alongside the nine text ops green in round 4.
+    # first: the crawl block (stale since round 2; six entries never
+    # driver-tested, incl. the round-5 boilerplate op), then the twelve
+    # round-4 ops the window cut, then the NEW round-5 ops (containment
+    # curation, distributed CC pair, substring census, BM25, DSIR, PMI,
+    # clustered slice, source KL), then the text ops last verified in
+    # round 3 filling to slot 50 (cut lands after segment_dedup). The
+    # long-stable relational block (41/41 green in rounds 3 AND 4)
+    # rotates to the tail, alongside the nine text ops green in round 4.
     return {
         # crawl engine over the input_hint corpus (driver rows stale:
         # r2 for most, never for the five round-4 audit queries)
@@ -395,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # but crawl_full is the headline engine and deserves a record)
         "crawl_neardup": C.crawl_neardup,
         "crawl_full": C.full_crawl_pages,
+        # cross-page boilerplate-span removal (new round 5): the
+        # line-dedup analog over the interleaved text+media payload
+        "crawl_boilerplate": C.crawl_boilerplate,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -439,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "segment_dedup": q_segment_dedup,
+        # --- slot 50 cut: everything below is beyond the driver's
+        # 50-query sweep window (all green in rounds 3 AND 4) ---
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
@@ -447,10 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
-        # relational sentinel rotation (slot 50): pricing_summary is the
-        # canonical TPC-H shape — keep one stable canary in the window
         "pricing_summary": R.pricing_summary,
-        # --- beyond the 50-query window: green in BOTH r3 and r4 ---
         "top_customers": R.top_customers,
         "region_customer_counts": R.region_customer_counts,
         "order_priority_counts": R.order_priority_counts,
@@ -902,4 +905,5 @@ ORDER BY doc_id"""
         out["crawl_section_components_dist"] = \
             C.crawl_section_components_sql(path)
         out["crawl_trap_signatures"] = C.crawl_trap_signatures_sql(path)
+        out["crawl_boilerplate"] = C.crawl_boilerplate_sql(path)
     return out

@@ -967,3 +967,137 @@ FROM p JOIN qt USING (host)
 GROUP BY qt.host, qt.n_pages, qt.p95
 ORDER BY qt.host
 """
+
+
+def crawl_boilerplate(sf_dir: str, min_pages: int = 5) -> pd.DataFrame:
+    """Cross-page boilerplate-span removal — the RefinedWeb/CCNet
+    line-dedup step expressed over the interleaved text+media payload: a
+    span TEXT that occurs on >= ``min_pages`` DISTINCT pages is template
+    boilerplate (nav labels, footer strings, repeated meta values); per
+    page, emit the de-boilerplated reading text plus removal counts
+    (doc_id, n_spans, n_boiler, clean_text).
+
+    Scale shape (100 TB): pass 1 ships only (fp63(text), n_pages)
+    Counter partials through the bucketed int shuffle — each page is one
+    row, so a per-row set() yields exact distinct-page counts with no
+    extra distinct pass, and raw span texts never cross the wire. The
+    surviving boilerplate fingerprint set is bounded above by
+    total_spans / min_pages and broadcasts once via ``ray.put``; at
+    10^10 pages swap the broadcast for a fp-bucketed anti-join (the
+    same trade documented at functions/dedup.incremental_dedup). Pass 2
+    is stateless per batch: drop countable spans whose fingerprint is in
+    the set, join the kept texts in span order.
+
+    Fingerprints are 63-bit md5 prefixes (collision P ~ n^2/2^64 —
+    ~1e-9 at 10^5 distinct span texts); the SQL twin groups on the exact
+    text, so the driver's hash-compare doubles as a collision audit.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from .reports import bucketed_agg
+
+    ds = _docs(sf_dir, ["doc_id", "spans"])
+
+    M63 = (1 << 63) - 1
+
+    def _fp(text: str, memo: dict) -> int:
+        v = memo.get(text)
+        if v is None:
+            v = int(hashlib.md5(text.encode("utf-8"))
+                    .hexdigest()[:16], 16) & M63
+            memo[text] = v
+        return v
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values
+        texts = vals.field("text").to_pylist()
+        offs = col.offsets.to_numpy()
+        memo: dict = {}
+        c: Counter = Counter()
+        for j in range(batch.num_rows):
+            row_fps = {_fp(t, memo)
+                       for t in texts[int(offs[j]):int(offs[j + 1])]
+                       if t}
+            for f in row_fps:
+                c[f] += 1
+        return pa.table({
+            "fp": pa.array(list(c.keys()), pa.int64()),
+            "n_pages": pa.array(list(c.values()), pa.int64())})
+
+    counts = bucketed_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        "fp", {"n_pages": ("n_pages", "sum")})
+    boiler_df = counts.filter(
+        expr=f"n_pages >= {int(min_pages)}").to_pandas()
+    boiler = np.sort(boiler_df["fp"].to_numpy(dtype=np.int64))
+    boiler_ref = ray.put(boiler)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        bset = ray.get(boiler_ref)          # plasma-cached per worker
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values
+        texts = vals.field("text").to_pylist()
+        offs = col.offsets.to_numpy()
+        memo: dict = {}
+        n_spans, n_boiler, cleans = [], [], []
+        for j in range(batch.num_rows):
+            row = [t for t in texts[int(offs[j]):int(offs[j + 1])] if t]
+            if row:
+                fps = np.fromiter((_fp(t, memo) for t in row),
+                                  dtype=np.int64, count=len(row))
+                drop = np.zeros(len(row), dtype=bool)
+                if bset.size:
+                    idx = np.searchsorted(bset, fps)
+                    idx[idx == bset.size] = 0
+                    drop = bset[idx] == fps
+                kept = [t for t, d in zip(row, drop.tolist()) if not d]
+            else:
+                kept = []
+            n_spans.append(len(row))
+            n_boiler.append(len(row) - len(kept))
+            cleans.append("\n".join(kept))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_boiler": pa.array(n_boiler, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string())})
+
+    out = ds.map_batches(strip, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def crawl_boilerplate_sql(path: str, min_pages: int = 5) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS i, unnest(spans) AS sp
+  FROM read_parquet('{path}')),
+t AS (
+  SELECT doc_id, i, sp.text AS txt FROM raw
+  WHERE sp.text IS NOT NULL AND sp.text <> ''),
+boiler AS (
+  SELECT txt FROM t GROUP BY txt
+  HAVING count(DISTINCT doc_id) >= {int(min_pages)}),
+cnt AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN txt IN (SELECT txt FROM boiler)
+             THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+  FROM t GROUP BY doc_id),
+clean AS (
+  SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS clean_text
+  FROM t WHERE txt NOT IN (SELECT txt FROM boiler)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(cnt.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(cnt.n_boiler, 0)::BIGINT AS n_boiler,
+       coalesce(clean.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM read_parquet('{path}')) d
+LEFT JOIN cnt USING (doc_id) LEFT JOIN clean USING (doc_id)
+ORDER BY doc_id"""

@@ -699,3 +699,36 @@ def test_crawl_trap_signatures_matches_python(ray_session):
         == want
     assert any(
         "\\d+" in s for s, _ in want), "fixture has digit-collapsed sigs"
+
+
+def test_crawl_boilerplate_matches_python(ray_session):
+    """Boilerplate removal == a pure-python reference over the same
+    corpus: texts on >= min_pages distinct pages drop, kept texts join
+    in span order; counts are per-occurrence."""
+    from collections import Counter
+
+    from librecrawl_ray.pipelines.crawl_queries import (
+        _docs, crawl_boilerplate)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_boilerplate(sf, min_pages=5)
+
+    rows = _docs(sf, ["doc_id", "spans"]).take_all()
+    per_doc = {r["doc_id"]: [s["text"] for s in r["spans"]
+                             if s["text"]] for r in rows}
+    c: Counter = Counter()
+    for texts in per_doc.values():
+        c.update(set(texts))
+    boiler = {t for t, n in c.items() if n >= 5}
+    want = {}
+    for d, texts in per_doc.items():
+        kept = [t for t in texts if t not in boiler]
+        want[d] = (len(texts), len(texts) - len(kept),
+                   "\n".join(kept))
+    assert len(got) == len(want)
+    n_dropped = 0
+    for r in got.itertuples(index=False):
+        w = want[r.doc_id]
+        assert (r.n_spans, r.n_boiler, r.clean_text) == w, r.doc_id
+        n_dropped += r.n_boiler
+    assert n_dropped > 0, "fixture corpus has template boilerplate"
