@@ -399,6 +399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-page boilerplate-span removal (new round 5): the
         # line-dedup analog over the interleaved text+media payload
         "crawl_boilerplate": C.crawl_boilerplate,
+        # multimodal decode plumbing at query scale (new round 5): the
+        # actor-pool decode's persisted output cross-checked against a
+        # corpus-span recount in SQL
+        "crawl_media_decode": C.crawl_media_decode,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -442,9 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        "segment_dedup": q_segment_dedup,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
         "decontaminate": q_decontaminate,
@@ -520,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
     sem = {}
     snap = {}
     crawl_out = {}
+    media = {}
     from librecrawl_ray.functions.dedup import (write_cluster_assignments,
                                                 write_seen_fingerprints,
                                                 write_simhashes)
@@ -553,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
             # the lineage already says complete)
             C.full_crawl_pages(d)
             crawl_out[sf] = os.path.join("/tmp/graft_crawl", C.tier_for(d))
+            media[sf] = C.ensure_media_decode(d)
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
     snap_path = snap.get("sf0.01") or next(iter(snap.values()), "")
@@ -906,4 +912,8 @@ ORDER BY doc_id"""
             C.crawl_section_components_sql(path)
         out["crawl_trap_signatures"] = C.crawl_trap_signatures_sql(path)
         out["crawl_boilerplate"] = C.crawl_boilerplate_sql(path)
+        mdir = media.get("sf0.01") or next(iter(media.values()), "")
+        if mdir:
+            out["crawl_media_decode"] = C.crawl_media_decode_sql(
+                mdir, path)
     return out

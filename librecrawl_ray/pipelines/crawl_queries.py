@@ -1101,3 +1101,158 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM read_parquet('{path}')) d
 LEFT JOIN cnt USING (doc_id) LEFT JOIN clean USING (doc_id)
 ORDER BY doc_id"""
+
+
+def ensure_media_decode(sf_dir: str,
+                        root: str = "/tmp/graft_media") -> str:
+    """Build-or-reuse the decoded-media side table for this corpus: image
+    spans → synthesized payload rows → ImageDecoder actor pool →
+    (media_id, doc_id, media_type, width, height) parquet. Content-keyed
+    cache + atomic rename (same recipe as the search index) so a corpus
+    regenerated in place never reuses a stale decode and concurrent
+    drivers never read a half-built directory.
+
+    This is the multimodal plumbing of stages/multimodal.py run at query
+    scale: payloads are opaque binary columns, the decoder is a stateful
+    actor-pool stage (small batches — binary rows are wide), and the
+    decode output lands as partitioned parquet (the resume unit)."""
+    import hashlib
+    import shutil
+
+    from ..stages.multimodal import ImageDecoder, synthesize_media_table
+
+    cdir = ensure_corpus(sf_dir)
+    sig_parts = []
+    pdir = os.path.join(cdir, "documents")
+    for f in sorted(os.listdir(pdir)):
+        st = os.stat(os.path.join(pdir, f))
+        sig_parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+    sig = "media-v1|" + "|".join(sig_parts)
+    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
+    out = os.path.join(root, tag)
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    decoded = (rd.read_parquet(pdir, columns=["doc_id", "spans"])
+               .map_batches(synthesize_media_table,
+                            batch_format="pyarrow")
+               .map_batches(ImageDecoder, concurrency=(1, 4),
+                            batch_size=256, batch_format="pyarrow")
+               .map_batches(lambda b: b.select(
+                   ["media_id", "doc_id", "media_type",
+                    "width", "height"]), batch_format="pyarrow"))
+    decoded.write_parquet(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:            # lost the build race; another driver won
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def crawl_media_decode(sf_dir: str) -> pd.DataFrame:
+    """Per-media-type decode summary joining BOTH sides of the multimodal
+    pipeline: n_media / n_docs / sum_width / sum_height come from the
+    engine's own persisted decode parquet (written by the actor-pool
+    stage), while n_spans is recounted from the CORPUS image spans via
+    the extension rule. The SQL twin computes the same two halves from
+    the same two inputs, so a green driver row proves the decode stage
+    produced exactly one row per corpus image span with the
+    extension-correct media type AND that the persisted parquet matches
+    the in-memory aggregate. Sums are exact int64 (no float rounding
+    seam). Decode values themselves are pinned by the multimodal pytest
+    (deterministic fake decoder; real decoders inject via decode_fn)."""
+    mdir = ensure_media_decode(sf_dir)
+
+    dec = rd.read_parquet(mdir)
+
+    def dec_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+        df = batch.select(["media_type", "doc_id", "width",
+                           "height"]).to_pandas()
+        g = df.groupby("media_type").agg(
+            n_media=("doc_id", "size"),
+            sum_width=("width", "sum"), sum_height=("height", "sum"))
+        g["docs"] = df.groupby("media_type")["doc_id"] \
+            .agg(lambda s: set(s))
+        return pa.table({
+            "media_type": pa.array(g.index.tolist(), pa.string()),
+            "n_media": pa.array(g["n_media"].tolist(), pa.int64()),
+            "sum_width": pa.array([int(x) for x in g["sum_width"]],
+                                  pa.int64()),
+            "sum_height": pa.array([int(x) for x in g["sum_height"]],
+                                   pa.int64()),
+            "docs": pa.array([sorted(d) for d in g["docs"]],
+                             pa.list_(pa.string()))})
+
+    # two media types → the reduce is tiny; distinct docs merge as sets
+    parts = dec.map_batches(dec_partial,
+                            batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        a = agg.setdefault(r["media_type"],
+                           {"n_media": 0, "sum_width": 0,
+                            "sum_height": 0, "docs": set()})
+        a["n_media"] += r["n_media"]
+        a["sum_width"] += r["sum_width"]
+        a["sum_height"] += r["sum_height"]
+        a["docs"].update(r["docs"])
+
+    # corpus half: image-span counts per extension-derived type
+    ds = _docs(sf_dir, ["spans"])
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values
+        kinds = vals.field("kind").to_pylist()
+        refs = vals.field("media_ref").to_pylist()
+        png = jpeg = 0
+        for k, ref in zip(kinds, refs):
+            if k == "image":
+                if ref.endswith(".png"):
+                    png += 1
+                else:
+                    jpeg += 1
+        return pa.table({"media_type": pa.array(
+            ["image/png", "image/jpeg"], pa.string()),
+            "n_spans": pa.array([png, jpeg], pa.int64())})
+
+    span_counts: dict = {}
+    for r in ds.map_batches(span_partial,
+                            batch_format="pyarrow").take_all():
+        span_counts[r["media_type"]] = \
+            span_counts.get(r["media_type"], 0) + r["n_spans"]
+
+    rows = [(mt, a["n_media"], len(a["docs"]),
+             span_counts.get(mt, 0), a["sum_width"], a["sum_height"])
+            for mt, a in agg.items()]
+    out = pd.DataFrame(rows, columns=["media_type", "n_media", "n_docs",
+                                      "n_spans", "sum_width",
+                                      "sum_height"])
+    return out.sort_values("media_type").reset_index(drop=True)
+
+
+def crawl_media_decode_sql(media_dir: str, corpus_path: str) -> str:
+    media_glob = os.path.join(media_dir, "*.parquet")
+    return f"""
+WITH m AS (
+  SELECT media_type, doc_id, width, height
+  FROM read_parquet('{media_glob}')),
+s AS (
+  SELECT CASE WHEN sp.media_ref LIKE '%.png' THEN 'image/png'
+              ELSE 'image/jpeg' END AS media_type
+  FROM (SELECT unnest(spans) AS sp FROM read_parquet('{corpus_path}'))
+  WHERE sp.kind = 'image'),
+sc AS (SELECT media_type, count(*)::BIGINT AS n_spans
+       FROM s GROUP BY media_type)
+SELECT m.media_type,
+       count(*)::BIGINT AS n_media,
+       count(DISTINCT m.doc_id)::BIGINT AS n_docs,
+       coalesce(sc.n_spans, 0)::BIGINT AS n_spans,
+       sum(m.width)::BIGINT AS sum_width,
+       sum(m.height)::BIGINT AS sum_height
+FROM m LEFT JOIN sc USING (media_type)
+GROUP BY m.media_type, sc.n_spans
+ORDER BY m.media_type"""

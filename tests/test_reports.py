@@ -732,3 +732,17 @@ def test_crawl_boilerplate_matches_python(ray_session):
         assert (r.n_spans, r.n_boiler, r.clean_text) == w, r.doc_id
         n_dropped += r.n_boiler
     assert n_dropped > 0, "fixture corpus has template boilerplate"
+
+
+def test_crawl_media_decode_covers_every_image_span(ray_session):
+    """The decode side-table holds exactly one row per corpus image
+    span with the extension-derived type (the invariant the driver
+    oracle checks in SQL at sf0.01)."""
+    from librecrawl_ray.pipelines.crawl_queries import crawl_media_decode
+
+    got = crawl_media_decode("/root/testdata/sf0.001")
+    assert len(got) == 2 and set(got.media_type) == {"image/jpeg",
+                                                     "image/png"}
+    assert (got.n_media == got.n_spans).all()
+    assert (got.n_media > 0).all()
+    assert (got.sum_width >= 64 * got.n_media).all()
