@@ -403,6 +403,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actor-pool decode's persisted output cross-checked against a
         # corpus-span recount in SQL
         "crawl_media_decode": C.crawl_media_decode,
+        # corpus-wide redirect-chain resolution (new round 5):
+        # iterative single-hop joins w/ early exit vs a recursive CTE
+        "crawl_redirect_chains": C.crawl_redirect_chains,
+        # J5 sitemap health (new round 5): discovery -> recursive
+        # expansion -> classification vs the crawl's own pages output
+        "crawl_sitemap_health": C.crawl_sitemap_health,
+        # J6 hreflang reciprocity issues (new round 5)
+        "crawl_hreflang_issues": C.crawl_hreflang_issues,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -443,11 +451,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
         "reservoir_sample": q_reservoir_sample,
+        # --- slot 50 cut: everything below is beyond the driver's
+        # 50-query sweep window (all green in rounds 3 AND 4) ---
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        # --- slot 50 cut: everything below is beyond the driver's
-        # 50-query sweep window (all green in rounds 3 AND 4) ---
         "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
         "label_centroids": q_label_centroids,
@@ -525,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
     snap = {}
     crawl_out = {}
     media = {}
+    cdirs = {}
     from librecrawl_ray.functions.dedup import (write_cluster_assignments,
                                                 write_seen_fingerprints,
                                                 write_simhashes)
@@ -536,7 +545,7 @@ def oracle_sql() -> dict[str, str]:
     for sf in tiers:
         d = f"/root/testdata/{sf}"
         if True:
-            C.ensure_corpus(d)
+            cdirs[sf] = C.ensure_corpus(d)
             cp[sf] = C.corpus_parquet(d)
             # simhash side-table for the simhash_pairs oracle (pair
             # validity + pigeonhole completeness checked in SQL)
@@ -912,6 +921,14 @@ ORDER BY doc_id"""
             C.crawl_section_components_sql(path)
         out["crawl_trap_signatures"] = C.crawl_trap_signatures_sql(path)
         out["crawl_boilerplate"] = C.crawl_boilerplate_sql(path)
+        out["crawl_redirect_chains"] = C.crawl_redirect_chains_sql(path)
+        cdir = cdirs.get("sf0.01") or next(iter(cdirs.values()), "")
+        if pr_dir and cdir:
+            out["crawl_sitemap_health"] = C.crawl_sitemap_health_sql(
+                cdir, pr_dir)
+        if pr_dir:
+            out["crawl_hreflang_issues"] = \
+                C.crawl_hreflang_issues_sql(pr_dir)
         mdir = media.get("sf0.01") or next(iter(media.values()), "")
         if mdir:
             out["crawl_media_decode"] = C.crawl_media_decode_sql(

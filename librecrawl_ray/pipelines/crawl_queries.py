@@ -1256,3 +1256,327 @@ SELECT m.media_type,
 FROM m LEFT JOIN sc USING (media_type)
 GROUP BY m.media_type, sc.n_spans
 ORDER BY m.media_type"""
+
+
+def crawl_redirect_chains(sf_dir: str, max_hops: int = 16) -> pd.DataFrame:
+    """Corpus-wide redirect-chain resolution (the reference's redirect
+    report as a distributed query): for every redirecting URL, follow
+    ``redirect_to`` edges until the target is not itself a redirect
+    source, capping at ``max_hops`` edges; emit (url, final_url, hops,
+    disposition) with disposition ``capped`` (still pointing at a
+    redirect source at the cap — a loop or an over-long chain), ``ok``
+    (final target exists in the corpus) or ``dangling`` (it doesn't).
+
+    Scale shape: the chain state (one row per redirect SOURCE — a small
+    fraction of any real corpus, but itself 10^8+ at 10^10 pages) stays
+    a Dataset end to end; each round is one adaptive hash join of the
+    state against the redirect edge table (broadcast at fixture scale,
+    bucketed at 10^10) plus a vectorized advance, with an early exit as
+    soon as a round advances nothing — chains are short in practice, so
+    the loop runs ~max-chain-length rounds, not max_hops. Exact single
+    -hop semantics are kept (rather than pointer doubling) so the hop
+    cap counts edges precisely — the recursive-CTE oracle's contract.
+    Final classification is two more joins (source-set membership, then
+    corpus membership)."""
+    import pyarrow.compute as pc_
+
+    from .reports import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "redirect_to"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        m = pc_.and_kleene(pc_.is_valid(b.column("redirect_to")),
+                           pc_.not_equal(b.column("redirect_to"), ""))
+        kept = b.filter(pc_.fill_null(m, False))
+        return pa.table({"u": kept.column("doc_id"),
+                         "t": kept.column("redirect_to")})
+
+    # materialize once: the chain loop joins against `edges` every
+    # round, and a lazy dataset would re-run the parquet read + filter
+    # per round (16x at the hop cap)
+    edges = docs.map_batches(to_edges,
+                             batch_format="pyarrow").materialize()
+
+    def seed(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({
+            "url": b.column("u"), "cur": b.column("t"),
+            "hops": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    state = edges.map_batches(seed, batch_format="pyarrow").materialize()
+    if state.count() == 0:
+        return pd.DataFrame(columns=["url", "final_url", "hops",
+                                     "disposition"])
+
+    for _ in range(max_hops - 1):
+        joined = hash_join(state, edges, key="cur", right_key="u",
+                           how="left")
+
+        def step(b: pa.Table) -> pa.Table:
+            nxt = b.column("t")
+            hops = b.column("hops")
+            can = pc_.fill_null(pc_.and_kleene(
+                pc_.is_valid(nxt),
+                pc_.less(hops, pa.scalar(max_hops, pa.int64()))), False)
+            return pa.table({
+                "url": b.column("url"),
+                "cur": pc_.if_else(can, nxt, b.column("cur")),
+                "hops": pc_.if_else(can, pc_.add(hops, 1), hops),
+                "adv": pc_.cast(can, pa.int64())})
+
+        state = joined.map_batches(step,
+                                   batch_format="pyarrow").materialize()
+        if not state.sum("adv"):
+            break
+        state = state.drop_columns(["adv"])
+
+    if "adv" in state.schema().names:
+        state = state.drop_columns(["adv"])
+
+    # classification joins: is the final target still a redirect source
+    # (capped), else does it exist in the corpus (ok vs dangling)?
+    srcs = edges.map_batches(
+        lambda b: pa.table({"u": b.column("u"),
+                            "is_src": pa.array([1] * b.num_rows,
+                                               pa.int64())}),
+        batch_format="pyarrow")
+    exists = docs.map_batches(
+        lambda b: pa.table({"u": b.column("doc_id"),
+                            "is_doc": pa.array([1] * b.num_rows,
+                                               pa.int64())}),
+        batch_format="pyarrow")
+    out = hash_join(hash_join(state, srcs, key="cur", right_key="u",
+                              how="left"),
+                    exists, key="cur", right_key="u", how="left")
+
+    def classify(b: pa.Table) -> pa.Table:
+        is_src = pc_.fill_null(b.column("is_src"), 0)
+        is_doc = pc_.fill_null(b.column("is_doc"), 0)
+        disp = pc_.if_else(
+            pc_.equal(is_src, 1), pa.scalar("capped"),
+            pc_.if_else(pc_.equal(is_doc, 1), pa.scalar("ok"),
+                        pa.scalar("dangling")))
+        return pa.table({"url": b.column("url"),
+                         "final_url": b.column("cur"),
+                         "hops": b.column("hops"),
+                         "disposition": disp})
+
+    res = out.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return res.sort_values("url").reset_index(drop=True)
+
+
+def crawl_redirect_chains_sql(path: str, max_hops: int = 16) -> str:
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT doc_id AS u, redirect_to AS t FROM read_parquet('{path}')
+  WHERE redirect_to IS NOT NULL AND redirect_to <> ''),
+r(start, cur, n) AS (
+  SELECT u, t, 1 FROM m
+  UNION ALL
+  SELECT r.start, m.t, r.n + 1 FROM r JOIN m ON m.u = r.cur
+  WHERE r.n < {int(max_hops)}),
+last AS (
+  SELECT start, cur, n FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY start
+                                   ORDER BY n DESC) AS rn FROM r)
+  WHERE rn = 1)
+SELECT start AS url, cur AS final_url, n::BIGINT AS hops,
+       CASE WHEN EXISTS (SELECT 1 FROM m WHERE m.u = last.cur)
+              THEN 'capped'
+            WHEN EXISTS (SELECT 1 FROM read_parquet('{path}') d
+                         WHERE d.doc_id = last.cur) THEN 'ok'
+            ELSE 'dangling' END AS disposition
+FROM last ORDER BY url"""
+
+
+def crawl_sitemap_health(sf_dir: str,
+                         out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """J5 sitemap health as a driver query: robots.txt Sitemap: lines →
+    recursive index expansion (≤10 deep, S5) → per-URL classification
+    against the crawl's own pages output (valid / broken / redirect /
+    noindexed / non_canonical / not_crawled, with the reference's issue
+    type+message strings).
+
+    Scale shape: the index STRUCTURE (which sitemap lists which) is
+    small metadata and expands driver-side; the page-URL entries — the
+    big side — stream through ``reports.sitemap_health``'s dataset join
+    (broadcast at sandbox scale, bucketed above threshold; VERDICT r2
+    #3). The SQL twin re-derives the same URL set with a recursive CTE
+    over sitemaps.parquet and re-classifies against the same pages
+    parquet, so a green driver row covers discovery, expansion, the
+    join, and the classification precedence order."""
+    import pyarrow.parquet as pq
+
+    from ..sources.sitemap import (expand_sitemaps,
+                                   sitemap_roots_from_robots)
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)   # no-op if lineage complete
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    cdir = ensure_corpus(sf_dir)
+    robots_rows = pq.read_table(
+        os.path.join(cdir, "robots.parquet")).to_pylist()
+    sm_rows = pq.read_table(
+        os.path.join(cdir, "sitemaps.parquet")).to_pylist()
+    roots = sitemap_roots_from_robots(robots_rows)
+    urls = expand_sitemaps(sm_rows, roots)
+    pages = reports.load_pages(
+        out_dir, columns=["url", "status_code", "redirect_count",
+                          "robots", "x_robots_tag", "canonical_url"])
+    return reports.sitemap_health(pages, urls).to_pandas()
+
+
+def crawl_sitemap_health_sql(corpus_dir_: str, out_dir: str) -> str:
+    robots_p = os.path.join(corpus_dir_, "robots.parquet")
+    sm_p = os.path.join(corpus_dir_, "sitemaps.parquet")
+    pages_glob = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+
+    def norm(col: str) -> str:
+        return f"""
+CASE WHEN strpos(split_part(rtrim(lower({col}), '/'), '://', 2), '/') = 0
+     THEN rtrim(lower({col}), '/') || '/'
+     ELSE rtrim(lower({col}), '/') END"""
+
+    return f"""
+WITH RECURSIVE roots AS (
+  SELECT unnest(regexp_extract_all(content,
+                'sitemap:\\s*([^\\s#]+)', 1, 'i')) AS url
+  FROM read_parquet('{robots_p}')),
+sm AS (SELECT url, content_kind, entries
+       FROM read_parquet('{sm_p}')),
+walk(url, depth) AS (
+  SELECT url, 0 FROM roots
+  UNION
+  SELECT t.ent, w.depth + 1
+  FROM walk w
+  JOIN sm ON sm.url = w.url AND sm.content_kind = 'index'
+  CROSS JOIN (SELECT unnest(sm.entries) AS ent) t
+  WHERE w.depth < 10),
+su AS (
+  SELECT DISTINCT t.ent AS sitemap_url
+  FROM walk w
+  JOIN sm ON sm.url = w.url AND sm.content_kind = 'urlset'
+  CROSS JOIN (SELECT unnest(sm.entries) AS ent) t),
+p AS (
+  SELECT url, status_code, redirect_count, robots, x_robots_tag,
+         canonical_url, {norm('url')} AS __n
+  FROM read_parquet('{pages_glob}')),
+j AS (
+  SELECT su.sitemap_url, p.url, p.status_code, p.redirect_count,
+         p.robots, p.x_robots_tag, p.canonical_url
+  FROM su LEFT JOIN p ON {norm('su.sitemap_url')} = p.__n),
+c AS (
+  SELECT sitemap_url,
+         CASE WHEN status_code IS NULL THEN 'not_crawled'
+              WHEN status_code = 0 OR status_code >= 400 THEN 'broken'
+              WHEN coalesce(redirect_count, 0) > 0 THEN 'redirect'
+              WHEN contains(lower(coalesce(robots, '')), 'noindex')
+                OR contains(lower(coalesce(x_robots_tag, '')),
+                            'noindex') THEN 'noindexed'
+              WHEN canonical_url IS NOT NULL AND canonical_url <> ''
+                AND {norm('canonical_url')} <> {norm('url')}
+                THEN 'non_canonical'
+              ELSE 'valid' END AS bucket,
+         status_code, redirect_count, canonical_url
+  FROM j)
+SELECT sitemap_url, bucket,
+       CASE bucket WHEN 'broken' THEN 'error'
+                   WHEN 'redirect' THEN 'warning'
+                   WHEN 'noindexed' THEN 'warning'
+                   WHEN 'non_canonical' THEN 'info'
+                   ELSE '' END AS type,
+       CASE bucket WHEN 'broken' THEN 'Sitemap: Broken URL'
+                   WHEN 'redirect' THEN 'Sitemap: Redirecting URL'
+                   WHEN 'noindexed' THEN 'Sitemap: Noindexed URL'
+                   WHEN 'non_canonical' THEN 'Sitemap: Non-Canonical URL'
+                   ELSE '' END AS issue,
+       CASE bucket
+         WHEN 'broken' THEN 'Status ' || status_code::BIGINT
+         WHEN 'redirect' THEN redirect_count::BIGINT || ' hop(s)'
+         WHEN 'noindexed' THEN 'Sitemap lists a noindexed page'
+         WHEN 'non_canonical' THEN 'Canonical: ' || canonical_url
+         ELSE '' END AS details
+FROM c ORDER BY sitemap_url"""
+
+
+def crawl_hreflang_issues(sf_dir: str,
+                          out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """J6 hreflang reciprocity as a driver query over the crawl's own
+    pages output: code validation (invalid vs unknown), reciprocity
+    (A→B needs any B→A), target status, and per-page self-reference —
+    the reference's International issue family with its exact message
+    strings. The heavy shapes live in reports.hreflang_issues (edge
+    explode, globally-deduped reverse-pair join, bucketed self-ref
+    groupby)."""
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)   # no-op if lineage complete
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(
+        out_dir, columns=["url", "hreflang", "status_code"])
+    out = reports.hreflang_issues(pages).to_pandas()
+    return out.sort_values(["url", "issue", "details"]) \
+              .reset_index(drop=True)
+
+
+def crawl_hreflang_issues_sql(out_dir: str) -> str:
+    from .reports import _KNOWN_LANGS
+    pages_glob = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+    known = ", ".join(
+        f"'{k}'" for k in sorted(_KNOWN_LANGS) if k != "x-default")
+
+    def norm(col: str) -> str:
+        return f"""
+CASE WHEN strpos(split_part(rtrim(lower({col}), '/'), '://', 2), '/') = 0
+     THEN rtrim(lower({col}), '/') || '/'
+     ELSE rtrim(lower({col}), '/') END"""
+
+    return f"""
+WITH e AS (
+  SELECT url AS source, h.lang AS lang, h.url AS target,
+         {norm('url')} AS ns, {norm('h.url')} AS nt
+  FROM (SELECT url, unnest(hreflang) AS h
+        FROM read_parquet('{pages_glob}') WHERE len(hreflang) > 0)),
+p AS (
+  SELECT {norm('url')} AS n2, status_code
+  FROM read_parquet('{pages_glob}')),
+codes AS (
+  SELECT source AS url,
+         CASE WHEN NOT ok THEN 'error' ELSE 'warning' END AS type,
+         'International' AS category,
+         CASE WHEN NOT ok THEN 'Hreflang: Invalid Language Code'
+              ELSE 'Hreflang: Unknown Language Code' END AS issue,
+         'Code "' || coalesce(lang, 'None') || '" for ' || target
+           AS details
+  FROM (SELECT *, regexp_full_match(coalesce(lang, ''),
+                 '[a-z]{{2,3}}(-[A-Za-z]{{2,4}})?') AS ok FROM e)
+  WHERE coalesce(lang, '') <> 'x-default'
+    AND (NOT ok OR split_part(coalesce(lang, ''), '-', 1)
+                   NOT IN ({known}))),
+recip AS (
+  SELECT source AS url, 'warning' AS type, 'International' AS category,
+         'Hreflang: Missing Reciprocal Link' AS issue,
+         target || ' does not link back' AS details
+  FROM e a
+  WHERE a.ns <> a.nt AND NOT EXISTS
+        (SELECT 1 FROM e b WHERE b.ns = a.nt AND b.nt = a.ns)),
+non200 AS (
+  SELECT source AS url, 'error' AS type, 'International' AS category,
+         'Hreflang: Points to Non-200 Page' AS issue,
+         target || ' returned ' || status_code::BIGINT AS details
+  FROM e LEFT JOIN p ON p.n2 = e.nt
+  WHERE status_code IS NOT NULL AND status_code <> 200),
+selfs AS (
+  SELECT min(source) AS url, 'warning' AS type,
+         'International' AS category,
+         'Hreflang: Missing Self-Reference' AS issue,
+         'Page''s hreflang set does not include itself' AS details
+  FROM e GROUP BY ns
+  HAVING sum(CASE WHEN ns = nt THEN 1 ELSE 0 END) = 0)
+SELECT * FROM codes
+UNION ALL SELECT * FROM recip
+UNION ALL SELECT * FROM non200
+UNION ALL SELECT * FROM selfs
+ORDER BY url, issue, details"""

@@ -634,6 +634,13 @@ def hreflang_issues(pages: rd.Dataset) -> rd.Dataset:
 
     rev_pairs = rev.map_batches(dedup_pairs, batch_format="pyarrow") \
                    .map_batches(revkey, batch_format="pyarrow")
+    # per-batch dedup above is only a PARTIAL: reverse pairs that repeat
+    # across batches would leave duplicate pair_keys and fan out the
+    # left join into duplicated issue rows — finish with a global
+    # bucketed distinct (presence is all the reciprocity join needs)
+    rev_pairs = bucketed_groups(
+        rev_pairs, "pair_key",
+        lambda df: df.drop_duplicates("pair_key"), buckets=8)
     keyed_edges = edges.map_batches(pairkey, batch_format="pyarrow")
     joined = hash_join(keyed_edges, rev_pairs, "pair_key", how="left_outer")
 
@@ -684,8 +691,11 @@ def hreflang_issues(pages: rd.Dataset) -> rd.Dataset:
         rows = []
         for src, g in df.groupby("norm_source"):
             if not (g["norm_source"] == g["norm_target"]).any():
+                # min(), not iloc[0]: the raw-URL representative must not
+                # depend on batch arrival order when several raw forms
+                # normalize to the same source
                 rows.append({
-                    "url": g["source"].iloc[0], "type": "warning",
+                    "url": g["source"].min(), "type": "warning",
                     "category": "International",
                     "issue": "Hreflang: Missing Self-Reference",
                     "details": "Page's hreflang set does not include "

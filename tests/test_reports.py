@@ -746,3 +746,32 @@ def test_crawl_media_decode_covers_every_image_span(ray_session):
     assert (got.n_media == got.n_spans).all()
     assert (got.n_media > 0).all()
     assert (got.sum_width >= 64 * got.n_media).all()
+
+
+def test_crawl_redirect_chains_matches_python(ray_session):
+    """Chain resolution == a pure-python walk over the corpus redirect
+    map: exact hop counts, cap-at-16 loop handling, ok/dangling/capped
+    classification."""
+    from librecrawl_ray.pipelines.crawl_queries import (
+        _docs, crawl_redirect_chains)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_redirect_chains(sf)
+
+    rows = _docs(sf, ["doc_id", "redirect_to"]).take_all()
+    m = {r["doc_id"]: r["redirect_to"] for r in rows
+         if r["redirect_to"]}
+    urls = {r["doc_id"] for r in rows}
+    want = {}
+    for u, t in m.items():
+        cur, hops = t, 1
+        while cur in m and hops < 16:
+            cur, hops = m[cur], hops + 1
+        disp = ("capped" if cur in m
+                else "ok" if cur in urls else "dangling")
+        want[u] = (cur, hops, disp)
+    assert len(got) == len(want) > 0
+    for r in got.itertuples(index=False):
+        assert (r.final_url, r.hops, r.disposition) == want[r.url], r.url
+    assert {"ok", "capped"} <= set(got.disposition), \
+        "fixture exercises both terminating chains and the loop cap"
