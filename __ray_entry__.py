@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap_health": C.crawl_sitemap_health,
         # J6 hreflang reciprocity issues (new round 5)
         "crawl_hreflang_issues": C.crawl_hreflang_issues,
+        # J3/J4 link-hygiene reports (new round 5)
+        "crawl_links_to_redirects": C.crawl_links_to_redirects,
+        "crawl_broken_links": C.crawl_broken_links,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -449,10 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_keywords": q_top_keywords,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
-        "train_shuffle": q_train_shuffle,
-        "reservoir_sample": q_reservoir_sample,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "train_shuffle": q_train_shuffle,
+        "reservoir_sample": q_reservoir_sample,
         "curate_corpus": q_curate_corpus,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -929,6 +932,9 @@ ORDER BY doc_id"""
         if pr_dir:
             out["crawl_hreflang_issues"] = \
                 C.crawl_hreflang_issues_sql(pr_dir)
+            out["crawl_links_to_redirects"] = \
+                C.crawl_links_to_redirects_sql(pr_dir)
+            out["crawl_broken_links"] = C.crawl_broken_links_sql(pr_dir)
         mdir = media.get("sf0.01") or next(iter(media.values()), "")
         if mdir:
             out["crawl_media_decode"] = C.crawl_media_decode_sql(

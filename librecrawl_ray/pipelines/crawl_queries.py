@@ -1580,3 +1580,94 @@ UNION ALL SELECT * FROM recip
 UNION ALL SELECT * FROM non200
 UNION ALL SELECT * FROM selfs
 ORDER BY url, issue, details"""
+
+
+def _norm_sql(col: str) -> str:
+    """SQL twin of canonical.norm_url for the corpus's URL forms:
+    lowercase, strip trailing slash except a bare root."""
+    return f"""
+CASE WHEN strpos(split_part(rtrim(lower({col}), '/'), '://', 2), '/') = 0
+     THEN rtrim(lower({col}), '/') || '/'
+     ELSE rtrim(lower({col}), '/') END"""
+
+
+def crawl_links_to_redirects(sf_dir: str,
+                             out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """J3 as a driver query: internal links whose targets redirect — one
+    issue per source page with the reference's count + first-5 message
+    (reports.links_to_redirects_issues: normalized join + bucketed
+    per-source aggregation)."""
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    out = reports.links_to_redirects_issues(
+        reports.load_pages(out_dir, columns=["url", "redirect_count"]),
+        reports.load_links(out_dir)).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def crawl_links_to_redirects_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH red AS (
+  SELECT DISTINCT {_norm_sql('url')} AS nt
+  FROM read_parquet('{pages_glob}') WHERE redirect_count >= 1),
+hits AS (
+  SELECT l.source_url, l.target_url
+  FROM read_parquet('{links_glob}') l
+  JOIN red ON {_norm_sql('l.target_url')} = red.nt
+  WHERE l.is_internal),
+g AS (
+  SELECT source_url AS url,
+         list_sort(list_distinct(list(target_url))) AS ts
+  FROM hits GROUP BY source_url)
+SELECT url, 'info' AS type, 'Links' AS category,
+       'Links: Internal Links to Redirects' AS issue,
+       len(ts) || ' internal link(s) point to redirecting URLs: ' ||
+         array_to_string(ts[1:5], ', ') AS details
+FROM g ORDER BY url"""
+
+
+def crawl_broken_links(sf_dir: str,
+                       out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """J4 as a driver query: broken link targets (status 0 / ≥400) with
+    the reference's per-target source-list message
+    (reports.broken_link_issues)."""
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    out = reports.broken_link_issues(
+        reports.load_pages(out_dir, columns=["url", "status_code"]),
+        reports.load_links(out_dir)).to_pandas()
+    return out.sort_values(["url", "issue"]).reset_index(drop=True)
+
+
+def crawl_broken_links_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH broken AS (
+  SELECT {_norm_sql('url')} AS nt, status_code
+  FROM read_parquet('{pages_glob}')
+  WHERE status_code = 0 OR status_code >= 400),
+hits AS (
+  SELECT l.source_url, l.target_url, b.status_code,
+         {_norm_sql('l.target_url')} AS nt
+  FROM read_parquet('{links_glob}') l
+  JOIN broken b ON {_norm_sql('l.target_url')} = b.nt),
+g AS (
+  SELECT nt, min(target_url) AS url, min(status_code) AS st,
+         list_sort(list_distinct(list(source_url))) AS srcs
+  FROM hits GROUP BY nt)
+SELECT url, 'error' AS type, 'Links' AS category,
+       'Broken Link (' ||
+         CASE WHEN st = 0 THEN 'No Response' ELSE st::VARCHAR END ||
+         ')' AS issue,
+       'Linked from ' || len(srcs) || ' page(s): ' ||
+         array_to_string(srcs[1:5], ', ') AS details
+FROM g ORDER BY url, issue"""

@@ -478,9 +478,12 @@ def broken_link_issues(pages: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
         rows = []
         for tgt, g in df.groupby("norm_target"):
             sources = sorted(set(g["source_url"]))
-            status = int(g["status_code"].iloc[0])
+            status = int(g["status_code"].min())
             rows.append({
-                "url": g["target_url"].iloc[0],
+                # min(), not iloc[0]: the raw-URL representative must not
+                # depend on batch arrival order when several raw forms
+                # normalize to the same target
+                "url": g["target_url"].min(),
                 "type": "error", "category": "Links",
                 "issue": f"Broken Link "
                          f"({status if status else 'No Response'})",
