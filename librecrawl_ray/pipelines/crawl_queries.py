@@ -1260,12 +1260,21 @@ ORDER BY m.media_type"""
 
 def crawl_redirect_chains(sf_dir: str, max_hops: int = 16) -> pd.DataFrame:
     """Corpus-wide redirect-chain resolution (the reference's redirect
-    report as a distributed query): for every redirecting URL, follow
-    ``redirect_to`` edges until the target is not itself a redirect
-    source, capping at ``max_hops`` edges; emit (url, final_url, hops,
-    disposition) with disposition ``capped`` (still pointing at a
-    redirect source at the cap — a loop or an over-long chain), ``ok``
-    (final target exists in the corpus) or ``dangling`` (it doesn't).
+    report as a distributed query) over the corpus documents table —
+    the thin wrapper around resolve_redirect_chains below."""
+    return resolve_redirect_chains(
+        _docs(sf_dir, ["doc_id", "redirect_to"]), max_hops=max_hops)
+
+
+def resolve_redirect_chains(docs: rd.Dataset,
+                            max_hops: int = 16) -> pd.DataFrame:
+    """For every redirecting URL (``doc_id`` with non-empty
+    ``redirect_to``), follow redirect edges until the target is not
+    itself a redirect source, capping at ``max_hops`` edges; emit (url,
+    final_url, hops, disposition) with disposition ``capped`` (still
+    pointing at a redirect source at the cap — a loop or an over-long
+    chain), ``ok`` (final target exists among doc_ids) or ``dangling``
+    (it doesn't).
 
     Scale shape: the chain state (one row per redirect SOURCE — a small
     fraction of any real corpus, but itself 10^8+ at 10^10 pages) stays
@@ -1281,8 +1290,6 @@ def crawl_redirect_chains(sf_dir: str, max_hops: int = 16) -> pd.DataFrame:
     import pyarrow.compute as pc_
 
     from .reports import hash_join
-
-    docs = _docs(sf_dir, ["doc_id", "redirect_to"])
 
     def to_edges(b: pa.Table) -> pa.Table:
         m = pc_.and_kleene(pc_.is_valid(b.column("redirect_to")),

@@ -159,3 +159,52 @@ def test_cuckoo_overflow_unwind_keeps_admitted_keys():
     # the cuckoo no-false-negative invariant survives the failed insert
     assert cf.contains_many(adm).all()
     assert cf.count == len(admitted)
+
+
+def test_redirect_chains_random_functional_graph(ray_session):
+    """resolve_redirect_chains == a python walk on a seeded random
+    functional graph: ~200 nodes, dense redirect core with loops,
+    dangling targets, and chains longer than the hop cap."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from librecrawl_ray.pipelines.crawl_queries import (
+        resolve_redirect_chains)
+
+    rng = np.random.RandomState(7)
+    n = 200
+    ids = [f"u{i}" for i in range(n)]
+    redirect_to = []
+    for i in range(n):
+        r = rng.rand()
+        if r < 0.35:                       # redirect to a random node
+            redirect_to.append(f"u{int(rng.randint(n))}")
+        elif r < 0.42:                     # dangling target
+            redirect_to.append(f"missing{int(rng.randint(20))}")
+        else:
+            redirect_to.append(None)
+    # force a guaranteed loop and a long chain
+    redirect_to[0], redirect_to[1] = "u1", "u0"
+    for i in range(2, 42):                 # u2 -> u3 -> ... -> u42
+        redirect_to[i] = f"u{i + 1}"
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "redirect_to": pa.array(redirect_to, pa.string())}))
+    got = resolve_redirect_chains(docs, max_hops=16)
+
+    m = {u: t for u, t in zip(ids, redirect_to) if t}
+    urls = set(ids)
+    want = {}
+    for u, t in m.items():
+        cur, hops = t, 1
+        while cur in m and hops < 16:
+            cur, hops = m[cur], hops + 1
+        disp = ("capped" if cur in m
+                else "ok" if cur in urls else "dangling")
+        want[u] = (cur, hops, disp)
+    assert len(got) == len(want)
+    for r in got.itertuples(index=False):
+        assert (r.final_url, r.hops, r.disposition) == want[r.url], r.url
+    assert {"ok", "dangling", "capped"} <= set(got.disposition)
