@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J3/J4 link-hygiene reports (new round 5)
         "crawl_links_to_redirects": C.crawl_links_to_redirects,
         "crawl_broken_links": C.crawl_broken_links,
+        # J1 linked-from source lists (new round 5)
+        "crawl_linked_from": C.crawl_linked_from,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -451,9 +453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
         "repetition_stats": q_repetition_stats,
-        "mixture_sample": q_mixture_sample,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
         "reservoir_sample": q_reservoir_sample,
         "curate_corpus": q_curate_corpus,
@@ -935,6 +937,7 @@ ORDER BY doc_id"""
             out["crawl_links_to_redirects"] = \
                 C.crawl_links_to_redirects_sql(pr_dir)
             out["crawl_broken_links"] = C.crawl_broken_links_sql(pr_dir)
+            out["crawl_linked_from"] = C.crawl_linked_from_sql(pr_dir)
         mdir = media.get("sf0.01") or next(iter(media.values()), "")
         if mdir:
             out["crawl_media_decode"] = C.crawl_media_decode_sql(

@@ -1678,3 +1678,40 @@ SELECT url, 'error' AS type, 'Links' AS category,
        'Linked from ' || len(srcs) || ' page(s): ' ||
          array_to_string(srcs[1:5], ', ') AS details
 FROM g ORDER BY url, issue"""
+
+
+def crawl_linked_from(sf_dir: str,
+                      out_root: str = "/tmp/graft_crawl") -> pd.DataFrame:
+    """J1 as a driver query: per crawled page, the sorted distinct list
+    of pages linking to it (reports.linked_from — the reference's
+    post-crawl _update_all_linked_from final state), flattened to a
+    count + unit-separator-joined string so the value-hash compare stays
+    dtype-exact across engines."""
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    out = reports.linked_from(pages, reports.load_links(out_dir)) \
+        .to_pandas()
+    out["n_sources"] = out["linked_from"].map(len).astype("int64")
+    out["sources"] = out["linked_from"].map("\x1f".join)
+    out = out[["url", "n_sources", "sources"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def crawl_linked_from_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "wave=*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH agg AS (
+  SELECT {_norm_sql('target_url')} AS nt,
+         array_to_string(list_sort(list_distinct(list(source_url))),
+                         chr(31)) AS sources,
+         len(list_distinct(list(source_url)))::BIGINT AS n_sources
+  FROM read_parquet('{links_glob}') GROUP BY 1)
+SELECT p.url, coalesce(agg.n_sources, 0) AS n_sources,
+       coalesce(agg.sources, '') AS sources
+FROM read_parquet('{pages_glob}') p
+LEFT JOIN agg ON {_norm_sql('p.url')} = agg.nt
+ORDER BY p.url"""
