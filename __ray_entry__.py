@@ -311,6 +311,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _sh.rmtree(tmp, ignore_errors=True)
         return idx
 
+    def q_ingest_jsonl(sf_dir):
+        """JSONL foreign-dump ingestion (sources/ingest.py): alias-named
+        columns map onto DOCUMENT_SCHEMA and the missing id derives from
+        the content fingerprint (md5 low 63 bits) — stable across
+        re-ingestion, independent of block order."""
+        from librecrawl_ray.sources.ingest import (export_alias_jsonl,
+                                                   normalize_documents)
+        path = export_alias_jsonl(
+            os.path.join(sf_dir, "documents.parquet"))
+        out = normalize_documents(rd.read_json(path)).to_pandas()
+        return out.sort_values(["doc_id", "source"]) \
+            .reset_index(drop=True)
+
     def q_boolean_search(sf_dir):
         from librecrawl_ray.functions.search import boolean_search
         out = boolean_search(_index_dir(sf_dir), SEARCH_TERMS).to_pandas()
@@ -447,14 +460,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_slice": q_clustered_slice,
         # per-source KL mixture-drift diagnostic (new round 5)
         "source_divergence": q_source_divergence,
+        # JSONL foreign-dump ingestion (new round 5)
+        "ingest_jsonl": q_ingest_jsonl,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
-        "repetition_stats": q_repetition_stats,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
         "train_shuffle": q_train_shuffle,
         "reservoir_sample": q_reservoir_sample,
@@ -539,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
     crawl_out = {}
     media = {}
     cdirs = {}
+    ing = {}
     from librecrawl_ray.functions.dedup import (write_cluster_assignments,
                                                 write_seen_fingerprints,
                                                 write_simhashes)
@@ -573,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
             C.full_crawl_pages(d)
             crawl_out[sf] = os.path.join("/tmp/graft_crawl", C.tier_for(d))
             media[sf] = C.ensure_media_decode(d)
+            from librecrawl_ray.sources.ingest import export_alias_jsonl
+            ing[sf] = export_alias_jsonl(
+                os.path.join(d, "documents.parquet"))
     # the driver runs correctness at sf0.01
     path = cp.get("sf0.01") or next(iter(cp.values()), "")
     snap_path = snap.get("sf0.01") or next(iter(snap.values()), "")
@@ -942,4 +961,8 @@ ORDER BY doc_id"""
         if mdir:
             out["crawl_media_decode"] = C.crawl_media_decode_sql(
                 mdir, path)
+    ing_path = ing.get("sf0.01") or next(iter(ing.values()), "")
+    if ing_path:
+        from librecrawl_ray.sources.ingest import ingest_jsonl_sql
+        out["ingest_jsonl"] = ingest_jsonl_sql(ing_path)
     return out

@@ -122,3 +122,56 @@ def filter_blocklist(ds: rd.Dataset, blocked: set[str] | list[str],
             pc.invert(pc.is_in(batch.column(col), value_set=bl)))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def export_alias_jsonl(doc_parquet: str,
+                       root: str = "/tmp/graft_ingest") -> str:
+    """Export a documents parquet as an alias-named JSONL dump
+    (content/language/subset, no id column) — the foreign-dump shape the
+    ingest readers normalize; used by the driver's ingest oracle so the
+    Ray query and the DuckDB twin read the identical file. Content-keyed
+    cache + atomic rename (the search-index recipe); fixture-sized
+    export, written driver-side (real ingest reads dumps that already
+    exist)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    st = os.stat(doc_parquet)
+    sig = (f"ingest-v1|{os.path.abspath(doc_parquet)}|{st.st_size}|"
+           f"{st.st_mtime_ns}")
+    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
+    out = os.path.join(root + "_" + tag)
+    path = os.path.join(out, "docs.jsonl")
+    if not os.path.isdir(out):
+        tmp = f"{out}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        df = pq.read_table(
+            doc_parquet, columns=["text", "lang", "source"]).to_pandas()
+        df = df.rename(columns={"text": "content", "lang": "language",
+                                "source": "subset"})
+        df.to_json(os.path.join(tmp, "docs.jsonl"),
+                   orient="records", lines=True, force_ascii=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def ingest_jsonl_sql(jsonl_path: str) -> str:
+    """DuckDB twin of read_documents_jsonl on an alias-named dump: same
+    column mapping, same fingerprint-derived int64 id (md5 of
+    whitespace-normalized lowercase text, low 63 bits)."""
+    fp16 = ("substr(md5(lower(trim(regexp_replace(content, '\\s+', ' ', "
+            "'g')))), 1, 16)")
+    return f"""
+SELECT CAST(CAST('0x' || {fp16} AS UBIGINT) &
+            CAST('0x7FFFFFFFFFFFFFFF' AS UBIGINT) AS BIGINT) AS doc_id,
+       content AS text, language AS lang, subset AS source,
+       length(content)::BIGINT AS n_chars
+FROM read_json_auto('{jsonl_path}')
+ORDER BY doc_id, source"""
