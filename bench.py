@@ -267,6 +267,10 @@ def run_bench() -> None:
               rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id", "text"]), n=40))
 
+    # cross-page boilerplate removal over the 549k-page span corpus
+    # (two passes: fp-count shuffle + broadcast strip)
+    timed("crawl_boilerplate", lambda: C.crawl_boilerplate(sf_dir))
+
     result = {
         "metric": "crawl_wall_seconds",
         "value": round(crawl_sec, 3),
