@@ -1715,3 +1715,71 @@ SELECT p.url, coalesce(agg.n_sources, 0) AS n_sources,
 FROM read_parquet('{pages_glob}') p
 LEFT JOIN agg ON {_norm_sql('p.url')} = agg.nt
 ORDER BY p.url"""
+
+
+# --------------------------------------------------- HITS link analysis
+
+def crawl_hits(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
+        pd.DataFrame:
+    """HITS hubs & authorities over the crawl output's link graph — top
+    50 pages by authority (with their hub scores). The second classic
+    link-analysis score next to ``crawl_pagerank``; driver-gated via an
+    unrolled-CTE SQL twin over the crawl's own pages/links parquet."""
+    full_crawl_pages(sf_dir, out_root)
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    links = reports.load_links(out_dir)
+    df = reports.hits_scores(pages, links)
+    return (df.sort_values(["authority", "url"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
+
+
+def crawl_hits_sql(out_dir: str, iterations: int = 5) -> str:
+    """DuckDB twin of ``crawl_hits``: the L1-normalized HITS iteration
+    unrolled as a MATERIALIZED CTE chain over the crawl's own output
+    (side-table oracle pattern, same as ``crawl_pagerank_sql`` — the
+    crawl itself is pinned by the conformance suite; this verifies the
+    HITS transform end-to-end in SQL). Mirrors hits_scores exactly:
+    internal edges, normalized + deduped, endpoints semi-joined to
+    crawled nodes, hub_0 = 1/|V|, per-iteration division by the global
+    raw sum (coalesce(raw/t, 0) == the engine's reindex-then-divide),
+    scores rounded to 10 dp, top 50 by (authority desc, url)."""
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    parts = [f"""
+__p AS (SELECT url FROM read_parquet('{pages_glob}')),
+__nodes AS MATERIALIZED (SELECT DISTINCT {_norm_sql('url')} AS n
+                         FROM __p),
+__nn AS (SELECT count(*)::DOUBLE AS cnt FROM __nodes),
+__e0 AS MATERIALIZED (SELECT DISTINCT {_norm_sql('source_url')} AS src,
+                {_norm_sql('target_url')} AS dst
+         FROM read_parquet('{links_glob}') WHERE is_internal),
+__edges AS MATERIALIZED (SELECT e.src, e.dst FROM __e0 e
+            JOIN __nodes a ON e.src = a.n
+            JOIN __nodes b ON e.dst = b.n),
+__h0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT cnt FROM __nn) AS s
+                      FROM __nodes)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+__ar{k} AS MATERIALIZED (SELECT e.dst AS n, sum(h.s) AS raw
+           FROM __edges e JOIN __h{k - 1} h ON e.src = h.n
+           GROUP BY e.dst),
+__as{k} AS (SELECT sum(raw) AS t FROM __ar{k}),
+__a{k} AS MATERIALIZED (SELECT nd.n,
+           coalesce(r.raw / nullif((SELECT t FROM __as{k}), 0), 0.0) AS s
+           FROM __nodes nd LEFT JOIN __ar{k} r USING (n)),
+__hr{k} AS MATERIALIZED (SELECT e.src AS n, sum(a.s) AS raw
+           FROM __edges e JOIN __a{k} a ON e.dst = a.n
+           GROUP BY e.src),
+__hs{k} AS (SELECT sum(raw) AS t FROM __hr{k}),
+__h{k} AS MATERIALIZED (SELECT nd.n,
+           coalesce(r.raw / nullif((SELECT t FROM __hs{k}), 0), 0.0) AS s
+           FROM __nodes nd LEFT JOIN __hr{k} r USING (n))""")
+    parts.append(f"""
+SELECT p.url, round(a.s, 10) AS authority, round(h.s, 10) AS hub
+FROM (SELECT DISTINCT url, {_norm_sql('url')} AS n FROM __p) p
+JOIN __a{iterations} a USING (n)
+JOIN __h{iterations} h USING (n)
+ORDER BY authority DESC, p.url LIMIT 50""")
+    return "WITH " + "".join(parts)

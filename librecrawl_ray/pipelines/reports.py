@@ -958,3 +958,81 @@ def pagerank_distributed(pages: rd.Dataset, links: rd.Dataset,
             "url": batch.column("url"),
             "rank": _pc.round(batch.column("rank"), ndigits=10)})
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hits_scores(pages: rd.Dataset, links: rd.Dataset,
+                iterations: int = 5) -> "pd.DataFrame":
+    """HITS hubs & authorities (Kleinberg 1999) over the crawled internal
+    link graph — the companion link-analysis score to ``pagerank_lite``.
+    The reference's link-graph surface is inlink/outlink counts +
+    PageRank-style importance (crawler.py link_manager); HITS weights a
+    page's inlinks by the hub quality of the pages casting them, the
+    standard second axis for crawl prioritization / authority reports.
+
+    Update rule, L1-normalized so the SQL twin can mirror it exactly
+    (starting from hub_0 = 1/|V|):
+
+        auth_k(v) = Σ_{(u,v)∈E} hub_{k-1}(u)   / Σ_v raw_auth_k
+        hub_k(u)  = Σ_{(u,v)∈E} auth_k(v)      / Σ_u raw_hub_k
+
+    Scores round to 10 dp (same numeric contract as the PageRank twin:
+    both sides sum float64 in different orders, relative error ~1e-16,
+    orders of magnitude below the rounding grid).
+
+    Scale shape: the edge list is normalized + deduped + semi-joined to
+    crawled nodes with Ray Data; the iteration itself is driver-resident
+    — both score vectors are node-sized, never corpus-sized. At 10^10
+    swap each half-update for hash_join(edges ⋈ scores, on the incoming
+    endpoint) + bucketed groupby sum + one scalar aggregate — exactly the
+    ``pagerank_distributed`` iteration body minus its outdeg division.
+    Returns pandas (url, authority, hub) for every crawled page.
+    """
+    import pandas as pd
+
+    nodes = _add_norm(pages.select_columns(["url"]), "url", "n") \
+        .select_columns(["url", "n"])
+    node_tbl = nodes.to_pandas()
+    node_set = set(node_tbl["n"])
+    n_nodes = max(len(node_set), 1)
+
+    edges = _add_norm(
+        _add_norm(links.filter(expr="is_internal == True")
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"])
+
+    def dedup_and_filter(batch: pa.Table) -> pa.Table:
+        seen = set()
+        s_out, d_out = [], []
+        for s, d in zip(batch.column("src").to_pylist(),
+                        batch.column("dst").to_pylist()):
+            if d in node_set and s in node_set and (s, d) not in seen:
+                seen.add((s, d))
+                s_out.append(s)
+                d_out.append(d)
+        return pa.table({"src": pa.array(s_out, pa.string()),
+                         "dst": pa.array(d_out, pa.string())})
+
+    edge_df = edges.map_batches(dedup_and_filter,
+                                batch_format="pyarrow").to_pandas() \
+        .drop_duplicates(["src", "dst"])
+
+    idx = pd.Index(sorted(node_set))
+    hub = pd.Series(1.0 / n_nodes, index=idx)
+    auth = pd.Series(0.0, index=idx)
+    for _ in range(iterations):
+        raw_a = pd.Series(edge_df["src"].map(hub).values,
+                          index=edge_df["dst"]).groupby(level=0).sum()
+        sa = float(raw_a.sum())
+        auth = (raw_a.reindex(idx, fill_value=0.0) / sa) if sa \
+            else pd.Series(0.0, index=idx)
+        raw_h = pd.Series(edge_df["dst"].map(auth).values,
+                          index=edge_df["src"]).groupby(level=0).sum()
+        sh = float(raw_h.sum())
+        hub = (raw_h.reindex(idx, fill_value=0.0) / sh) if sh \
+            else pd.Series(0.0, index=idx)
+
+    out = node_tbl.copy()
+    out["authority"] = out["n"].map(auth).fillna(0.0).round(10)
+    out["hub"] = out["n"].map(hub).fillna(0.0).round(10)
+    return out[["url", "authority", "hub"]]

@@ -218,3 +218,52 @@ def test_seen_retraction(ray_session, t1_corpus_dir, t1_cfg, tmp_path):
     for u in urls[5:]:
         s = shard_of(url_sha1(u), t1_cfg.num_shards)
         assert _ray.get(eng.shards[s].contains.remote([url_sha1(u)]))[0]
+
+
+def _reference_hits(nodes, edges, iterations=5):
+    """Independent dict-based HITS (L1-normalized, hub_0 = 1/n)."""
+    nodes = sorted(set(nodes))
+    n = len(nodes)
+    hub = {u: 1.0 / n for u in nodes}
+    auth = {u: 0.0 for u in nodes}
+    for _ in range(iterations):
+        raw_a = defaultdict(float)
+        for s, d in edges:
+            raw_a[d] += hub[s]
+        t = sum(raw_a.values())
+        auth = {u: (raw_a.get(u, 0.0) / t if t else 0.0) for u in nodes}
+        raw_h = defaultdict(float)
+        for s, d in edges:
+            raw_h[s] += auth[d]
+        t = sum(raw_h.values())
+        hub = {u: (raw_h.get(u, 0.0) / t if t else 0.0) for u in nodes}
+    return auth, hub
+
+
+def test_hits_scores_match_reference(ray_session, t1_crawl, t1_oracle):
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"])
+    links = reports.load_links(summary["out_dir"])
+    got = reports.hits_scores(pages, links)
+    a_map = dict(zip(got["url"], got["authority"]))
+    h_map = dict(zip(got["url"], got["hub"]))
+
+    node_norms = {norm_url(p["url"]) for p in t1_oracle.pages}
+    edges = set()
+    for e in t1_oracle.links:
+        if not e["is_internal"]:
+            continue
+        s, d = norm_url(e["source_url"]), norm_url(e["target_url"])
+        if s in node_norms and d in node_norms:
+            edges.add((s, d))
+    want_a, want_h = _reference_hits(node_norms, edges)
+    assert len(a_map) == len(t1_oracle.pages)
+    for p in t1_oracle.pages:
+        nu = norm_url(p["url"])
+        assert abs(a_map[p["url"]] - want_a[nu]) < 1e-9, p["url"]
+        assert abs(h_map[p["url"]] - want_h[nu]) < 1e-9, p["url"]
+    # scores are probability vectors: each L1 sum is 1 (or 0 if no edges)
+    assert abs(sum(want_a.values()) - 1.0) < 1e-9
+    # the homepage is a stronger hub than a leaf page
+    leaf = max(t1_oracle.pages, key=lambda p: p["depth"])
+    assert h_map["https://site.example/"] > h_map[leaf["url"]]
