@@ -384,9 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-tested, incl. the round-5 boilerplate op), then the twelve
     # round-4 ops the window cut, then the NEW round-5 ops (containment
     # curation, distributed CC pair, substring census, BM25, DSIR, PMI,
-    # clustered slice, source KL, HITS), then the text ops last verified
-    # in round 3 filling to slot 50 (cut lands after top_similar_pairs).
-    # The
+    # clustered slice, source KL, HITS, degree stats), then the text ops
+    # last verified in round 3 filling to slot 50 (cut lands after
+    # ivf_topk). The
     # long-stable relational block (41/41 green in rounds 3 AND 4)
     # rotates to the tail, alongside the nine text ops green in round 4.
     return {
@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5): the companion link-analysis score to crawl_pagerank,
         # unrolled-CTE SQL twin over the crawl's own output
         "crawl_hits": C.crawl_hits,
+        # log2 degree histogram of the crawl link graph (new round 5):
+        # the skew diagnostic for link-analysis shuffle sizing
+        "crawl_degree_stats": C.crawl_degree_stats,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -470,9 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
-        "top_similar_pairs": q_top_similar_pairs,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -933,6 +936,7 @@ ORDER BY doc_id"""
         # SQL; the crawl itself is pinned by the conformance suite
         out["crawl_pagerank"] = C.crawl_pagerank_sql(pr_dir)
         out["crawl_hits"] = C.crawl_hits_sql(pr_dir)
+        out["crawl_degree_stats"] = C.crawl_degree_stats_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

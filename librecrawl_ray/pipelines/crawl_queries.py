@@ -1783,3 +1783,56 @@ JOIN __a{iterations} a USING (n)
 JOIN __h{iterations} h USING (n)
 ORDER BY authority DESC, p.url LIMIT 50""")
     return "WITH " + "".join(parts)
+
+
+# ------------------------------------------------ degree-shape diagnostic
+
+def crawl_degree_stats(sf_dir: str, out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Log2-bucketed in/out-degree histogram of the crawl's internal link
+    graph — the skew diagnostic a link-analysis run consults before
+    choosing shuffle salting. (direction, k, n_nodes) with k =
+    floor(log2 degree), -1 for crawled pages with no edges in that
+    direction."""
+    full_crawl_pages(sf_dir, out_root)
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    links = reports.load_links(out_dir)
+    return reports.degree_histogram(pages, links)
+
+
+def crawl_degree_stats_sql(out_dir: str) -> str:
+    """DuckDB twin of ``crawl_degree_stats``: same edge semantics as the
+    pagerank/HITS twins; the log2 bucket is integer-exact on both sides
+    (engine: frexp exponent; SQL: binary-format length)."""
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH __p AS (SELECT url FROM read_parquet('{pages_glob}')),
+__nodes AS MATERIALIZED (SELECT DISTINCT {_norm_sql('url')} AS n
+                         FROM __p),
+__e0 AS (SELECT DISTINCT {_norm_sql('source_url')} AS src,
+                {_norm_sql('target_url')} AS dst
+         FROM read_parquet('{links_glob}') WHERE is_internal),
+__edges AS MATERIALIZED (SELECT e.src, e.dst FROM __e0 e
+            JOIN __nodes a ON e.src = a.n
+            JOIN __nodes b ON e.dst = b.n),
+__out AS (SELECT src AS n, count(*) AS d FROM __edges GROUP BY src),
+__in AS (SELECT dst AS n, count(*) AS d FROM __edges GROUP BY dst),
+__buckets AS (
+  SELECT 'out' AS direction,
+         (length(format('{{:b}}', d)) - 1)::BIGINT AS k,
+         count(*)::BIGINT AS n_nodes
+  FROM __out GROUP BY 2
+  UNION ALL
+  SELECT 'in', (length(format('{{:b}}', d)) - 1)::BIGINT, count(*)::BIGINT
+  FROM __in GROUP BY 2
+  UNION ALL
+  SELECT 'out', -1::BIGINT,
+         (SELECT count(*) FROM __nodes) - (SELECT count(*) FROM __out)
+  UNION ALL
+  SELECT 'in', -1::BIGINT,
+         (SELECT count(*) FROM __nodes) - (SELECT count(*) FROM __in))
+SELECT direction, k, n_nodes FROM __buckets
+WHERE n_nodes > 0 ORDER BY direction, k"""

@@ -1036,3 +1036,79 @@ def hits_scores(pages: rd.Dataset, links: rd.Dataset,
     out["authority"] = out["n"].map(auth).fillna(0.0).round(10)
     out["hub"] = out["n"].map(hub).fillna(0.0).round(10)
     return out[["url", "authority", "hub"]]
+
+
+def degree_histogram(pages: rd.Dataset, links: rd.Dataset) -> \
+        "pd.DataFrame":
+    """Log2-bucketed in/out-degree histogram of the crawl's internal link
+    graph (the pagerank/HITS edge semantics: normalized, deduped,
+    endpoints semi-joined to crawled nodes) — the graph-shape diagnostic
+    run before sizing link-analysis shuffles: a heavy top bucket means
+    skewed keys that need salting, a fat k=0 tail means the graph is
+    join-bound, not aggregate-bound.
+
+    Distributed shape: per-batch distinct (src,dst) partials → global
+    dedup bucketed BY src (a duplicate pair always lands in its src's
+    bucket, so per-bucket drop_duplicates is globally exact) → endpoint
+    semi-joins via hash_join → per-batch degree Counter partials →
+    bucketed exact sums. Only the ≤64-row histogram (k = floor(log2 d)
+    via exact frexp, -1 = degree 0) ever reaches the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    node_keys = bucketed_groups(
+        _add_norm(pages.select_columns(["url"]), "url", "n")
+        .select_columns(["n"]),
+        "n", lambda df: df.drop_duplicates(["n"]), buckets=16).materialize()
+    n_nodes = node_keys.count()
+
+    raw = _add_norm(
+        _add_norm(links.filter(expr="is_internal == True")
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"]) \
+        .map_batches(lambda df: df.drop_duplicates(["src", "dst"]),
+                     batch_format="pandas")
+    edges = bucketed_groups(
+        raw, "src", lambda df: df.drop_duplicates(["src", "dst"]),
+        buckets=32)
+    edges = hash_join(edges, node_keys, key="src", right_key="n")
+    edges = hash_join(edges, node_keys, key="dst", right_key="n") \
+        .materialize()
+
+    def degrees(col: str) -> pd.DataFrame:
+        from collections import Counter
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = Counter(batch.column(col).to_pylist())
+            return pa.table({
+                "n": pa.array(list(c.keys()), pa.string()),
+                "d": pa.array(list(c.values()), pa.int64())})
+        deg = bucketed_agg(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "n", {"d": ("d", "sum")})
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["d"].to_numpy()
+            k = np.frexp(d.astype(np.float64))[1] - 1
+            ks, counts = np.unique(k, return_counts=True)
+            return pd.DataFrame({"k": ks.astype(np.int64),
+                                 "n_nodes": counts.astype(np.int64)})
+        parts = deg.map_batches(hist_partial,
+                                batch_format="pandas").to_pandas()
+        hist = parts.groupby("k", as_index=False)["n_nodes"].sum()
+        n_zero = n_nodes - int(hist["n_nodes"].sum())
+        if n_zero > 0:
+            hist = pd.concat(
+                [pd.DataFrame({"k": [-1], "n_nodes": [n_zero]}), hist],
+                ignore_index=True)
+        return hist
+
+    out_h = degrees("src").assign(direction="out")
+    in_h = degrees("dst").assign(direction="in")
+    out = pd.concat([in_h, out_h], ignore_index=True)
+    out["k"] = out["k"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return (out[["direction", "k", "n_nodes"]]
+            .sort_values(["direction", "k"]).reset_index(drop=True))

@@ -267,3 +267,36 @@ def test_hits_scores_match_reference(ray_session, t1_crawl, t1_oracle):
     # the homepage is a stronger hub than a leaf page
     leaf = max(t1_oracle.pages, key=lambda p: p["depth"])
     assert h_map["https://site.example/"] > h_map[leaf["url"]]
+
+
+def test_degree_histogram_matches_reference(ray_session, t1_crawl,
+                                            t1_oracle):
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"])
+    links = reports.load_links(summary["out_dir"])
+    got = reports.degree_histogram(pages, links)
+
+    node_norms = {norm_url(p["url"]) for p in t1_oracle.pages}
+    edges = set()
+    for e in t1_oracle.links:
+        if not e["is_internal"]:
+            continue
+        s, d = norm_url(e["source_url"]), norm_url(e["target_url"])
+        if s in node_norms and d in node_norms:
+            edges.add((s, d))
+    want = []
+    for direction, pos in (("in", 1), ("out", 0)):
+        deg = defaultdict(int)
+        for edge in edges:
+            deg[edge[pos]] += 1
+        hist = defaultdict(int)
+        for n in node_norms:
+            d = deg.get(n, 0)
+            hist[d.bit_length() - 1 if d else -1] += 1
+        want.extend((direction, k, c) for k, c in sorted(hist.items())
+                    if c > 0)
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == want
+    # sanity: every crawled page is accounted for in each direction
+    per_dir = got.groupby("direction")["n_nodes"].sum()
+    assert (per_dir == len(node_norms)).all()
