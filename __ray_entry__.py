@@ -348,6 +348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.stats import source_divergence
         return source_divergence(_docs(sf_dir), min_count=5)
 
+    def q_lexical_stats(sf_dir):
+        out = _docs(sf_dir).map_batches(
+            T.lexical_stats_batch, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_clustered_slice(sf_dir):
         """Storage-layer gate: write the documents table clustered on
         n_chars (content-keyed /tmp cache, atomic rename — same recipe
@@ -384,9 +389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-tested, incl. the round-5 boilerplate op), then the twelve
     # round-4 ops the window cut, then the NEW round-5 ops (containment
     # curation, distributed CC pair, substring census, BM25, DSIR, PMI,
-    # clustered slice, source KL, HITS, degree stats), then the text ops
-    # last verified in round 3 filling to slot 50 (cut lands after
-    # ivf_topk). The
+    # clustered slice, source KL, HITS, degree stats, lexical stats),
+    # then the text ops last verified in round 3 filling to slot 50 (cut
+    # lands after neardup_clusters). The
     # long-stable relational block (41/41 green in rounds 3 AND 4)
     # rotates to the tail, alongside the nine text ops green in round 4.
     return {
@@ -468,13 +473,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_slice": q_clustered_slice,
         # per-source KL mixture-drift diagnostic (new round 5)
         "source_divergence": q_source_divergence,
+        # per-doc lexical diversity: TTR + token-entropy (new round 5)
+        "lexical_stats": q_lexical_stats,
         # JSONL foreign-dump ingestion (new round 5)
         "ingest_jsonl": q_ingest_jsonl,
         # text ops last driver-verified round 3
         "neardup_clusters": q_neardup_clusters,
-        "ivf_topk": q_ivf_topk,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
         "repetition_stats": q_repetition_stats,
@@ -851,6 +858,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             "librecrawl_ray.functions.packing",
             fromlist=["segment_dedup_sql"]).segment_dedup_sql(),
         "pii_scan": T.pii_scan_sql("documents"),
+        "lexical_stats": T.lexical_stats_sql("documents"),
         "unigram_lm": __import__(
             "librecrawl_ray.functions.lm",
             fromlist=["unigram_lm_sql"]).unigram_lm_sql(),

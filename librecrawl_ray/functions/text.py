@@ -392,3 +392,71 @@ SELECT doc_id,
        CAST(CASE WHEN {e} + {p} + {i} > 0 THEN 1 ELSE 0 END AS INTEGER)
            AS has_pii
 FROM {table_expr} ORDER BY doc_id"""
+
+
+def lexical_stats_batch(batch: pa.Table, text_col: str = "text") \
+        -> pa.Table:
+    """map_batches body: per-doc lexical-diversity signals over the \\w+
+    token stream — n_tokens, n_types (distinct tokens), type-token ratio,
+    and Shannon entropy of the token distribution (bits). Low entropy /
+    TTR flags template and keyword-stuffed pages that Gopher-style length
+    gates miss; both are standard pre-training quality features.
+
+    Stateless, no shuffle. Numeric contract: entropy is computed as
+    log2(T) − (Σ c·log2 c)/T — the exact operation order the SQL twin
+    mirrors — then half-away-rounded to 6 dp (DuckDB ROUND parity), same
+    idiom as quality_score."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    n_tok, n_typ, ttr, ent = [], [], [], []
+    for t in texts:
+        toks = _TOKEN_RE.findall((t or "").lower())
+        T = len(toks)
+        if not T:
+            n_tok.append(0)
+            n_typ.append(0)
+            ttr.append(0.0)
+            ent.append(0.0)
+            continue
+        c = Counter(toks)
+        s = sum(n * math.log2(n) for n in c.values())
+        n_tok.append(T)
+        n_typ.append(len(c))
+        ttr.append(math.floor(len(c) / T * 1e6 + 0.5) / 1e6)
+        ent.append(math.floor((math.log2(T) - s / T) * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_types": pa.array(n_typ, pa.int64()),
+        "ttr": pa.array(ttr, pa.float64()),
+        "entropy": pa.array(ent, pa.float64()),
+    })
+
+
+def lexical_stats_sql(table_expr: str = "documents",
+                      col: str = "text") -> str:
+    """DuckDB twin of ``lexical_stats_batch`` (same \\w+ tokenizer idiom
+    as the unigram-LM twin; op-order-mirrored entropy; half-away 6 dp)."""
+    return f"""
+WITH __tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table_expr}),
+__cnt AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS c FROM __tok
+  GROUP BY doc_id, tok),
+__per AS (
+  SELECT doc_id, sum(c) AS t, count(*)::BIGINT AS v,
+         sum(c * log2(c)) AS s
+  FROM __cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.t, 0)::BIGINT AS n_tokens,
+       coalesce(p.v, 0)::BIGINT AS n_types,
+       CASE WHEN p.t > 0
+            THEN floor(p.v / p.t * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS ttr,
+       CASE WHEN p.t > 0
+            THEN floor((log2(p.t) - p.s / p.t) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS entropy
+FROM {table_expr} d LEFT JOIN __per p USING (doc_id)
+ORDER BY d.doc_id"""

@@ -1877,3 +1877,58 @@ def test_source_divergence_matches_duckdb(docs_ds):
                                   want.astype({"n_tokens": "int64"}))
     assert (got["kl"] >= 0).all()
     assert len(got) > 1
+
+
+def test_lexical_stats_batch_naive_recount_and_sql_parity():
+    """lexical_stats: hand-computed entropy/TTR on edge-case docs, plus
+    DuckDB parity of the SQL twin on the same rows (empty text, single
+    repeated token, mixed case, NULL)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from librecrawl_ray.functions import text as T
+
+    texts = ["", "a a a a", "The cat sat on the mat the CAT", "x y z",
+             None, "word"]
+    ids = [f"d{i}" for i in range(len(texts))]
+    batch = pa.table({"doc_id": ids, "text": texts})
+    out = T.lexical_stats_batch(batch).to_pandas().set_index("doc_id")
+
+    # d1: 4× "a" → T=4, V=1, entropy = log2(4) − (4·log2 4)/4 = 0
+    assert out.loc["d1", "n_tokens"] == 4
+    assert out.loc["d1", "n_types"] == 1
+    assert out.loc["d1", "entropy"] == 0.0
+    assert out.loc["d1", "ttr"] == 0.25
+    # d3: three distinct singletons → entropy = log2(3)
+    assert out.loc["d3", "entropy"] == math.floor(
+        math.log2(3) * 1e6 + 0.5) / 1e6
+    assert out.loc["d3", "ttr"] == 1.0
+    # d2: case-folded counts: the=3 (The/the/the), cat=2 (cat/CAT),
+    # sat/on/mat = 1 → T=8, V=5
+    assert out.loc["d2", "n_tokens"] == 8
+    assert out.loc["d2", "n_types"] == 5
+    s = 3 * math.log2(3) + 2 * math.log2(2)
+    assert out.loc["d2", "entropy"] == math.floor(
+        (math.log2(8) - s / 8) * 1e6 + 0.5) / 1e6
+    # empty / NULL → zeros
+    for d in ("d0", "d4"):
+        assert out.loc[d, "n_tokens"] == 0
+        assert out.loc[d, "entropy"] == 0.0
+        assert out.loc[d, "ttr"] == 0.0
+    # single token: entropy 0, ttr 1
+    assert out.loc["d5", "entropy"] == 0.0
+    assert out.loc["d5", "ttr"] == 1.0
+
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(T.lexical_stats_sql("documents")).df() \
+        .set_index("doc_id")
+    got = out.sort_index()
+    sql = sql.sort_index()
+    assert (got["n_tokens"] == sql["n_tokens"]).all()
+    assert (got["n_types"] == sql["n_types"]).all()
+    assert (got["ttr"] == sql["ttr"]).all()
+    assert (got["entropy"] == sql["entropy"]).all()
