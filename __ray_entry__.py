@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             T.lexical_stats_batch, batch_format="pyarrow").to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_bigram_lm(sf_dir):
+        from librecrawl_ray.functions.lm import bigram_lm_scores
+        out = bigram_lm_scores(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_clustered_slice(sf_dir):
         """Storage-layer gate: write the documents table clustered on
         n_chars (content-keyed /tmp cache, atomic rename — same recipe
@@ -389,9 +394,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-tested, incl. the round-5 boilerplate op), then the twelve
     # round-4 ops the window cut, then the NEW round-5 ops (containment
     # curation, distributed CC pair, substring census, BM25, DSIR, PMI,
-    # clustered slice, source KL, HITS, degree stats, lexical stats),
-    # then the text ops last verified in round 3 filling to slot 50 (cut
-    # lands after neardup_clusters). The
+    # clustered slice, source KL, HITS, degree stats, lexical stats,
+    # bigram LM) — the round-5 block now fills the window to slot 50
+    # (cut lands after the last round-5 entry, ingest_jsonl). The
+    # round-3-verified text ops and
     # long-stable relational block (41/41 green in rounds 3 AND 4)
     # rotates to the tail, alongside the nine text ops green in round 4.
     return {
@@ -475,12 +481,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": q_source_divergence,
         # per-doc lexical diversity: TTR + token-entropy (new round 5)
         "lexical_stats": q_lexical_stats,
+        # interpolated bigram LM scoring — the KenLM-slot upgrade of
+        # unigram_lm (new round 5)
+        "bigram_lm": q_bigram_lm,
         # JSONL foreign-dump ingestion (new round 5)
         "ingest_jsonl": q_ingest_jsonl,
         # text ops last driver-verified round 3
-        "neardup_clusters": q_neardup_clusters,
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4) ---
+        "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
         "top_keywords": q_top_keywords,
@@ -862,6 +871,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "unigram_lm": __import__(
             "librecrawl_ray.functions.lm",
             fromlist=["unigram_lm_sql"]).unigram_lm_sql(),
+        "bigram_lm": __import__(
+            "librecrawl_ray.functions.lm",
+            fromlist=["bigram_lm_sql"]).bigram_lm_sql(),
         "tfidf_top_terms": __import__(
             "librecrawl_ray.functions.tfidf",
             fromlist=["tfidf_sql"]).tfidf_sql(),

@@ -270,3 +270,143 @@ SELECT s.{id_col}, s.{lang_col}, s.n_tokens, s.lm_score,
 FROM scored s JOIN th USING ({lang_col})
 ORDER BY s.{id_col}
 """
+
+
+# ------------------------------------------------- interpolated bigram LM
+
+def train_bigram_lm(ds: rd.Dataset, text_col: str = "text",
+                    min_count: int = 1,
+                    max_bigrams: int | None = 20_000_000
+                    ) -> tuple["ray.ObjectRef", "ray.ObjectRef", float]:
+    """One streaming pass → (broadcast {token: count},
+    broadcast {(prev, tok): count}, total token occurrences).
+
+    The KenLM-class upgrade of ``train_unigram_lm``: transition counts
+    for a Jelinek–Mercer-interpolated bigram model. Both tables ride the
+    same partial-Counter → bucketed-exact-sum → ``ray.put`` shape; the
+    bigram side is additionally capped at ``max_bigrams`` (count DESC,
+    key ASC — deterministic) because a web-scale bigram table is an
+    order of magnitude wider than the vocabulary. A cut bigram backs off
+    to pure unigram mass through the interpolation itself (its λ-term
+    contributes 0), so the cap composes with the model semantics instead
+    of adding an OOV rule. ``min_count`` applies to both tables.
+    """
+    SEP = "\x1f"
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "count": pa.array(list(c.values()), pa.int64())})
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _TOKEN_RE.findall((t or "").lower())
+            c.update(SEP.join(p) for p in zip(toks, toks[1:]))
+        return pa.table({"key": pa.array(list(c.keys()), pa.string()),
+                         "count": pa.array(list(c.values()), pa.int64())})
+
+    from ..pipelines.reports import bucketed_agg
+    uni_ds = bucketed_agg(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "token", {"count": ("count", "sum")}).materialize()
+    total = float(int(uni_ds.sum("count")))
+    uni = uni_ds.to_pandas()
+    uni = uni[uni["count"] >= min_count]
+    uni_map = dict(zip(uni["token"], uni["count"].astype(float)))
+
+    big_ds = bucketed_agg(
+        ds.map_batches(big_partial, batch_format="pyarrow"),
+        "key", {"count": ("count", "sum")}).materialize()
+    if max_bigrams is not None and big_ds.count() > max_bigrams:
+        big_ds = big_ds.sort(["count", "key"],
+                             descending=[True, False]).limit(max_bigrams)
+    big = big_ds.to_pandas()
+    big = big[big["count"] >= min_count]
+    big_map = {tuple(k.split(SEP, 1)): float(c)
+               for k, c in zip(big["key"], big["count"])}
+    return ray.put(uni_map), ray.put(big_map), total
+
+
+def bigram_lm_scores(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", lam: float = 0.75,
+                     min_count: int = 1) -> rd.Dataset:
+    """Self-scoring interpolated bigram LM (CCNet's KenLM slot, one model
+    order up from ``unigram_lm_scores``): per document the mean token
+    log-prob under
+
+        p(w_i | w_{i-1}) = λ·c₂(w_{i-1}, w_i)/c₁(w_{i-1})
+                           + (1−λ)·c₁(w_i)/total
+
+    with the first token of each doc scored on its unigram term alone.
+    In the self-scoring min_count=1 configuration every token and every
+    transition is in-model, so the SQL twin is exact. Returns
+    (id, n_tokens, lm2_score) — docs with no tokens are dropped; scores
+    round to 4 dp (summation-order FP noise ~1e-12, far inside the
+    grid)."""
+    uni_ref, big_ref, total = train_bigram_lm(ds, text_col, min_count)
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni = ray.get(uni_ref)
+        big = ray.get(big_ref)
+        ids, ns, scores = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            n = len(toks)
+            if n == 0:
+                continue
+            # unigram floor 1/total for OOV tokens (min_count cuts);
+            # missing bigram contributes 0 through the λ-term
+            u0 = uni.get(toks[0], 1.0)
+            s = math.log(u0 / total)
+            for prev, w in zip(toks, toks[1:]):
+                cb = big.get((prev, w), 0.0)
+                cp = uni.get(prev, 1.0)
+                cw = uni.get(w, 1.0)
+                s += math.log(lam * (cb / cp) + (1.0 - lam) * (cw / total))
+            ids.append(i)
+            ns.append(n)
+            scores.append(round(s / n, 4))
+        return pa.table({
+            id_col: pa.array(ids, batch.column(id_col).type),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "lm2_score": pa.array(scores, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_sql(table_expr: str = "documents", id_col: str = "doc_id",
+                  col: str = "text", lam: float = 0.75) -> str:
+    """DuckDB twin of the self-scoring min_count=1 configuration of
+    ``bigram_lm_scores`` (positional tokens via the unnest /
+    generate_series idiom; interpolation mirrored term-for-term)."""
+    return f"""
+WITH __tl AS (
+  SELECT {id_col}, regexp_extract_all(lower({col}), '\\w+') AS ts
+  FROM {table_expr}),
+__pw AS (
+  SELECT {id_col}, ts[i] AS w,
+         CASE WHEN i > 1 THEN ts[i - 1] ELSE NULL END AS prev
+  FROM (SELECT {id_col}, ts,
+               unnest(generate_series(1, len(ts))) AS i FROM __tl)),
+__uni AS (SELECT w AS tok, count(*)::DOUBLE AS c FROM __pw GROUP BY w),
+__tot AS (SELECT sum(c) AS total FROM __uni),
+__big AS (SELECT prev, w, count(*)::DOUBLE AS cb FROM __pw
+          WHERE prev IS NOT NULL GROUP BY prev, w),
+__lp AS (
+  SELECT p.{id_col},
+         CASE WHEN p.prev IS NULL
+              THEN ln(u.c / (SELECT total FROM __tot))
+              ELSE ln({lam} * (b.cb / up.c)
+                      + {1.0 - lam} * (u.c / (SELECT total FROM __tot)))
+         END AS lp
+  FROM __pw p
+  JOIN __uni u ON p.w = u.tok
+  LEFT JOIN __uni up ON p.prev = up.tok
+  LEFT JOIN __big b ON p.prev = b.prev AND p.w = b.w)
+SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+       round(sum(lp) / count(*), 4) AS lm2_score
+FROM __lp GROUP BY {id_col} ORDER BY {id_col}"""

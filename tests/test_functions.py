@@ -1932,3 +1932,63 @@ def test_lexical_stats_batch_naive_recount_and_sql_parity():
     assert (got["n_types"] == sql["n_types"]).all()
     assert (got["ttr"] == sql["ttr"]).all()
     assert (got["entropy"] == sql["entropy"]).all()
+
+
+def test_bigram_lm_scores(docs_ds):
+    """Interpolated bigram LM == a from-scratch recount on the corpus
+    (transition counts, λ-mixture, first-token unigram term)."""
+    import math
+    from collections import Counter
+
+    from librecrawl_ray.functions.lm import _TOKEN_RE, bigram_lm_scores
+
+    lam = 0.75
+    got = bigram_lm_scores(docs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    rows = docs_ds.select_columns(["doc_id", "text"]).take_all()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in rows:
+        toks = _TOKEN_RE.findall((r["text"] or "").lower())
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    want = {}
+    for r in rows:
+        toks = _TOKEN_RE.findall((r["text"] or "").lower())
+        if not toks:
+            continue
+        s = math.log(uni[toks[0]] / total)
+        for p, w in zip(toks, toks[1:]):
+            s += math.log(lam * (big[(p, w)] / uni[p])
+                          + (1 - lam) * (uni[w] / total))
+        want[r["doc_id"]] = (len(toks), round(s / len(toks), 4))
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        n, s = want[row["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["lm_score" if "lm_score" in row else "lm2_score"] == \
+            pytest.approx(s, abs=2e-4)
+    # a repeated-phrase doc scores higher (less surprising transitions)
+    # than under pure unigram: the λ-term rewards seen transitions
+    assert (got["lm2_score"] > -math.log(total)).any()
+
+
+def test_bigram_lm_cap_bounds_broadcast(ray_session):
+    """max_bigrams caps the broadcast transition table; cut bigrams back
+    off to the unigram mass (λ-term = 0), keeping scores well-defined."""
+    import ray
+    import ray.data as rd
+
+    from librecrawl_ray.functions.lm import train_bigram_lm
+
+    ds = rd.from_items([
+        {"doc_id": i, "text": f"tok{i} tok{i + 1} common common"}
+        for i in range(50)])
+    uni_ref, big_ref, total = train_bigram_lm(ds, max_bigrams=10)
+    big = ray.get(big_ref)
+    assert len(big) <= 10
+    # the cap keeps the highest-count transitions: (common, common)
+    # appears 50× and must survive
+    assert ("common", "common") in big
