@@ -417,9 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_section_components": C.crawl_section_components,
         "crawl_trap_signatures": C.crawl_trap_signatures,
-        # rows-only crawl entries (no SQL twin -> weaker driver check,
-        # but crawl_full is the headline engine and deserves a record)
-        "crawl_neardup": C.crawl_neardup,
+        # rows-only crawl entry (no SQL twin -> weaker driver check, but
+        # crawl_full is the headline engine and deserves a record;
+        # crawl_neardup, rows-only and r2-verified, rotates past the cut)
         "crawl_full": C.full_crawl_pages,
         # cross-page boilerplate-span removal (new round 5): the
         # line-dedup analog over the interleaved text+media payload
@@ -448,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # log2 degree histogram of the crawl link graph (new round 5):
         # the skew diagnostic for link-analysis shuffle sizing
         "crawl_degree_stats": C.crawl_degree_stats,
+        # domain-level link graph (new round 5): the host-pair aggregate
+        # a 10^10-page crawl schedules and triages with
+        "crawl_host_graph": C.crawl_host_graph,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -488,7 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_jsonl": q_ingest_jsonl,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
-        # 50-query sweep window (all green in rounds 3 AND 4) ---
+        # 50-query sweep window (all green in rounds 3 AND 4;
+        # crawl_neardup rows-only, r2) ---
+        "crawl_neardup": C.crawl_neardup,
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
         "top_similar_pairs": q_top_similar_pairs,
@@ -957,6 +962,7 @@ ORDER BY doc_id"""
         out["crawl_pagerank"] = C.crawl_pagerank_sql(pr_dir)
         out["crawl_hits"] = C.crawl_hits_sql(pr_dir)
         out["crawl_degree_stats"] = C.crawl_degree_stats_sql(pr_dir)
+        out["crawl_host_graph"] = C.crawl_host_graph_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

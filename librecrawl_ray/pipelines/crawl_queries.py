@@ -1836,3 +1836,81 @@ __buckets AS (
          (SELECT count(*) FROM __nodes) - (SELECT count(*) FROM __in))
 SELECT direction, k, n_nodes FROM __buckets
 WHERE n_nodes > 0 ORDER BY direction, k"""
+
+
+# ------------------------------------------------------ host-level graph
+
+def crawl_host_graph(sf_dir: str, out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Domain-level link graph over the crawl output: (source_host,
+    target_host, n_links, n_targets) for every host pair, internal AND
+    external. At 100 TB the page graph has 10^10 nodes but the host
+    graph is merely millions of rows — scheduling, politeness planning
+    and link-spam triage all aggregate here first, so this is the
+    report a crawl operator actually opens.
+
+    Shape: (1) per-batch (sh, th) Counter partials → bucketed exact
+    sums for n_links; (2) per-batch DISTINCT (sh, th, lowered target)
+    triples → bucketed-by-sh global dedup (a duplicate triple always
+    lands in its sh bucket) → exact per-pair distinct-target counts.
+    Only host-pair-sized partials cross either shuffle; the two small
+    tables merge on the driver."""
+    from . import reports
+    from .reports import bucketed_agg, bucketed_groups
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    links = reports.load_links(out_dir) \
+        .select_columns(["source_url", "target_url"])
+
+    def hosts(df: pd.DataFrame) -> pd.DataFrame:
+        # mirror split_part(split_part(lower(u),'://',2),'/',1)
+        out = pd.DataFrame(index=df.index)
+        for col, name in (("source_url", "sh"), ("target_url", "th")):
+            rest = df[col].str.lower().str.split("://", n=1).str[1] \
+                .fillna("")
+            out[name] = rest.str.split("/", n=1).str[0]
+        out["lt"] = df["target_url"].str.lower()
+        return out
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = hosts(df)
+        return h.groupby(["sh", "th"], as_index=False).agg(
+            n_links=("lt", "size"))
+
+    n_links = bucketed_agg(
+        links.map_batches(count_partial, batch_format="pandas"),
+        ["sh", "th"], {"n_links": ("n_links", "sum")}).to_pandas()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return hosts(df).drop_duplicates(["sh", "th", "lt"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["sh", "th", "lt"])
+        return d.groupby(["sh", "th"], as_index=False).agg(
+            n_targets=("lt", "size"))
+
+    n_targets = bucketed_groups(
+        links.map_batches(distinct_partial, batch_format="pandas"),
+        "sh", per_bucket).to_pandas()
+
+    out = n_links.merge(n_targets, on=["sh", "th"], how="inner")
+    out = out.rename(columns={"sh": "source_host", "th": "target_host"})
+    out["n_links"] = out["n_links"].astype("int64")
+    out["n_targets"] = out["n_targets"].astype("int64")
+    return (out[["source_host", "target_host", "n_links", "n_targets"]]
+            .sort_values(["source_host", "target_host"])
+            .reset_index(drop=True))
+
+
+def crawl_host_graph_sql(out_dir: str) -> str:
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+SELECT split_part(split_part(lower(source_url), '://', 2), '/', 1)
+           AS source_host,
+       split_part(split_part(lower(target_url), '://', 2), '/', 1)
+           AS target_host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT lower(target_url))::BIGINT AS n_targets
+FROM read_parquet('{links_glob}')
+GROUP BY 1, 2 ORDER BY 1, 2"""

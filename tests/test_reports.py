@@ -775,3 +775,34 @@ def test_crawl_redirect_chains_matches_python(ray_session):
         assert (r.final_url, r.hops, r.disposition) == want[r.url], r.url
     assert {"ok", "capped"} <= set(got.disposition), \
         "fixture exercises both terminating chains and the loop cap"
+
+
+def test_crawl_host_graph_matches_python(ray_session):
+    """Host-pair aggregate == a pure-pandas recount over the crawl's own
+    links parquet (same host-extraction rule, exact distinct targets)."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.pipelines.crawl_queries import crawl_host_graph
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_host_graph(sf)
+    links = reports.load_links("/tmp/graft_crawl/t1") \
+        .select_columns(["source_url", "target_url"]).to_pandas()
+
+    def host(s: pd.Series) -> pd.Series:
+        rest = s.str.lower().str.split("://", n=1).str[1].fillna("")
+        return rest.str.split("/", n=1).str[0]
+
+    df = pd.DataFrame({"sh": host(links["source_url"]),
+                       "th": host(links["target_url"]),
+                       "lt": links["target_url"].str.lower()})
+    want = df.groupby(["sh", "th"]).agg(
+        n_links=("lt", "size"), n_targets=("lt", "nunique")) \
+        .reset_index().sort_values(["sh", "th"]).reset_index(drop=True)
+    assert got["source_host"].tolist() == want["sh"].tolist()
+    assert got["target_host"].tolist() == want["th"].tolist()
+    assert got["n_links"].tolist() == want["n_links"].tolist()
+    assert got["n_targets"].tolist() == want["n_targets"].tolist()
+    # externals are present: at least one target host off site.example
+    assert (got["target_host"].str.endswith("site.example") == False).any()
