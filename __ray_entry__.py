@@ -311,6 +311,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _sh.rmtree(tmp, ignore_errors=True)
         return idx
 
+    def q_ingest_warc(sf_dir):
+        """WARC/1.0 archive ingestion (sources/warc.py): the documents
+        table exported as a real sharded WARC archive, re-ingested
+        through read_binary_files → Content-Length-exact record parse →
+        DOCUMENT_SCHEMA normalization. Lossless by construction, so the
+        twin projects the source parquet directly."""
+        from librecrawl_ray.sources.warc import (export_warc_fixture,
+                                                 read_warc_documents)
+        arc = export_warc_fixture(
+            os.path.join(sf_dir, "documents.parquet"))
+        out = read_warc_documents(arc).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_ingest_jsonl(sf_dir):
         """JSONL foreign-dump ingestion (sources/ingest.py): alias-named
         columns map onto DOCUMENT_SCHEMA and the missing id derives from
@@ -408,7 +421,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_inlinks": C.crawl_inlinks,
         "crawl_jsdiff": C.crawl_jsdiff,
         "crawl_analytics": C.crawl_analytics,
-        "crawl_status_counts": C.crawl_status_counts,
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_issue_counts": C.crawl_issue_counts,
@@ -489,10 +501,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         # JSONL foreign-dump ingestion (new round 5)
         "ingest_jsonl": q_ingest_jsonl,
+        # WARC archive ingestion (new round 5): lossless roundtrip
+        # through a real sharded WARC/1.0 export
+        "ingest_warc": q_ingest_warc,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_status_counts": C.crawl_status_counts,
         "crawl_neardup": C.crawl_neardup,
         "neardup_clusters": q_neardup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -1001,4 +1017,6 @@ ORDER BY doc_id"""
     if ing_path:
         from librecrawl_ray.sources.ingest import ingest_jsonl_sql
         out["ingest_jsonl"] = ingest_jsonl_sql(ing_path)
+    from librecrawl_ray.sources.warc import ingest_warc_sql
+    out["ingest_warc"] = ingest_warc_sql("documents")
     return out

@@ -216,3 +216,60 @@ def test_clustered_layout_roundtrip_and_pruning(ray_session, tmp_path):
     lo_only = read_clustered(out, lo=400).to_pandas()
     assert (lo_only["n_chars"] >= 400).all()
     assert read_clustered(out, lo=10 ** 9).to_pandas().empty
+
+
+def test_warc_roundtrip_and_foreign_parse(ray_session, tmp_path):
+    """WARC writer → reader roundtrip is lossless on the canonical
+    document columns (incl. CRLFCRLF and unicode bodies, which break
+    split-on-blank-line parsers), and a foreign archive without the
+    X-Source/X-Lang headers falls back to fingerprint ids + defaults."""
+    import ray.data as rd
+
+    from librecrawl_ray.sources.warc import (_record_bytes, read_warc,
+                                             read_warc_documents,
+                                             write_warc)
+
+    rows = [
+        {"doc_id": 7, "text": "plain body", "source": "web",
+         "lang": "en", "n_chars": 10},
+        {"doc_id": 3, "text": "tricky\r\n\r\nbody with blank line",
+         "source": "forum", "lang": "de", "n_chars": 30},
+        {"doc_id": 11, "text": "unicodé ünïcode — ✓", "source": "web",
+         "lang": "fr", "n_chars": 19},
+        {"doc_id": 5, "text": "", "source": "web", "lang": "en",
+         "n_chars": 0},
+    ]
+    ds = rd.from_items(rows)
+    out = str(tmp_path / "arc")
+    write_warc(ds, out, records_per_shard=2)   # forces multiple shards
+    import glob
+    shards = sorted(glob.glob(out + "/*.warc"))
+    assert len(shards) == 2
+
+    got = read_warc_documents(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    want = pd.DataFrame(rows).sort_values("doc_id") \
+        .reset_index(drop=True)
+    want["n_chars"] = want["text"].str.len().astype("int64")
+    for c in ("doc_id", "text", "source", "lang", "n_chars"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # raw record surface: status + target URI parsed
+    raw = read_warc(out).to_pandas()
+    assert (raw["status"] == 200).all()
+    assert raw["url"].str.startswith("https://warc.example/").all()
+
+    # foreign archive: strip the X- headers → fingerprint ids, defaults
+    rec = _record_bytes(1, "foreign body text", "s", "l")
+    stripped = rec.replace(b"WARC-X-Source: s\r\n", b"") \
+        .replace(b"WARC-X-Lang: l\r\n", b"") \
+        .replace(b"WARC-Record-ID: <urn:doc:1>\r\n",
+                 b"WARC-Record-ID: <urn:uuid:abc>\r\n")
+    f = tmp_path / "foreign.warc"
+    f.write_bytes(stripped)
+    fdoc = read_warc_documents(str(f)).to_pandas()
+    from librecrawl_ray.sources.ingest import _fingerprint_id
+    assert fdoc["doc_id"].tolist() == _fingerprint_id(
+        ["foreign body text"])
+    assert fdoc["source"].tolist() == ["warc"]
+    assert fdoc["lang"].tolist() == ["und"]
