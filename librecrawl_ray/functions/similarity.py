@@ -470,3 +470,122 @@ def pq_topk(ds: rd.Dataset, query: np.ndarray, k: int = 10,
                               ascending=[False, True]).head(k)
     return pa.Table.from_pandas(parts.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def cluster_stats(ds: rd.Dataset, assignments: rd.Dataset,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "pd.DataFrame":
+    """Per-cluster quality report over a k-means assignment: (cluster,
+    n_vectors, mean_cos) where mean_cos is the average cosine of each
+    member to its cluster's MEAN vector — the cohesion diagnostic read
+    before trusting a SemDedup pass or an IVF index built on these
+    clusters (a low-cohesion cluster means the ANN probe budget or the
+    dedup threshold is wrong for that region).
+
+    Shape: one ``hash_join`` attaches cluster ids to vectors (at 10^10
+    both sides are corpus-sized — never a broadcast), pass 1 reduces
+    each batch to per-cluster (sum-vector, count) partials (k × dim
+    driver state), the means broadcast back via ``ray.put``, pass 2
+    reduces each batch to per-cluster (Σcos, n) partials. Raw vectors
+    never cross a shuffle. Numeric contract: cos = dot/(√nv·√nm), zero
+    vectors score 0, mean_cos half-away-rounds to 6 dp — mirrored
+    term-for-term in the SQL twin."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..pipelines.reports import hash_join
+
+    joined = hash_join(
+        ds.select_columns([id_col, vec_col]),
+        assignments.select_columns([id_col, "cluster"]), key=id_col)
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("cluster").to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(vec_col).to_pylist()) \
+            .astype(np.float64)
+        uniq = np.unique(labels)
+        return pa.table({
+            "cluster": pa.array(uniq.tolist(), pa.int64()),
+            "n": pa.array([int((labels == u).sum()) for u in uniq],
+                          pa.int64()),
+            "s": pa.array([m[labels == u].sum(axis=0).tolist()
+                           for u in uniq], pa.list_(pa.float64())),
+        })
+
+    parts = joined.map_batches(sum_partial,
+                               batch_format="pyarrow").to_pandas()
+    means = {}
+    counts = {}
+    for cl, grp in parts.groupby("cluster", sort=True):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        means[int(cl)] = s / n
+        counts[int(cl)] = n
+    means_ref = ray.put(means)
+
+    def cos_partial(batch: pa.Table) -> pa.Table:
+        mdict = ray.get(means_ref)
+        labels = batch.column("cluster").to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(vec_col).to_pylist()) \
+            .astype(np.float64)
+        out_c, out_s, out_n = [], [], []
+        for u in np.unique(labels):
+            sel = m[labels == u]
+            mv = mdict[int(u)]
+            nm = float(mv @ mv)
+            dots = sel @ mv
+            nvs = (sel * sel).sum(axis=1)
+            cs = [d / (math.sqrt(nv) * math.sqrt(nm))
+                  if nv > 0 and nm > 0 else 0.0
+                  for d, nv in zip(dots.tolist(), nvs.tolist())]
+            out_c.append(int(u))
+            out_s.append(float(sum(cs)))
+            out_n.append(len(cs))
+        return pa.table({
+            "cluster": pa.array(out_c, pa.int64()),
+            "sc": pa.array(out_s, pa.float64()),
+            "n": pa.array(out_n, pa.int64())})
+
+    cparts = joined.map_batches(cos_partial,
+                                batch_format="pyarrow").to_pandas()
+    rows = []
+    for cl, grp in cparts.groupby("cluster", sort=True):
+        n = int(grp["n"].sum())
+        mc = math.floor(float(grp["sc"].sum()) / n * 1e6 + 0.5) / 1e6
+        rows.append((int(cl), n, mc))
+    return pd.DataFrame(rows, columns=["cluster", "n_vectors",
+                                       "mean_cos"])
+
+
+def cluster_stats_sql(assignments_parquet: str,
+                      table_expr: str = "embeddings") -> str:
+    """DuckDB twin of ``cluster_stats`` over the persisted assignment
+    side-table (same pattern as the semantic_dedup oracle: the k-means
+    itself is pinned by determinism pytest; the join, the mean vectors,
+    the cosine cohesion and the rounding are all re-derived in SQL)."""
+    return f"""
+WITH __a AS (SELECT vec_id, cluster
+             FROM read_parquet('{assignments_parquet}')),
+__x AS (
+  SELECT a.cluster, e.vec_id, unnest(e.embedding)::DOUBLE AS v,
+         generate_subscripts(e.embedding, 1) AS dim
+  FROM {table_expr} e JOIN __a a USING (vec_id)),
+__m AS (
+  SELECT cluster, dim, sum(v) / count(*) AS mv
+  FROM __x GROUP BY cluster, dim),
+__d AS (
+  SELECT x.cluster, x.vec_id, sum(x.v * m.mv) AS dot,
+         sum(x.v * x.v) AS nv, sum(m.mv * m.mv) AS nm
+  FROM __x x JOIN __m m ON x.cluster = m.cluster AND x.dim = m.dim
+  GROUP BY x.cluster, x.vec_id),
+__c AS (
+  SELECT cluster,
+         CASE WHEN nv > 0 AND nm > 0
+              THEN dot / (sqrt(nv) * sqrt(nm)) ELSE 0.0 END AS c
+  FROM __d)
+SELECT cluster, count(*)::BIGINT AS n_vectors,
+       floor(sum(c) / count(*) * 1e6 + 0.5) / 1e6 AS mean_cos
+FROM __c GROUP BY cluster ORDER BY cluster"""

@@ -1992,3 +1992,39 @@ def test_bigram_lm_cap_bounds_broadcast(ray_session):
     # the cap keeps the highest-count transitions: (common, common)
     # appears 50× and must survive
     assert ("common", "common") in big
+
+
+def test_cluster_stats_match_numpy(ray_session):
+    """cluster_stats == a numpy brute-force recount on a synthetic
+    assignment (mean vector per cluster, cosine to it, 6 dp half-away),
+    including a zero-vector member scoring cosine 0."""
+    import math
+
+    import ray.data as rd
+
+    from librecrawl_ray.functions.similarity import cluster_stats
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float64)
+    vecs[5] = 0.0                      # zero vector → cos 0 by contract
+    clusters = (np.arange(40) % 3).astype(np.int64)
+    emb = rd.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)])
+    asg = rd.from_items([
+        {"vec_id": i, "cluster": int(clusters[i])} for i in range(40)])
+    got = cluster_stats(emb, asg)
+
+    want = []
+    for c in sorted(set(clusters.tolist())):
+        sel = vecs[clusters == c]
+        mv = sel.sum(axis=0) / len(sel)
+        nm = float(mv @ mv)
+        cs = []
+        for v in sel:
+            nv = float(v @ v)
+            cs.append(float(v @ mv) / (math.sqrt(nv) * math.sqrt(nm))
+                      if nv > 0 and nm > 0 else 0.0)
+        want.append((c, len(sel),
+                     math.floor(sum(cs) / len(cs) * 1e6 + 0.5) / 1e6))
+    assert list(map(tuple, got.itertuples(index=False, name=None))) == \
+        want
