@@ -208,3 +208,30 @@ def test_redirect_chains_random_functional_graph(ray_session):
     for r in got.itertuples(index=False):
         assert (r.final_url, r.hops, r.disposition) == want[r.url], r.url
     assert {"ok", "dangling", "capped"} <= set(got.disposition)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2**62),
+              st.text(max_size=400),
+              st.text(alphabet=st.characters(
+                  whitelist_categories=("Ll", "Nd")), max_size=12),
+              st.text(alphabet=st.characters(
+                  whitelist_categories=("Ll",)), max_size=8)),
+    max_size=8))
+def test_warc_record_framing_roundtrip(records):
+    """Byte-level WARC framing is lossless for arbitrary unicode bodies
+    (including CRLFCRLF inside the payload) across concatenated
+    records — the property split-on-blank-line parsers violate."""
+    from librecrawl_ray.sources.warc import (_parse_warc_bytes,
+                                             _record_bytes)
+    blob = b"".join(_record_bytes(i, t, s or "web", lg or "en")
+                    for i, t, s, lg in records)
+    got = _parse_warc_bytes(blob)
+    assert len(got) == len(records)
+    for r, (i, t, s, lg) in zip(got, records):
+        assert r["record_id"] == f"<urn:doc:{i}>"
+        assert r["text"] == t
+        assert r["source"] == (s or "web")
+        assert r["lang"] == (lg or "en")
+        assert r["status"] == 200
