@@ -322,6 +322,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _sh.rmtree(tmp, ignore_errors=True)
         return idx
 
+    def q_hll_distinct(sf_dir):
+        from librecrawl_ray.functions.sketch import hll_distinct
+        return hll_distinct(_docs(sf_dir))
+
+    def q_heavy_hitters(sf_dir):
+        from librecrawl_ray.functions.sketch import heavy_hitters
+        return heavy_hitters(_docs(sf_dir), k=20)
+
     def q_ingest_warc(sf_dir):
         """WARC/1.0 archive ingestion (sources/warc.py): the documents
         table exported as a real sharded WARC archive, re-ingested
@@ -430,8 +438,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_analytics": C.crawl_analytics,
-        "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_pagerank": C.crawl_pagerank,
@@ -517,10 +523,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-cluster cohesion stats over the k-means assignments (new
         # round 5): join + mean vectors + cosine re-derived in SQL
         "cluster_stats": q_cluster_stats,
+        # mergeable sketches (new round 5): HLL register state re-derived
+        # in SQL; Misra–Gries heavy hitters in the exact configuration
+        "hll_distinct": q_hll_distinct,
+        "heavy_hitters": q_heavy_hitters,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_analytics": C.crawl_analytics,
+        "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_jsdiff": C.crawl_jsdiff,
         "crawl_status_counts": C.crawl_status_counts,
         "crawl_neardup": C.crawl_neardup,
@@ -1035,4 +1047,8 @@ ORDER BY doc_id"""
         out["ingest_jsonl"] = ingest_jsonl_sql(ing_path)
     from librecrawl_ray.sources.warc import ingest_warc_sql
     out["ingest_warc"] = ingest_warc_sql("documents")
+    from librecrawl_ray.functions.sketch import (heavy_hitters_sql,
+                                                 hll_distinct_sql)
+    out["hll_distinct"] = hll_distinct_sql("documents")
+    out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     return out

@@ -1,0 +1,216 @@
+"""Mergeable streaming sketches: HyperLogLog distinct counting and
+Misra–Gries heavy hitters.
+
+At 100 TB, "how many distinct tokens" and "which tokens dominate" are
+questions a pipeline wants answered WITHOUT an exact all-to-all
+(token, count) shuffle: a vocabulary-sized exchange costs more than the
+answer is worth when a bounded-memory estimate suffices. Both sketches
+here are classic mergeable summaries (Agarwal et al., "Mergeable
+Summaries", PODS 2012):
+
+- **HyperLogLog** (Flajolet et al. 2007): each block reduces to an
+  m-register array (one small row), registers max-merge associatively,
+  the estimate is a deterministic function of the merged registers. The
+  hash is md5-derived, so the ENTIRE sketch — bucket split, rank
+  (leftmost-1-bit), harmonic mean, small-range correction — is
+  re-derivable in SQL: the oracle verifies the exact register state and
+  estimate, not just "close enough".
+- **Misra–Gries / SpaceSaving-style heavy hitters**: each block keeps at
+  most ``k_cap`` counters (decrement rule), summaries merge by counter
+  addition + re-trim. Merged error is bounded by n/(k_cap+1); when
+  ``k_cap`` exceeds the distinct-key count no decrement ever fires and
+  the sketch is EXACT — the oracle configuration (same
+  exhaustive-config-equals-exact pattern as the IVF and PQ oracles).
+
+Distributed shape: one ``map_batches`` pass emits per-block summaries
+(bounded rows, never raw streams); merging is associative, so at
+cluster scale the partials reduce through a tree — here the final merge
+runs on the driver over block-count-bounded rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"\w+")
+
+HLL_P = 12                      # 4096 registers, ~1.6% relative error
+HLL_M = 1 << HLL_P
+_W_BITS = 64 - HLL_P
+_W_MASK = (1 << _W_BITS) - 1
+
+
+def _hash64(tok: str) -> int:
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def _hll_update(regs: np.ndarray, toks: set[str]) -> None:
+    for tok in toks:
+        h = _hash64(tok)
+        j = h >> _W_BITS
+        w = h & _W_MASK
+        rho = _W_BITS - w.bit_length() + 1 if w > 0 else _W_BITS + 1
+        if rho > regs[j]:
+            regs[j] = rho
+
+
+def hll_distinct(ds: rd.Dataset, text_col: str = "text") -> "pd.DataFrame":
+    """Estimate the corpus-wide distinct-token count with HyperLogLog,
+    next to the exact count (fp-bucketed distinct) so the report shows
+    the sketch error directly. Returns one row:
+    (m, n_zero_registers, hll_estimate, n_exact).
+
+    Numeric contract (mirrored in SQL): α = 0.7213/(1+1.079/m),
+    E = α·m²/Σ2^(−M_j) with zero registers contributing 2⁰;
+    small-range correction E = m·ln(m/V) when E ≤ 2.5m and V>0;
+    half-away-rounded to 6 dp."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, np.int8)
+        seen: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            seen.update(_TOKEN_RE.findall((t or "").lower()))
+        _hll_update(regs, seen)
+        return pa.table({
+            "regs": pa.array([regs.tolist()], pa.list_(pa.int8())),
+            "toks": pa.array([sorted(seen)], pa.list_(pa.string()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    # registers max-merge on the driver (block-count-bounded rows); the
+    # exact count comes from a bucketed distinct over the same partial
+    # token sets (per-block distinct, then per-bucket global dedup)
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("toks")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"tok": col.values})
+
+    from ..pipelines.reports import bucketed_groups
+    mat = parts.materialize()
+    exact = bucketed_groups(
+        mat.map_batches(explode, batch_format="pyarrow"), "tok",
+        lambda df: df.drop_duplicates(["tok"]), buckets=16).count()
+
+    regs = np.zeros(HLL_M, np.int64)
+    for row in mat.select_columns(["regs"]).iter_batches(
+            batch_format="pyarrow"):
+        for r in row.column("regs").to_pylist():
+            regs = np.maximum(regs, np.asarray(r, np.int64))
+
+    v = int((regs == 0).sum())
+    s = float(np.power(2.0, -regs.astype(np.float64)).sum())
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    est = alpha * HLL_M * HLL_M / s
+    if est <= 2.5 * HLL_M and v > 0:
+        est = HLL_M * math.log(HLL_M / v)
+    est = math.floor(est * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"m": [HLL_M], "n_zero_registers": [v],
+                         "hll_estimate": [est], "n_exact": [exact]})
+
+
+def hll_distinct_sql(table_expr: str = "documents",
+                     col: str = "text") -> str:
+    """DuckDB twin of ``hll_distinct``: the md5-derived hash makes the
+    register state itself reproducible in SQL — bucket split, rank and
+    the corrected estimate are all re-derived, so a green row pins the
+    whole sketch, not a tolerance."""
+    p, m, wb = HLL_P, HLL_M, _W_BITS
+    return f"""
+WITH __toks AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table_expr}),
+__h AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv
+  FROM __toks),
+__jr AS (
+  SELECT (hv >> {wb}) AS j,
+         (hv & ((1::UBIGINT << {wb}) - 1)) AS w FROM __h),
+__regs AS (
+  SELECT j, max(CASE WHEN w > 0
+                     THEN {wb} - length(format('{{:b}}', w::BIGINT)) + 1
+                     ELSE {wb} + 1 END) AS r
+  FROM __jr GROUP BY j),
+__agg AS (
+  SELECT count(*) AS nz, sum(power(2.0, -r)) AS s_nz FROM __regs),
+__est AS (
+  SELECT ({m} - nz) AS v,
+         (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+             / (s_nz + ({m} - nz) * 1.0) AS e_raw
+  FROM __agg)
+SELECT {m}::BIGINT AS m, v::BIGINT AS n_zero_registers,
+       floor(CASE WHEN e_raw <= 2.5 * {m} AND v > 0
+                  THEN {m} * ln({m} / v) ELSE e_raw END * 1e6 + 0.5)
+           / 1e6 AS hll_estimate,
+       (SELECT count(*) FROM __toks)::BIGINT AS n_exact
+FROM __est"""
+
+
+def _mg_trim(c: Counter, k_cap: int) -> Counter:
+    """Misra–Gries decrement: keep at most ``k_cap`` counters by
+    subtracting the (k_cap+1)-th largest count from every counter and
+    dropping non-positives (the mergeable-summaries trim rule)."""
+    if len(c) <= k_cap:
+        return c
+    dec = sorted(c.values(), reverse=True)[k_cap]
+    return Counter({t: n - dec for t, n in c.items() if n - dec > 0})
+
+
+def heavy_hitters(ds: rd.Dataset, k: int = 20, k_cap: int = 200_000,
+                  text_col: str = "text") -> "pd.DataFrame":
+    """Top-``k`` tokens by a Misra–Gries mergeable sketch: each block
+    reduces to ≤``k_cap`` counters, summaries merge by addition +
+    re-trim, no (token, count) shuffle ever happens. Merged
+    underestimate is bounded by total_tokens/(k_cap+1); with ``k_cap``
+    above the distinct-token count the sketch is exact — the oracle
+    configuration. Ties at rank k break by token ASC (deterministic).
+    Returns (rank, token, count)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        c = _mg_trim(c, k_cap)
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "count": pa.array(list(c.values()), pa.int64())})
+
+    merged: Counter = Counter()
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        # one iter batch may concatenate several block summaries, so the
+        # same token can appear on multiple rows — accumulate, never
+        # dict-collapse
+        for tok, cnt in zip(batch.column("token").to_pylist(),
+                            batch.column("count").to_pylist()):
+            merged[tok] += cnt
+        merged = _mg_trim(merged, k_cap)
+
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "token": [t for t, _ in top],
+        "count": np.asarray([n for _, n in top], np.int64)})
+
+
+def heavy_hitters_sql(table_expr: str = "documents", k: int = 20,
+                      col: str = "text") -> str:
+    """DuckDB twin of the exact (k_cap ≥ distinct tokens)
+    configuration of ``heavy_hitters``."""
+    return f"""
+WITH __toks AS (
+  SELECT unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table_expr}),
+__c AS (SELECT tok, count(*)::BIGINT AS n FROM __toks GROUP BY tok)
+SELECT row_number() OVER (ORDER BY n DESC, tok) AS rank,
+       tok AS token, n AS count
+FROM __c ORDER BY n DESC, tok LIMIT {k}"""

@@ -2028,3 +2028,70 @@ def test_cluster_stats_match_numpy(ray_session):
                      math.floor(sum(cs) / len(cs) * 1e6 + 0.5) / 1e6))
     assert list(map(tuple, got.itertuples(index=False, name=None))) == \
         want
+
+
+def test_heavy_hitters_exact_and_bounded(ray_session):
+    """Exact configuration == full Counter ranking; approximate
+    configuration (k_cap < distinct) keeps every true heavy hitter and
+    underestimates each count by at most n/(k_cap+1) (Misra–Gries
+    mergeable-summary bound)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from librecrawl_ray.functions.sketch import heavy_hitters
+
+    # skewed synthetic stream: token t_i appears ~ 400/i times
+    texts, truth = [], Counter()
+    for i in range(1, 60):
+        n = 400 // i
+        truth[f"t{i:02d}"] = n
+        texts.append(" ".join([f"t{i:02d}"] * n))
+    ds = rd.from_items([{"doc_id": j, "text": t}
+                        for j, t in enumerate(texts)])
+
+    exact = heavy_hitters(ds, k=10, k_cap=10_000)
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(exact["token"], exact["count"])) == want
+
+    k_cap = 12
+    approx = heavy_hitters(ds, k=10, k_cap=k_cap)
+    n_total = sum(truth.values())
+    bound = n_total / (k_cap + 1)
+    amap = dict(zip(approx["token"], approx["count"]))
+    # every reported count is a within-bound underestimate
+    for tok, cnt in amap.items():
+        assert cnt <= truth[tok]
+        assert truth[tok] - cnt <= bound
+    # the dominant token is always retained
+    assert "t01" in amap
+
+
+def test_hll_distinct_error_and_correction(ray_session):
+    """HLL estimate is within 5σ of exact on the fixture corpus, the
+    small-range correction engages on a tiny vocabulary, and the
+    reported exact count is right."""
+    import ray.data as rd
+
+    from librecrawl_ray.functions.sketch import HLL_M, hll_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = hll_distinct(ds)
+    n_exact = int(out["n_exact"].iloc[0])
+    est = float(out["hll_estimate"].iloc[0])
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert abs(est - n_exact) <= 5 * sigma * n_exact
+    # exact side: recount independently
+    import re
+    from collections import Counter
+    toks = set()
+    for r in ds.take_all():
+        toks.update(re.findall(r"\w+", (r["text"] or "").lower()))
+    assert n_exact == len(toks)
+
+    tiny = rd.from_items([{"doc_id": 1, "text": "a b c a b"}])
+    t = hll_distinct(tiny)
+    # 3 distinct tokens, m=4096 → deep small-range regime: the
+    # linear-counting correction must make the estimate near-exact
+    assert abs(float(t["hll_estimate"].iloc[0]) - 3) < 0.01
+    assert int(t["n_exact"].iloc[0]) == 3
