@@ -438,7 +438,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
@@ -527,10 +526,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in SQL; Misra–Gries heavy hitters in the exact configuration
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
+        # retention-cohort matrix over events (new round 5)
+        "events_retention": R.events_retention,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_analytics": C.crawl_analytics,
         "crawl_host_sizes": C.crawl_host_sizes,
         "crawl_jsdiff": C.crawl_jsdiff,
@@ -832,6 +834,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "top_orders_per_customer": R.TOP_ORDERS_PER_CUSTOMER_SQL,
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "events_transitions": R.EVENTS_TRANSITIONS_SQL,
+        "events_retention": R.EVENTS_RETENTION_SQL,
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "local_supplier_volume": R.LOCAL_SUPPLIER_VOLUME_SQL,
         "customer_order_distribution": R.CUSTOMER_ORDER_DISTRIBUTION_SQL,

@@ -2578,3 +2578,78 @@ WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM shipped
                     WHERE qty > 40)
 ORDER BY s_suppkey
 """
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Retention-cohort matrix over the events table: users cohorted by
+    their first-activity week, counted as retained in each later week
+    they act — the growth-analytics staple (cohort_week, week_offset,
+    n_users). Weeks are integer epoch-week indices (epoch_us // 7 days),
+    calendar-free so both sides compute them with exact int64 division.
+
+    Distributed shape: per-batch per-user min-week partials → one
+    bucketed min for the first-seen table; a hash_join attaches cohorts
+    back to the event stream (both sides are corpus-sized at 10^10 —
+    never a broadcast); per-batch DISTINCT (cohort, offset, user)
+    triples dedup globally in user_id buckets (a triple always lands in
+    its user's bucket), reduce to per-bucket counts, and only the
+    weeks²-bounded matrix reaches the driver."""
+    from .reports import bucketed_agg, bucketed_groups, hash_join
+
+    WEEK_US = 7 * 86400 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        # explicit [us] cast: the parquet column is timestamp[us] and
+        # pandas may surface it as either datetime64[us] or [ns]
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "wk": us // WEEK_US})
+
+    wk = ds.map_batches(weeks, batch_format="pandas")
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["wk"].min() \
+            .rename(columns={"wk": "cw"})
+
+    first = bucketed_agg(
+        wk.map_batches(min_partial, batch_format="pandas"),
+        "user_id", {"cw": ("cw", "min")})
+
+    joined = hash_join(wk, first, key="user_id")
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "cw": df["cw"].astype("int64"),
+            "off": (df["wk"] - df["cw"]).astype("int64"),
+            "user_id": df["user_id"].astype("int64")})
+        return out.drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["cw", "off", "user_id"])
+        return d.groupby(["cw", "off"], as_index=False).agg(
+            n=("user_id", "size"))
+
+    parts = bucketed_groups(
+        joined.map_batches(distinct_partial, batch_format="pandas"),
+        "user_id", per_bucket).to_pandas()
+    out = parts.groupby(["cw", "off"], as_index=False)["n"].sum() \
+        .rename(columns={"cw": "cohort_week", "off": "week_offset",
+                         "n": "n_users"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH __w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+__f AS (SELECT user_id, min(wk) AS cw FROM __w GROUP BY user_id),
+__x AS (
+  SELECT DISTINCT f.cw, w.wk - f.cw AS off, w.user_id
+  FROM __w w JOIN __f f USING (user_id))
+SELECT cw::BIGINT AS cohort_week, off::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM __x GROUP BY cw, off ORDER BY cohort_week, week_offset"""

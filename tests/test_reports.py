@@ -806,3 +806,33 @@ def test_crawl_host_graph_matches_python(ray_session):
     assert got["n_targets"].tolist() == want["n_targets"].tolist()
     # externals are present: at least one target host off site.example
     assert (got["target_host"].str.endswith("site.example") == False).any()
+
+
+def test_events_retention_naive_recount(ray_session):
+    """Retention cohorts == a direct pandas recount (first-week cohort,
+    distinct active users per offset), block-layout independent."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines.relational import events_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = events_retention(sf)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts"])
+    wk = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // (7 * 86400 * 1_000_000)
+    df = pd.DataFrame({"user_id": ev["user_id"], "wk": wk})
+    cw = df.groupby("user_id")["wk"].min().rename("cw")
+    j = df.join(cw, on="user_id")
+    trip = j.assign(off=j["wk"] - j["cw"]) \
+        .drop_duplicates(["cw", "off", "user_id"])
+    want = trip.groupby(["cw", "off"]).size().rename("n_users") \
+        .reset_index().sort_values(["cw", "off"]).reset_index(drop=True)
+    assert got["cohort_week"].tolist() == want["cw"].tolist()
+    assert got["week_offset"].tolist() == want["off"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    # offset-0 cell of each cohort counts the whole cohort
+    sizes = cw.reset_index().groupby("cw").size()
+    base = got[got["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    assert (base == sizes).all()
