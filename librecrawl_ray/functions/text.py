@@ -460,3 +460,29 @@ SELECT d.doc_id,
             ELSE 0.0 END AS entropy
 FROM {table_expr} d LEFT JOIN __per p USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def lang_confusion_batch(batch: pa.Table) -> pa.Table:
+    """map_batches combiner for the language-ID confusion matrix: each
+    block reduces to its distinct (declared lang, predicted lang) pairs
+    with counts — the calibration report a curation pipeline reads
+    before trusting lang_pred as a gate. Compose with a small keyed sum
+    (the partials are ≤ n_langs² rows per block)."""
+    from collections import Counter
+
+    c = Counter(zip(batch.column("lang").to_pylist(),
+                    (lang_id(t)
+                     for t in batch.column("text").to_pylist())))
+    keys = list(c.keys())
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+        "n_docs": pa.array([c[k] for k in keys], pa.int64())})
+
+
+def lang_confusion_sql(table_expr: str = "documents",
+                       col: str = "text") -> str:
+    """DuckDB twin of the confusion matrix (same lang_id argmax)."""
+    return f"""
+SELECT lang, {lang_id_sql(col)} AS lang_pred, count(*)::BIGINT AS n_docs
+FROM {table_expr} GROUP BY 1, 2 ORDER BY lang, lang_pred"""

@@ -2095,3 +2095,25 @@ def test_hll_distinct_error_and_correction(ray_session):
     # linear-counting correction must make the estimate near-exact
     assert abs(float(t["hll_estimate"].iloc[0]) - 3) < 0.01
     assert int(t["n_exact"].iloc[0]) == 3
+
+
+def test_lang_confusion_matches_rowwise(docs_ds):
+    """Confusion-matrix partials compose to the row-wise recount."""
+    from collections import Counter
+
+    from librecrawl_ray.functions import text as T
+    from librecrawl_ray.pipelines.reports import bucketed_agg
+
+    parts = docs_ds.map_batches(T.lang_confusion_batch,
+                                batch_format="pyarrow")
+    got = bucketed_agg(parts, ["lang", "lang_pred"],
+                       {"n_docs": ("n_docs", "sum")}).to_pandas() \
+        .sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+    c = Counter((r["lang"], T.lang_id(r["text"]))
+                for r in docs_ds.take_all())
+    want = sorted((lg, lp, n) for (lg, lp), n in c.items())
+    assert list(map(tuple, got.itertuples(index=False, name=None))) == \
+        want
+    # totals preserved
+    assert got["n_docs"].sum() == docs_ds.count()
