@@ -447,7 +447,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_pagerank": C.crawl_pagerank,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_section_components": C.crawl_section_components,
@@ -486,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-level link graph (new round 5): the host-pair aggregate
         # a 10^10-page crawl schedules and triages with
         "crawl_host_graph": C.crawl_host_graph,
+        # J2 link-status distribution (new round 5): bloom-prefiltered
+        # semi-join + exact verify before the status attach
+        "crawl_link_status_counts": C.crawl_link_status_counts,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -543,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_pagerank": C.crawl_pagerank,
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_span_kinds": C.crawl_span_kinds,
         "crawl_analytics": C.crawl_analytics,
@@ -1023,6 +1026,8 @@ ORDER BY doc_id"""
         out["crawl_hits"] = C.crawl_hits_sql(pr_dir)
         out["crawl_degree_stats"] = C.crawl_degree_stats_sql(pr_dir)
         out["crawl_host_graph"] = C.crawl_host_graph_sql(pr_dir)
+        out["crawl_link_status_counts"] = \
+            C.crawl_link_status_counts_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

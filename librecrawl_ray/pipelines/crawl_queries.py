@@ -1914,3 +1914,75 @@ SELECT split_part(split_part(lower(source_url), '://', 2), '/', 1)
        count(DISTINCT lower(target_url))::BIGINT AS n_targets
 FROM read_parquet('{links_glob}')
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# -------------------------------------------- J2 link-status distribution
+
+def crawl_link_status_counts(sf_dir: str,
+                             out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """J2 as a corpus-scale aggregate: internal links counted by their
+    target's crawl status ('not crawled' when the target was never
+    fetched) — the link-health summary the reference recomputes at
+    export time (main.py's target_status refill).
+
+    Scale shape: the crawled-target membership test runs through
+    ``reports.bloom_semi_join`` — the page-key set collapses to an
+    OR-merged bloom broadcast once, non-members drop BEFORE the status
+    join, and the exact-verify pass removes the ~1% false positives, so
+    the result is exact while the join shuffle only carries genuinely
+    crawled targets. Status attach + counts are per-batch partials."""
+    from collections import Counter
+
+    from . import reports
+    from .reports import bloom_semi_join, bucketed_agg, hash_join
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    links = reports.load_links(out_dir) \
+        .filter(expr="is_internal == True") \
+        .select_columns(["target_url"])
+    links = reports._add_norm(links, "target_url", "nt") \
+        .select_columns(["nt"]).materialize()
+    total = links.count()
+
+    pages = reports.load_pages(out_dir, columns=["url", "status_code"])
+    pages = reports._add_norm(pages, "url", "n") \
+        .select_columns(["n", "status_code"]).materialize()
+
+    survivors = bloom_semi_join(links, "nt",
+                                pages.select_columns(["n"]), "n")
+    with_status = hash_join(survivors, pages, key="nt", right_key="n")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column("status_code").to_pylist())
+        return pa.table({
+            "status": pa.array([str(k) for k in c.keys()], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = with_status.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().groupby("status", as_index=False)["n"].sum()
+    n_crawled = int(counts["n"].sum())
+    rows = list(zip(counts["status"], counts["n"].astype("int64")))
+    if total - n_crawled > 0:
+        rows.append(("not crawled", total - n_crawled))
+    out = pd.DataFrame(rows, columns=["target_status", "n_links"])
+    out["n_links"] = out["n_links"].astype("int64")
+    return out.sort_values("target_status").reset_index(drop=True)
+
+
+def crawl_link_status_counts_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH __l AS (
+  SELECT {_norm_sql('target_url')} AS nt
+  FROM read_parquet('{links_glob}') WHERE is_internal),
+__p AS (
+  SELECT DISTINCT {_norm_sql('url')} AS n, status_code
+  FROM read_parquet('{pages_glob}'))
+SELECT coalesce(CAST(p.status_code AS VARCHAR), 'not crawled')
+           AS target_status,
+       count(*)::BIGINT AS n_links
+FROM __l l LEFT JOIN __p p ON l.nt = p.n
+GROUP BY 1 ORDER BY target_status"""

@@ -1112,3 +1112,67 @@ def degree_histogram(pages: rd.Dataset, links: rd.Dataset) -> \
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return (out[["direction", "k", "n_nodes"]]
             .sort_values(["direction", "k"]).reset_index(drop=True))
+
+
+def bloom_semi_join(left: rd.Dataset, key: str, right: rd.Dataset,
+                    right_key: str, fp_rate: float = 0.01,
+                    exact_verify: bool = True) -> rd.Dataset:
+    """Bloom-prefiltered semi-join: keep the ``left`` rows whose ``key``
+    appears in ``right[right_key]``.
+
+    The shuffle-saving shape for selective semi-joins at 100 TB: the
+    right side collapses to a fixed-size bit array (per-block blooms
+    with identical (m, k) parameters OR-merge associatively — one bounded
+    row per block, never the key stream), the merged filter broadcasts
+    once via ray.put, and the left side drops non-members in a stateless
+    vectorized pass BEFORE any join shuffle. With ``exact_verify`` the
+    ~fp_rate survivors that are false positives are removed by a
+    hash_join against the true key set, so the result is EXACT — the
+    bloom stage is purely a bandwidth optimization (at 1% fp a 99%-
+    selective filter cuts the join's shuffled volume ~100×).
+    """
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from ..state.filters import BloomFilter
+
+    cap = max(right.count(), 1)
+
+    def key_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        vals = col.to_pylist()
+        return np.fromiter(
+            (int.from_bytes(
+                hashlib.sha1(str(v).encode("utf-8")).digest()[:8],
+                "big") for v in vals),
+            dtype=np.uint64, count=len(vals))
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(cap, fp_rate)
+        bf.add_many(key_hashes(batch.column(right_key)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.binary())})
+
+    merged = BloomFilter(cap, fp_rate)
+    for b in right.select_columns([right_key]) \
+            .map_batches(build_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            merged.bits |= np.frombuffer(blob, dtype=np.uint8)
+    ref = ray.put(merged)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        mask = bf.contains_many(key_hashes(batch.column(key)))
+        return batch.filter(pa.array(mask))
+
+    survivors = left.map_batches(probe, batch_format="pyarrow")
+    if not exact_verify:
+        return survivors
+    # exact semi-join verify: distinct right keys (hash_join drops the
+    # right key column, so the output carries left columns only)
+    keyset = bucketed_groups(
+        right.select_columns([right_key]), right_key,
+        lambda df: df.drop_duplicates([right_key]), buckets=16)
+    return hash_join(survivors, keyset, key=key, right_key=right_key)

@@ -836,3 +836,27 @@ def test_events_retention_naive_recount(ray_session):
     sizes = cw.reset_index().groupby("cw").size()
     base = got[got["week_offset"] == 0].set_index("cohort_week")["n_users"]
     assert (base == sizes).all()
+
+
+def test_bloom_semi_join_exact_and_prefilter(ray_session):
+    """bloom_semi_join == an exact semi-join even at an absurd fp_rate
+    (the verify pass removes false positives); without verify the
+    result is a superset containing every true member."""
+    import ray.data as rd
+
+    from librecrawl_ray.pipelines.reports import bloom_semi_join
+
+    left = rd.from_items([{"k": f"k{i}", "v": i} for i in range(500)])
+    right = rd.from_items([{"rk": f"k{i}"} for i in range(0, 500, 7)])
+    want = sorted(f"k{i}" for i in range(0, 500, 7))
+
+    got = bloom_semi_join(left, "k", right, "rk", fp_rate=0.3) \
+        .to_pandas()
+    assert sorted(got["k"]) == want
+    assert sorted(got.columns) == ["k", "v"]
+
+    loose = bloom_semi_join(left, "k", right, "rk", fp_rate=0.3,
+                            exact_verify=False).to_pandas()
+    assert set(want) <= set(loose["k"])
+    # the prefilter still dropped most non-members
+    assert len(loose) < 500
