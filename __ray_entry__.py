@@ -370,6 +370,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = boolean_search(_index_dir(sf_dir), SEARCH_TERMS).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_search_snippets(sf_dir):
+        from librecrawl_ray.functions.search import search_snippets
+        return search_snippets(
+            _index_dir(sf_dir),
+            os.path.join(sf_dir, "documents.parquet"), SEARCH_TERMS)
+
     def q_bm25_topk(sf_dir):
         from librecrawl_ray.functions.search import bm25_search
         return bm25_search(_index_dir(sf_dir), SEARCH_TERMS,
@@ -448,7 +454,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
         "crawl_anchor_texts": C.crawl_anchor_texts,
-        "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_section_components": C.crawl_section_components,
         "crawl_trap_signatures": C.crawl_trap_signatures,
         # rows-only crawl entry (no SQL twin -> weaker driver check, but
@@ -541,10 +546,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # language-ID confusion matrix (new round 5): lang_pred
         # calibration before using it as a curation gate
         "lang_confusion": q_lang_confusion,
+        # KWIC result snippets over the postings survivors (new round 5)
+        "search_snippets": q_search_snippets,
         # text ops last driver-verified round 3
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_issue_counts": C.crawl_issue_counts,
         "crawl_span_kinds": C.crawl_span_kinds,
@@ -977,6 +985,10 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "boolean_search": __import__(
             "librecrawl_ray.functions.search",
             fromlist=["boolean_search_sql"]).boolean_search_sql(
+                SEARCH_TERMS),
+        "search_snippets": __import__(
+            "librecrawl_ray.functions.search",
+            fromlist=["search_snippets_sql"]).search_snippets_sql(
                 SEARCH_TERMS),
         "bm25_topk": __import__(
             "librecrawl_ray.functions.search",

@@ -304,3 +304,76 @@ GROUP BY {id_col}
 HAVING COUNT(DISTINCT tok) = {len(want)}
 ORDER BY {id_col}
 """
+
+
+def search_snippets(index_dir: str, corpus_parquet: str,
+                    terms: list[str], width: int = 40,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> "pd.DataFrame":
+    """KWIC result snippets: for every conjunctive-search survivor, the
+    ±``width``-character window around the FIRST occurrence of the first
+    query term — the result-page surface a search index ultimately
+    serves. The survivor id set comes from the postings buckets
+    (``boolean_search``); only survivors' texts are touched, attached
+    via the adaptive hash join (never a full-corpus gather).
+
+    Snippet rule (mirrored in SQL, 1-based strpos semantics): pos =
+    strpos(lower(text), term); snippet = substr(text,
+    max(pos − width, 1), 2·width + len(term)). Character-based on both
+    sides."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..pipelines.reports import hash_join
+
+    term = sorted({t.lower() for t in terms})[0]
+    hits = boolean_search(index_dir, terms, id_col=id_col)
+    ids = rd.from_arrow(hits.select([id_col]))
+    docs = rd.read_parquet(corpus_parquet, columns=[id_col, text_col])
+    joined = hash_join(docs, ids.map_batches(
+        lambda df: df.rename(columns={id_col: "__sid"}),
+        batch_format="pandas"), key=id_col, right_key="__sid")
+
+    def snip(batch: pa.Table) -> pa.Table:
+        ids_out, snips = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            t = t or ""
+            pos = t.lower().find(term) + 1          # 1-based, 0 = absent
+            if pos == 0:
+                continue
+            start = max(pos - width, 1)
+            snips.append(t[start - 1:start - 1 + 2 * width + len(term)])
+            ids_out.append(i)
+        return pa.table({
+            id_col: pa.array(ids_out,
+                             batch.column(id_col).type),
+            "snippet": pa.array(snips, pa.string())})
+
+    out = joined.map_batches(snip, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def search_snippets_sql(terms: list[str], table: str = "documents",
+                        id_col: str = "doc_id", col: str = "text",
+                        width: int = 40) -> str:
+    """DuckDB twin of ``search_snippets`` (conjunctive survivors via the
+    boolean twin's HAVING shape, then the mirrored strpos/substr rule)."""
+    term = sorted({t.lower() for t in terms})[0]
+    want = sorted({t.lower() for t in terms})
+    inlist = ",".join(f"'{t}'" for t in want)
+    return f"""
+WITH __tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({col}), '\\w+')) AS t
+  FROM {table}),
+__hits AS (
+  SELECT {id_col} FROM __tok WHERE t IN ({inlist})
+  GROUP BY {id_col} HAVING count(DISTINCT t) = {len(want)}),
+__pos AS (
+  SELECT d.{id_col}, d.{col} AS __t,
+         strpos(lower(d.{col}), '{term}') AS p
+  FROM {table} d JOIN __hits USING ({id_col}))
+SELECT {id_col},
+       substr(__t, greatest(p - {width}, 1),
+              {2 * width + len(term)}) AS snippet
+FROM __pos WHERE p > 0 ORDER BY {id_col}"""

@@ -2117,3 +2117,55 @@ def test_lang_confusion_matches_rowwise(docs_ds):
         want
     # totals preserved
     assert got["n_docs"].sum() == docs_ds.count()
+
+
+def test_search_snippets_rule_and_parity(ray_session, tmp_path):
+    """KWIC snippets: python slicing == the 1-based strpos/substr rule,
+    on edge positions (term at start, at end, mid, mixed case), and the
+    engine == the DuckDB twin on the same tiny corpus."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from librecrawl_ray.functions.search import (build_inverted_index,
+                                                 search_snippets,
+                                                 search_snippets_sql)
+
+    long_pre = "x" * 100
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "needle right at the start of it",
+            long_pre + " the Needle is far in " + "y" * 100,
+            "ends with needle",
+            "no match here",
+            "nee dle split so absent as token needle"],
+    })
+    pqt = str(tmp_path / "docs.parquet")
+    pq.write_table(__import__("pyarrow").Table.from_pandas(
+        docs, preserve_index=False), pqt)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(rd.read_parquet(pqt), idx, buckets=8)
+
+    got = search_snippets(idx, pqt, ["needle"], width=10)
+    # survivors: docs whose token stream contains 'needle' (1, 2, 3, 5)
+    assert got["doc_id"].tolist() == [1, 2, 3, 5]
+
+    def rule(t, term="needle", width=10):
+        pos = t.lower().find(term) + 1
+        start = max(pos - width, 1)
+        return t[start - 1:start - 1 + 2 * width + len(term)]
+
+    for _, r in got.iterrows():
+        t = docs.loc[docs["doc_id"] == r["doc_id"], "text"].iloc[0]
+        assert r["snippet"] == rule(t)
+    # start-of-text: no left clamp loss
+    assert got.loc[got["doc_id"] == 1, "snippet"].iloc[0] \
+        == "needle right at the start "[:26]
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(search_snippets_sql(["needle"], width=10)).df()
+    assert sql["doc_id"].tolist() == got["doc_id"].tolist()
+    assert sql["snippet"].tolist() == got["snippet"].tolist()
