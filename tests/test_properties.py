@@ -235,3 +235,51 @@ def test_warc_record_framing_roundtrip(records):
         assert r["source"] == (s or "web")
         assert r["lang"] == (lg or "en")
         assert r["status"] == 200
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=60),
+       st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=60))
+def test_bloom_or_merge_equals_union(a, b):
+    """bloom(A ∪ B).bits == bloom(A).bits | bloom(B).bits for identical
+    (m, k) parameters — the associativity bloom_semi_join's per-block
+    build relies on."""
+    import hashlib
+
+    from librecrawl_ray.state.filters import BloomFilter
+
+    def keys(xs):
+        return np.array([int.from_bytes(
+            hashlib.sha1(x.encode()).digest()[:8], "big")
+            for x in xs], dtype=np.uint64)
+
+    cap = 128
+    fa, fb, fu = (BloomFilter(cap, 0.01) for _ in range(3))
+    if a:
+        fa.add_many(keys(a))
+    if b:
+        fb.add_many(keys(b))
+    if a or b:
+        fu.add_many(keys(a + b))
+    assert ((fa.bits | fb.bits) == fu.bits).all()
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=60),
+       st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=60))
+def test_hll_max_merge_equals_union(a, b):
+    """HLL registers of A ∪ B == elementwise max of the two partials —
+    the associativity hll_distinct's per-block build relies on."""
+    from librecrawl_ray.functions.sketch import HLL_M, _hll_update
+
+    ra = np.zeros(HLL_M, np.int8)
+    rb = np.zeros(HLL_M, np.int8)
+    ru = np.zeros(HLL_M, np.int8)
+    _hll_update(ra, set(a))
+    _hll_update(rb, set(b))
+    _hll_update(ru, set(a) | set(b))
+    assert (np.maximum(ra, rb) == ru).all()
