@@ -453,7 +453,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_parse": C.crawl_parse,
         "crawl_edges": C.crawl_edges,
         "crawl_inlinks": C.crawl_inlinks,
-        "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_section_components": C.crawl_section_components,
         "crawl_trap_signatures": C.crawl_trap_signatures,
         # rows-only crawl entry (no SQL twin -> weaker driver check, but
@@ -493,6 +492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J2 link-status distribution (new round 5): bloom-prefiltered
         # semi-join + exact verify before the status attach
         "crawl_link_status_counts": C.crawl_link_status_counts,
+        # BFS wave/depth histogram of the crawl output (new round 5):
+        # the ordering contract's direct observable
+        "crawl_depth_histogram": C.crawl_depth_histogram,
         # never-driver-tested round-4 ops (judge-verified only so far)
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
@@ -552,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slot 50 cut: everything below is beyond the driver's
         # 50-query sweep window (all green in rounds 3 AND 4;
         # crawl_neardup rows-only, r2) ---
+        "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_pagerank": C.crawl_pagerank,
         "crawl_issue_counts": C.crawl_issue_counts,
@@ -1040,6 +1043,7 @@ ORDER BY doc_id"""
         out["crawl_host_graph"] = C.crawl_host_graph_sql(pr_dir)
         out["crawl_link_status_counts"] = \
             C.crawl_link_status_counts_sql(pr_dir)
+        out["crawl_depth_histogram"] = C.crawl_depth_histogram_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

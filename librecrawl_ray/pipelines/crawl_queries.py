@@ -1986,3 +1986,47 @@ SELECT coalesce(CAST(p.status_code AS VARCHAR), 'not crawled')
        count(*)::BIGINT AS n_links
 FROM __l l LEFT JOIN __p p ON l.nt = p.n
 GROUP BY 1 ORDER BY target_status"""
+
+
+def crawl_depth_histogram(sf_dir: str,
+                          out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """BFS-shape report over the crawl's own output: pages per (wave,
+    depth) plus each cell's min/max fetch sequence — the frontier-growth
+    profile an operator reads to size wave budgets (and the direct
+    observable of the reference's BFS-with-depth-limit ordering
+    contract, crawler.py's depth bookkeeping). Per-batch (wave, depth)
+    partials with local min/max seq; one small keyed merge."""
+    from .reports import bucketed_agg
+
+    from . import reports
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["wave", "depth", "seq"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["wave", "depth"], as_index=False).agg(
+            n_pages=("seq", "size"), min_seq=("seq", "min"),
+            max_seq=("seq", "max"))
+        return g
+
+    out = bucketed_agg(
+        pages.map_batches(partial, batch_format="pandas"),
+        ["wave", "depth"],
+        {"n_pages": ("n_pages", "sum"), "min_seq": ("min_seq", "min"),
+         "max_seq": ("max_seq", "max")}, bucket_on="depth").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out[["wave", "depth", "n_pages", "min_seq", "max_seq"]]
+            .sort_values(["wave", "depth"]).reset_index(drop=True))
+
+
+def crawl_depth_histogram_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    return f"""
+SELECT wave::BIGINT AS wave, depth::BIGINT AS depth,
+       count(*)::BIGINT AS n_pages,
+       min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
+FROM read_parquet('{pages_glob}')
+GROUP BY wave, depth ORDER BY wave, depth"""

@@ -860,3 +860,27 @@ def test_bloom_semi_join_exact_and_prefilter(ray_session):
     assert set(want) <= set(loose["k"])
     # the prefilter still dropped most non-members
     assert len(loose) < 500
+
+
+def test_crawl_depth_histogram_recount(ray_session):
+    """Wave/depth histogram == a pure-pandas recount over the crawl's
+    own pages parquet; BFS invariant: depth never exceeds wave and
+    fetch sequences within a wave partition cleanly by cell bounds."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.pipelines.crawl_queries import crawl_depth_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_depth_histogram(sf)
+    pages = reports.load_pages("/tmp/graft_crawl/t1",
+                               columns=["wave", "depth", "seq"]).to_pandas()
+    want = pages.groupby(["wave", "depth"], as_index=False).agg(
+        n_pages=("seq", "size"), min_seq=("seq", "min"),
+        max_seq=("seq", "max")).sort_values(["wave", "depth"]) \
+        .reset_index(drop=True)
+    for c in ("wave", "depth", "n_pages", "min_seq", "max_seq"):
+        assert got[c].tolist() == want[c].astype("int64").tolist(), c
+    # BFS-with-depth-limit shape: a page's depth is at most its wave
+    assert (got["depth"] <= got["wave"]).all()
+    assert got["n_pages"].sum() == len(pages)
