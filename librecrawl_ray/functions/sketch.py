@@ -1,5 +1,5 @@
-"""Mergeable streaming sketches: HyperLogLog distinct counting and
-Misra–Gries heavy hitters.
+"""Mergeable streaming sketches: HyperLogLog distinct counting,
+Misra–Gries heavy hitters, and Count-Min frequency estimation.
 
 At 100 TB, "how many distinct tokens" and "which tokens dominate" are
 questions a pipeline wants answered WITHOUT an exact all-to-all
@@ -21,6 +21,14 @@ Summaries", PODS 2012):
   ``k_cap`` exceeds the distinct-key count no decrement ever fires and
   the sketch is EXACT — the oracle configuration (same
   exhaustive-config-equals-exact pattern as the IVF and PQ oracles).
+- **Count-Min** (Cormode & Muthukrishnan 2005): ``d`` hash rows ×
+  ``w`` cells of int64 counts; blocks merge by plain addition (exact,
+  commutative → layout-independent), point queries take the min over
+  rows. Overestimate is bounded by 2n/w per row w.h.p. The d row
+  hashes are disjoint 32-bit slices of md5(token), so the oracle
+  re-derives every probed CELL — the sum of true counts of all tokens
+  colliding into it — in SQL and pins the exact estimate, collisions
+  included, not a tolerance.
 
 Distributed shape: one ``map_batches`` pass emits per-block summaries
 (bounded rows, never raw streams); merging is associative, so at
@@ -214,3 +222,106 @@ __c AS (SELECT tok, count(*)::BIGINT AS n FROM __toks GROUP BY tok)
 SELECT row_number() OVER (ORDER BY n DESC, tok) AS rank,
        tok AS token, n AS count
 FROM __c ORDER BY n DESC, tok LIMIT {k}"""
+
+
+CMS_D = 4                       # hash rows (md5 gives 4 disjoint u32s)
+CMS_W = 1 << 12                 # 4096 cells/row: ~0.05% of stream per cell
+
+
+def _cms_cells(tok: str, w: int = CMS_W) -> list[int]:
+    """Row cells for ``tok``: md5's 32 hex chars sliced into CMS_D
+    disjoint 32-bit words, each mod ``w`` (mirrored in SQL)."""
+    hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+    return [int(hx[i * 8:(i + 1) * 8], 16) % w for i in range(CMS_D)]
+
+
+def cms_point_counts(ds: rd.Dataset, probes: list[str],
+                     text_col: str = "text") -> "pd.DataFrame":
+    """Count-Min point-frequency estimates for ``probes`` next to their
+    exact stream counts, so the report shows the one-sided sketch error
+    directly. Returns (token, cms_estimate, n_exact) per probe, token
+    ASC.
+
+    Distributed shape: one ``map_batches`` pass reduces each block to a
+    d×w int64 table (CMS_D·CMS_W·8 B ≈ 128 KB, independent of block
+    size) plus the block's exact probe counts; tables ADD-merge
+    (associative and exact, so the result is block-layout independent)
+    through the driver over block-count-bounded rows — at cluster scale
+    the same addition reduces through a tree. No (token, count) shuffle
+    ever happens; the probes' exact counts ride the same pass as a
+    bounded Counter."""
+    import pandas as pd
+
+    probe_set = sorted(set(probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tab = np.zeros((CMS_D, CMS_W), np.int64)
+        exact: Counter = Counter()
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_TOKEN_RE.findall((t or "").lower()))
+        for tok, n in c.items():
+            for i, cell in enumerate(_cms_cells(tok)):
+                tab[i, cell] += n
+            if tok in probe_set:
+                exact[tok] = n
+        return pa.table({
+            "tab": pa.array([tab.ravel().tolist()], pa.list_(pa.int64())),
+            "exact": pa.array(
+                [[int(exact.get(p, 0)) for p in probe_set]],
+                pa.list_(pa.int64()))})
+
+    tab = np.zeros(CMS_D * CMS_W, np.int64)
+    exact = np.zeros(len(probe_set), np.int64)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for row in batch.column("tab").to_pylist():
+            tab += np.asarray(row, np.int64)
+        for row in batch.column("exact").to_pylist():
+            exact += np.asarray(row, np.int64)
+
+    tab = tab.reshape(CMS_D, CMS_W)
+    est = [int(min(tab[i, cell] for i, cell
+                   in enumerate(_cms_cells(p)))) for p in probe_set]
+    return pd.DataFrame({"token": probe_set,
+                         "cms_estimate": np.asarray(est, np.int64),
+                         "n_exact": exact})
+
+
+def cms_point_counts_sql(probes: list[str],
+                         table_expr: str = "documents",
+                         col: str = "text") -> str:
+    """DuckDB twin of ``cms_point_counts``: re-derives each probed cell
+    as the sum of true counts of every token hashing into it (the md5
+    slices make the collision set computable), then the row-min — a
+    green row pins the sketch estimate exactly, collisions included."""
+    probe_set = sorted(set(probes))
+    plist = ", ".join("'" + p.replace("'", "''") + "'"
+                      for p in probe_set)
+    return f"""
+WITH __toks AS (
+  SELECT unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table_expr}),
+__c AS (SELECT tok, count(*)::BIGINT AS n FROM __toks GROUP BY tok),
+__rows AS (SELECT unnest(range({CMS_D})) AS i),
+__cells AS (
+  SELECT r.i,
+         CAST('0x' || substr(md5(c.tok), 1 + r.i::INT * 8, 8) AS UBIGINT)
+             % {CMS_W} AS cell,
+         c.n
+  FROM __c c CROSS JOIN __rows r),
+__probes AS (SELECT unnest([{plist}]) AS ptok),
+__pcells AS (
+  SELECT p.ptok, r.i,
+         CAST('0x' || substr(md5(p.ptok), 1 + r.i::INT * 8, 8) AS UBIGINT)
+             % {CMS_W} AS cell
+  FROM __probes p CROSS JOIN __rows r),
+__rowest AS (
+  SELECT pc.ptok, pc.i, coalesce(sum(c.n), 0)::BIGINT AS cell_n
+  FROM __pcells pc LEFT JOIN __cells c
+       ON c.i = pc.i AND c.cell = pc.cell
+  GROUP BY pc.ptok, pc.i)
+SELECT r.ptok AS token, min(r.cell_n)::BIGINT AS cms_estimate,
+       coalesce(any_value(e.n), 0)::BIGINT AS n_exact
+FROM __rowest r LEFT JOIN __c e ON e.tok = r.ptok
+GROUP BY r.ptok ORDER BY token"""

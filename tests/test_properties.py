@@ -283,3 +283,31 @@ def test_hll_max_merge_equals_union(a, b):
     _hll_update(rb, set(b))
     _hll_update(ru, set(a) | set(b))
     assert (np.maximum(ra, rb) == ru).all()
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=80),
+       st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                max_size=80))
+def test_cms_add_merge_and_overestimate(a, b):
+    """Count-Min tables ADD-merge (table(A ⊎ B) == table(A) + table(B),
+    the layout-independence cms_point_counts relies on) and every point
+    estimate upper-bounds the true count."""
+    from collections import Counter
+
+    from librecrawl_ray.functions.sketch import CMS_D, CMS_W, _cms_cells
+
+    def table(xs):
+        t = np.zeros((CMS_D, CMS_W), np.int64)
+        for tok, n in Counter(xs).items():
+            for i, cell in enumerate(_cms_cells(tok)):
+                t[i, cell] += n
+        return t
+
+    ta, tb, tu = table(a), table(b), table(a + b)
+    assert (ta + tb == tu).all()
+    truth = Counter(a + b)
+    for tok in set(a + b) | {"zz_absent"}:
+        est = min(tu[i, c] for i, c in enumerate(_cms_cells(tok)))
+        assert est >= truth.get(tok, 0)
