@@ -563,6 +563,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_neardup rows-only, r2) ---
         # Count-Min point frequencies (new round 5, judge-checked)
         "cms_point_counts": q_cms_point_counts,
+        # per-host fetch profile, the politeness scheduler's observable
+        # (new round 5, judge-checked)
+        "crawl_politeness_report": C.crawl_politeness_report,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_pagerank": C.crawl_pagerank,
@@ -1053,6 +1056,8 @@ ORDER BY doc_id"""
         out["crawl_link_status_counts"] = \
             C.crawl_link_status_counts_sql(pr_dir)
         out["crawl_depth_histogram"] = C.crawl_depth_histogram_sql(pr_dir)
+        out["crawl_politeness_report"] = \
+            C.crawl_politeness_report_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

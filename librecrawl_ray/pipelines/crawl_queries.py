@@ -2030,3 +2030,63 @@ SELECT wave::BIGINT AS wave, depth::BIGINT AS depth,
        min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
 FROM read_parquet('{pages_glob}')
 GROUP BY wave, depth ORDER BY wave, depth"""
+
+
+def crawl_politeness_report(sf_dir: str,
+                            out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Per-host fetch profile over the crawl's own output — the
+    politeness scheduler's observable (T2/T3: state/politeness.py gates
+    each wave at host_cap tokens/host): for every host, total pages,
+    number of active waves, the largest single-wave burst (the number a
+    cap audit compares against host_cap), and the first/last fetch
+    sequence. At 10^10 URLs this is the table a crawl operator reads to
+    spot hosts that monopolise waves or straggle across them.
+
+    Shape: per-batch (host, wave) partials (count + seq min/max) →
+    bucketed exact merge keyed by host → host-level collapse on the
+    driver over a (#hosts × #waves)-bounded table."""
+    from . import reports
+    from .reports import bucketed_agg
+
+    full_crawl_pages(sf_dir, out_root)
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url", "wave", "seq"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.lower().str.split("://", n=1).str[1] \
+            .fillna("")
+        host = rest.str.split("/", n=1).str[0]
+        g = pd.DataFrame({"host": host, "wave": df["wave"],
+                          "seq": df["seq"]})
+        return g.groupby(["host", "wave"], as_index=False).agg(
+            n=("seq", "size"), mn=("seq", "min"), mx=("seq", "max"))
+
+    cells = bucketed_agg(
+        pages.map_batches(partial, batch_format="pandas"),
+        ["host", "wave"],
+        {"n": ("n", "sum"), "mn": ("mn", "min"), "mx": ("mx", "max")},
+        bucket_on="host").to_pandas()
+    out = cells.groupby("host", as_index=False).agg(
+        n_pages=("n", "sum"), n_waves=("wave", "nunique"),
+        max_wave_pages=("n", "max"), first_seq=("mn", "min"),
+        last_seq=("mx", "max"))
+    for c in ("n_pages", "n_waves", "max_wave_pages", "first_seq",
+              "last_seq"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def crawl_politeness_report_sql(out_dir: str) -> str:
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    return f"""
+WITH __cells AS (
+  SELECT split_part(split_part(lower(url), '://', 2), '/', 1) AS host,
+         wave, count(*)::BIGINT AS n,
+         min(seq)::BIGINT AS mn, max(seq)::BIGINT AS mx
+  FROM read_parquet('{pages_glob}') GROUP BY 1, 2)
+SELECT host, sum(n)::BIGINT AS n_pages,
+       count(DISTINCT wave)::BIGINT AS n_waves,
+       max(n)::BIGINT AS max_wave_pages,
+       min(mn)::BIGINT AS first_seq, max(mx)::BIGINT AS last_seq
+FROM __cells GROUP BY host ORDER BY host"""

@@ -884,3 +884,34 @@ def test_crawl_depth_histogram_recount(ray_session):
     # BFS-with-depth-limit shape: a page's depth is at most its wave
     assert (got["depth"] <= got["wave"]).all()
     assert got["n_pages"].sum() == len(pages)
+
+
+def test_crawl_politeness_report_recount(ray_session):
+    """Per-host fetch profile == a pure-pandas recount over the crawl's
+    pages parquet, and the profile partitions the crawl exactly (page
+    totals sum to the corpus-wide page count; seq ranges within hosts
+    are consistent)."""
+    import pandas as pd
+
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.pipelines.crawl_queries import (
+        crawl_politeness_report)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_politeness_report(sf)
+    pages = reports.load_pages("/tmp/graft_crawl/t1",
+                               columns=["url", "wave", "seq"]).to_pandas()
+    rest = pages["url"].str.lower().str.split("://", n=1).str[1].fillna("")
+    pages["host"] = rest.str.split("/", n=1).str[0]
+    cells = pages.groupby(["host", "wave"], as_index=False).agg(
+        n=("seq", "size"), mn=("seq", "min"), mx=("seq", "max"))
+    want = cells.groupby("host", as_index=False).agg(
+        n_pages=("n", "sum"), n_waves=("wave", "nunique"),
+        max_wave_pages=("n", "max"), first_seq=("mn", "min"),
+        last_seq=("mx", "max")).sort_values("host").reset_index(drop=True)
+    for c in ("host", "n_pages", "n_waves", "max_wave_pages",
+              "first_seq", "last_seq"):
+        assert got[c].tolist() == want[c].tolist(), c
+    assert got["n_pages"].sum() == len(pages)
+    assert (got["first_seq"] <= got["last_seq"]).all()
+    assert len(got) > 1, "fixture crawls more than one host"
