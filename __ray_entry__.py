@@ -346,6 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import cms_point_counts
         return cms_point_counts(_docs(sf_dir), CMS_PROBES)
 
+    def q_kll_quantiles(sf_dir):
+        from librecrawl_ray.functions.sketch import kll_quantiles
+        return kll_quantiles(_docs(sf_dir))
+
     def q_ingest_warc(sf_dir):
         """WARC/1.0 archive ingestion (sources/warc.py): the documents
         table exported as a real sharded WARC archive, re-ingested
@@ -563,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl_neardup rows-only, r2) ---
         # Count-Min point frequencies (new round 5, judge-checked)
         "cms_point_counts": q_cms_point_counts,
+        # KLL quantile summary, exact at oracle config (new round 5)
+        "kll_quantiles": q_kll_quantiles,
         # per-host fetch profile, the politeness scheduler's observable
         # (new round 5, judge-checked)
         "crawl_politeness_report": C.crawl_politeness_report,
@@ -1104,4 +1110,6 @@ ORDER BY doc_id"""
     out["hll_distinct"] = hll_distinct_sql("documents")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
+    from librecrawl_ray.functions.sketch import kll_quantiles_sql
+    out["kll_quantiles"] = kll_quantiles_sql("documents")
     return out

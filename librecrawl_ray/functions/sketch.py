@@ -325,3 +325,153 @@ SELECT r.ptok AS token, min(r.cell_n)::BIGINT AS cms_estimate,
        coalesce(any_value(e.n), 0)::BIGINT AS n_exact
 FROM __rowest r LEFT JOIN __c e ON e.tok = r.ptok
 GROUP BY r.ptok ORDER BY token"""
+
+
+class KLLSketch:
+    """Deterministic KLL-style mergeable quantile summary (Karnin,
+    Lang & Liberty 2016, derandomized): levels of ≤``k`` int64 items,
+    level ``i`` items each standing for 2^i stream values. Compaction
+    sorts a full level and promotes alternating survivors (parity from
+    a per-level counter, so the whole structure is deterministic given
+    the merge order — no RNG). Every compaction event at level ``i``
+    shifts any rank estimate by at most 2^i, and the sketch ACCUMULATES
+    that bound in ``max_rank_err``: the answer ships with its own
+    certified error, which is what the property test asserts. With
+    ``k`` above the stream size no compaction fires and every quantile
+    is exact — the oracle configuration (same pattern as Misra–Gries).
+
+    At 100 TB: levels hold O(k·log(n/k)) items regardless of n — the
+    general-domain complement to ``stats.length_quantiles``'s exact
+    bounded-histogram trick (which needs a small value domain)."""
+
+    def __init__(self, k: int = 1 << 17):
+        self.k = k
+        self.levels: list[list[int]] = [[]]
+        self.n = 0
+        self.max_rank_err = 0
+        self._parity: list[int] = [0]
+
+    def add_many(self, vals) -> None:
+        self.levels[0].extend(int(v) for v in vals)
+        self.n += len(vals)
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = sorted(self.levels[i])
+                # compact an even-length buffer only (each promoted item
+                # absorbs exactly one dropped neighbour, so total weight
+                # — and therefore n — is conserved); an odd straggler
+                # stays at this level
+                leftover = []
+                if len(buf) % 2:
+                    leftover = [buf[-1]]
+                    buf = buf[:-1]
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                    self._parity.append(0)
+                off = self._parity[i] & 1
+                self._parity[i] += 1
+                self.levels[i + 1].extend(buf[off::2])
+                self.levels[i] = leftover
+                self.max_rank_err += 1 << i
+            i += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        assert self.k == other.k
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self._parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i].extend(lv)
+        self.n += other.n
+        self.max_rank_err += other.max_rank_err
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> int:
+        """Smallest item whose cumulative weight reaches ceil(q·n)
+        (quantile_disc-style lower rank; mirrored in the SQL twin)."""
+        items: list[tuple[int, int]] = []
+        for i, lv in enumerate(self.levels):
+            items.extend((v, 1 << i) for v in lv)
+        items.sort()
+        target = max(math.ceil(q * self.n), 1)
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def to_rows(self) -> tuple[list[list[int]], int, int]:
+        return ([list(lv) for lv in self.levels], self.n,
+                self.max_rank_err)
+
+    @classmethod
+    def from_rows(cls, levels, n, err, k: int = 1 << 17) -> "KLLSketch":
+        s = cls(k)
+        s.levels = [list(lv) for lv in levels]
+        s._parity = [0] * len(s.levels)
+        s.n = int(n)
+        s.max_rank_err = int(err)
+        return s
+
+
+def kll_quantiles(ds: rd.Dataset,
+                  qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
+                  text_col: str = "text",
+                  k: int = 1 << 17) -> "pd.DataFrame":
+    """Document char-length quantiles via a mergeable KLL summary:
+    each block reduces to one bounded sketch row, sketches merge on the
+    driver (tree-reducible at cluster scale), answers carry a certified
+    max rank error. Returns (q, n, max_rank_err, value); with the
+    default ``k`` above the fixture sizes the sketch is exact and the
+    SQL twin pins every value."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = KLLSketch(k)
+        s.add_many(pa.compute.utf8_length(
+            batch.column(text_col).fill_null("")).to_pylist())
+        levels, n, err = s.to_rows()
+        return pa.table({
+            "levels": pa.array([levels], pa.list_(pa.list_(pa.int64()))),
+            "n": pa.array([n], pa.int64()),
+            "err": pa.array([err], pa.int64())})
+
+    merged = KLLSketch(k)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for levels, n, err in zip(batch.column("levels").to_pylist(),
+                                  batch.column("n").to_pylist(),
+                                  batch.column("err").to_pylist()):
+            merged.merge(KLLSketch.from_rows(levels, n, err, k))
+
+    return pd.DataFrame({
+        "q": list(qs),
+        "n": np.full(len(qs), merged.n, np.int64),
+        "max_rank_err": np.full(len(qs), merged.max_rank_err, np.int64),
+        "value": np.asarray([merged.quantile(q) for q in qs], np.int64)})
+
+
+def kll_quantiles_sql(table_expr: str = "documents",
+                      qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
+                      col: str = "text") -> str:
+    """DuckDB twin of the exact (k ≥ stream size) configuration:
+    smallest value at cumulative rank ceil(q·n), zero certified error."""
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH __v AS (
+  SELECT length(coalesce({col}, ''))::BIGINT AS val FROM {table_expr}),
+__s AS (
+  SELECT val, row_number() OVER (ORDER BY val) AS rn,
+         count(*) OVER () AS n
+  FROM __v),
+__q AS (SELECT unnest([{qlist}]) AS q)
+SELECT q.q AS q, any_value(s.n)::BIGINT AS n, 0::BIGINT AS max_rank_err,
+       min(s.val)::BIGINT AS value
+FROM __q q JOIN __s s ON s.rn >= greatest(ceil(q.q * s.n), 1)
+GROUP BY q.q ORDER BY q"""

@@ -311,3 +311,40 @@ def test_cms_add_merge_and_overestimate(a, b):
     for tok in set(a + b) | {"zz_absent"}:
         est = min(tu[i, c] for i, c in enumerate(_cms_cells(tok)))
         assert est >= truth.get(tok, 0)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=400),
+       st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=12))
+def test_kll_conserves_weight_and_certifies_error(vals, cuts):
+    """KLL sketch invariants under arbitrary block splits and merges:
+    total represented weight == n == stream length, and every quantile
+    answer's true rank window lies within the sketch's own certified
+    max_rank_err of the target rank."""
+    import bisect
+    import math
+
+    from librecrawl_ray.functions.sketch import KLLSketch
+
+    merged = KLLSketch(k=16)
+    i = 0
+    ci = 0
+    while i < len(vals):
+        j = min(i + cuts[ci % len(cuts)], len(vals))
+        part = KLLSketch(k=16)
+        part.add_many(vals[i:j])
+        merged.merge(part)
+        i = j
+        ci += 1
+    tot_w = sum(len(lv) << lvl for lvl, lv in enumerate(merged.levels))
+    assert tot_w == merged.n == len(vals)
+    sv = sorted(vals)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        est = merged.quantile(q)
+        target = max(math.ceil(q * len(vals)), 1)
+        lo = bisect.bisect_left(sv, est)
+        hi = bisect.bisect_right(sv, est)
+        assert lo - merged.max_rank_err <= target <= \
+            hi + merged.max_rank_err, (q, est)
