@@ -572,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host fetch profile, the politeness scheduler's observable
         # (new round 5, judge-checked)
         "crawl_politeness_report": C.crawl_politeness_report,
+        # depth/PageRank-lite recrawl priority (north-rule observable;
+        # new round 5, judge-checked)
+        "crawl_recrawl_priority": C.crawl_recrawl_priority,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_pagerank": C.crawl_pagerank,
@@ -1064,6 +1067,8 @@ ORDER BY doc_id"""
         out["crawl_depth_histogram"] = C.crawl_depth_histogram_sql(pr_dir)
         out["crawl_politeness_report"] = \
             C.crawl_politeness_report_sql(pr_dir)
+        out["crawl_recrawl_priority"] = \
+            C.crawl_recrawl_priority_sql(pr_dir)
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

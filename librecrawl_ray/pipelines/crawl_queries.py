@@ -14,6 +14,7 @@ bench2 (~549k).
 
 from __future__ import annotations
 
+import math
 import os
 
 import pandas as pd
@@ -672,8 +673,9 @@ def crawl_neardup(sf_dir: str, sample: int = 1200) -> pd.DataFrame:
 def crawl_pagerank(sf_dir: str, out_root: str = "/tmp/graft_crawl") -> \
         pd.DataFrame:
     """PageRank-lite over the crawl output's link graph — top 50 by rank.
-    Iterative (non-SQL-expressible) → rows-only driver check; pytest
-    verifies against an independent power-iteration reference."""
+    SQL twin unrolls the damped power iteration as a CTE chain
+    (``crawl_pagerank_sql``); pytest additionally verifies against an
+    independent power-iteration reference."""
     full_crawl_pages(sf_dir, out_root)   # no-op if lineage says complete
     from . import reports
     out_dir = os.path.join(out_root, tier_for(sf_dir))
@@ -740,6 +742,59 @@ FROM (SELECT DISTINCT url, {norm('url')} AS n FROM __p) p
 JOIN {prev} r USING (n)
 ORDER BY rank DESC, url LIMIT 50""")
     return "WITH " + "".join(parts)
+
+
+def crawl_recrawl_priority(sf_dir: str,
+                           out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Recrawl-priority scoring — the north rule's "priority queue
+    ordered by depth/PageRank-lite score" as a report: priority =
+    rank/(1+depth), rewarding authoritative shallow pages; top 50 by
+    (priority desc, url). The fetch order itself stays (depth, seq)
+    BFS-equivalent (conformance contract); this is the scheduler input
+    a continuous crawler would feed its next-cycle frontier.
+
+    Shape: pagerank_lite's rank vector (one float per crawled page,
+    driver-resident at sandbox scale, Dataset-resident at 10^10 via
+    pagerank_distributed) merged with the page depth column; the merge
+    is node-sized — the same order of driver state the rank vector
+    already is; at 10^10 it becomes one bucketed hash join."""
+    full_crawl_pages(sf_dir, out_root)
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url", "depth"])
+    links = reports.load_links(out_dir)
+    pr = reports.pagerank_lite(
+        pages.select_columns(["url"]), links).to_pandas()
+    m = pr.merge(pages.to_pandas(), on="url", how="inner")
+    m["depth"] = m["depth"].astype("int64")
+    m["priority"] = (m["rank"] / (1 + m["depth"])).map(
+        lambda x: math.floor(x * 1e10 + 0.5) / 1e10)
+    return (m[["url", "depth", "rank", "priority"]]
+            .sort_values(["priority", "url"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
+
+
+def crawl_recrawl_priority_sql(out_dir: str, iterations: int = 5,
+                               damping: float = 0.85) -> str:
+    """DuckDB twin of ``crawl_recrawl_priority``: the pagerank CTE chain
+    with a priority tail — both sides divide the 10-dp-rounded rank by
+    (1+depth) and half-away-round to 10 dp."""
+    base = crawl_pagerank_sql(out_dir, iterations, damping)
+    chain, _tail = base.rsplit("\nSELECT p.url, round(r.rank, 10)", 1)
+    prev = f"__r{iterations}"
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    norm = ("CASE WHEN strpos(split_part(rtrim(lower(url), '/'), "
+            "'://', 2), '/') = 0 "
+            "THEN rtrim(lower(url), '/') || '/' "
+            "ELSE rtrim(lower(url), '/') END")
+    return f"""{chain}
+SELECT p.url, p.depth::BIGINT AS depth, round(r.rank, 10) AS rank,
+       round(round(r.rank, 10) / (1 + p.depth), 10) AS priority
+FROM (SELECT DISTINCT url, depth, {norm} AS n
+      FROM read_parquet('{pages_glob}')) p
+JOIN {prev} r USING (n)
+ORDER BY priority DESC, url LIMIT 50"""
 
 
 def crawl_span_kinds(sf_dir: str) -> pd.DataFrame:

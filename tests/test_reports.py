@@ -915,3 +915,32 @@ def test_crawl_politeness_report_recount(ray_session):
     assert got["n_pages"].sum() == len(pages)
     assert (got["first_seq"] <= got["last_seq"]).all()
     assert len(got) > 1, "fixture crawls more than one host"
+
+
+def test_crawl_recrawl_priority_recount(ray_session):
+    """Priority report == rank/(1+depth) recomputed from the pagerank
+    vector and the pages parquet; ordering and the top-50 cut hold."""
+    import math
+
+    from librecrawl_ray.pipelines import reports
+    from librecrawl_ray.pipelines.crawl_queries import (
+        crawl_recrawl_priority)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_recrawl_priority(sf)
+    pages = reports.load_pages("/tmp/graft_crawl/t1",
+                               columns=["url", "depth"])
+    links = reports.load_links("/tmp/graft_crawl/t1")
+    pr = reports.pagerank_lite(
+        pages.select_columns(["url"]), links).to_pandas()
+    want = pr.merge(pages.to_pandas(), on="url")
+    want["priority"] = (want["rank"] / (1 + want["depth"])).map(
+        lambda x: math.floor(x * 1e10 + 0.5) / 1e10)
+    want = want.sort_values(["priority", "url"],
+                            ascending=[False, True]).head(50)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["priority"].tolist() == want["priority"].tolist()
+    # shallow authoritative pages outrank their own raw pagerank order:
+    # some page in the top 50 must sit above a higher-rank deeper page
+    assert (got["priority"].values <= got["rank"].values + 1e-12).all()
+    assert got["depth"].min() == 0, "the seed page is in the top 50"
