@@ -575,6 +575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # depth/PageRank-lite recrawl priority (north-rule observable;
         # new round 5, judge-checked)
         "crawl_recrawl_priority": C.crawl_recrawl_priority,
+        # robots parser audit, parser re-derived line-by-line in SQL
+        # (new round 5, judge-checked)
+        "crawl_robots_audit": C.crawl_robots_audit,
         "crawl_anchor_texts": C.crawl_anchor_texts,
         "crawl_slow_hosts": C.crawl_slow_hosts,
         "crawl_pagerank": C.crawl_pagerank,
@@ -718,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
     sim_path = sim.get("sf0.01") or next(iter(sim.values()), "")
     sem_path = sem.get("sf0.01") or next(iter(sem.values()), "")
     pr_dir = crawl_out.get("sf0.01") or next(iter(crawl_out.values()), "")
+    cdir0 = cdirs.get("sf0.01") or next(iter(cdirs.values()), "")
 
     text_annotations_sql = f"""
 SELECT doc_id,
@@ -1069,6 +1073,9 @@ ORDER BY doc_id"""
             C.crawl_politeness_report_sql(pr_dir)
         out["crawl_recrawl_priority"] = \
             C.crawl_recrawl_priority_sql(pr_dir)
+    if cdir0:
+        out["crawl_robots_audit"] = C.crawl_robots_audit_sql(
+            os.path.join(cdir0, "robots.parquet"))
         out["crawl_anchor_texts"] = C.crawl_anchor_texts_sql(pr_dir)
         out["crawl_slow_hosts"] = C.crawl_slow_hosts_sql(pr_dir)
     if path:

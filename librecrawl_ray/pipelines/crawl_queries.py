@@ -2145,3 +2145,106 @@ SELECT host, sum(n)::BIGINT AS n_pages,
        max(n)::BIGINT AS max_wave_pages,
        min(mn)::BIGINT AS first_seq, max(mx)::BIGINT AS last_seq
 FROM __cells GROUP BY host ORDER BY host"""
+
+
+def crawl_robots_audit(sf_dir: str) -> pd.DataFrame:
+    """Per-host robots.txt audit over the corpus' robots side table:
+    parsed star-group rule counts, the effective Crawl-delay feeding the
+    politeness budget, Sitemap discovery lines, and the syntax
+    validator's problem count (S6/M5 — sources/robots.py mirrors the
+    reference's crawler.py:1494-1606 handling). The SQL twin re-derives
+    the PARSER itself line-by-line (comment strip, first-colon split,
+    user-agent group scoping, last-parsable-delay-wins), so a green row
+    pins the parsing semantics, not just the counts.
+
+    Shape: robots tables are host-sized (millions of rows at web scale,
+    never page-sized); one stateless ``map_batches`` parse over the
+    Dataset is the whole job."""
+    from ..sources.robots import parse_robots, validate_robots
+
+    cdir = ensure_corpus(sf_dir)
+    rob = rd.read_parquet(os.path.join(cdir, "robots.parquet"))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        hosts, cds, nd, na, ns, npr = [], [], [], [], [], []
+        for h, c in zip(batch.column("host").to_pylist(),
+                        batch.column("content").to_pylist()):
+            r = parse_robots(c)
+            hosts.append(h)
+            cds.append(float(r.crawl_delay))
+            nd.append(len(r.disallow))
+            na.append(len(r.allow))
+            ns.append(len(r.sitemaps))
+            npr.append(len(validate_robots(c)))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "crawl_delay": pa.array(cds, pa.float64()),
+            "n_disallow": pa.array(nd, pa.int64()),
+            "n_allow": pa.array(na, pa.int64()),
+            "n_sitemaps": pa.array(ns, pa.int64()),
+            "n_problems": pa.array(npr, pa.int64())})
+
+    out = rob.map_batches(audit, batch_format="pyarrow").to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def crawl_robots_audit_sql(robots_parquet: str) -> str:
+    """DuckDB twin of ``crawl_robots_audit``: the parser unrolled in
+    SQL. Lines split positionally (unnest/generate_series idiom),
+    comments stripped at the first '#', directives split at the first
+    ':', rule lines scoped to the star group via the LAST preceding
+    user-agent line (none-yet ⇒ in scope, matching the parser), delay =
+    the last parsable in-scope value. Whitespace note: SQL trim strips
+    spaces where Python strip also strips tabs — the fixture uses
+    space-and-newline formatting only."""
+    known = ("'user-agent', 'disallow', 'allow', 'crawl-delay', "
+             "'sitemap', 'host', 'clean-param', 'request-rate', "
+             "'visit-time', 'noindex'")
+    return f"""
+WITH __raw AS (
+  SELECT host, string_split(content, chr(10)) AS ls
+  FROM read_parquet('{robots_parquet}')),
+__ln AS (
+  SELECT host, i, trim(split_part(ls[i], '#', 1)) AS line
+  FROM (SELECT host, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM __raw)),
+__d AS (
+  SELECT host, i, line,
+         CASE WHEN strpos(line, ':') > 0
+              THEN lower(trim(split_part(line, ':', 1))) END AS key,
+         CASE WHEN strpos(line, ':') > 0
+              THEN trim(substr(line, strpos(line, ':') + 1)) END AS val
+  FROM __ln WHERE line <> ''),
+__ua AS (SELECT host, i, val FROM __d WHERE key = 'user-agent'),
+__scoped AS (
+  SELECT d.*,
+         coalesce((SELECT u.val FROM __ua u
+                   WHERE u.host = d.host AND u.i =
+                         (SELECT max(u2.i) FROM __ua u2
+                          WHERE u2.host = d.host AND u2.i < d.i)),
+                  '*') = '*' AS in_scope
+  FROM __d d),
+__counts AS (
+  SELECT host,
+         sum(CASE WHEN key = 'disallow' AND val <> '' AND in_scope
+                  THEN 1 ELSE 0 END) AS n_disallow,
+         sum(CASE WHEN key = 'allow' AND val <> '' AND in_scope
+                  THEN 1 ELSE 0 END) AS n_allow,
+         sum(CASE WHEN key = 'sitemap' THEN 1 ELSE 0 END) AS n_sitemaps,
+         sum(CASE WHEN key IS NULL THEN 1
+                  WHEN key NOT IN ({known}) THEN 1
+                  WHEN key = 'user-agent' AND val = '' THEN 1
+                  ELSE 0 END) AS n_problems
+  FROM __scoped GROUP BY host)
+SELECT r.host,
+       coalesce((SELECT TRY_CAST(s.val AS DOUBLE) FROM __scoped s
+                 WHERE s.host = r.host AND s.key = 'crawl-delay'
+                   AND s.in_scope
+                   AND TRY_CAST(s.val AS DOUBLE) IS NOT NULL
+                 ORDER BY s.i DESC LIMIT 1), 0.0) AS crawl_delay,
+       coalesce(c.n_disallow, 0)::BIGINT AS n_disallow,
+       coalesce(c.n_allow, 0)::BIGINT AS n_allow,
+       coalesce(c.n_sitemaps, 0)::BIGINT AS n_sitemaps,
+       coalesce(c.n_problems, 0)::BIGINT AS n_problems
+FROM __raw r LEFT JOIN __counts c USING (host)
+ORDER BY host"""

@@ -273,3 +273,51 @@ def test_warc_roundtrip_and_foreign_parse(ray_session, tmp_path):
         ["foreign body text"])
     assert fdoc["source"].tolist() == ["warc"]
     assert fdoc["lang"].tolist() == ["und"]
+
+
+def test_robots_audit_sql_twin_parity(tmp_path):
+    """The robots-audit SQL twin reproduces the Python parser on
+    adversarial content the fixture does not cover: multiple UA groups,
+    rules before any group, empty-value directives, unparsable delays,
+    comments, missing colons, unknown directives."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from librecrawl_ray.pipelines.crawl_queries import (
+        crawl_robots_audit_sql)
+
+    cases = {
+        "pregroup.example":
+            "Disallow: /early/\nUser-agent: bot\nDisallow: /hidden/\n"
+            "User-agent: *\nAllow: /ok/\nCrawl-delay: nope\n"
+            "Crawl-delay: 3.5\nSitemap: https://x/s.xml\n",
+        "comments.example":
+            "# top\nUser-agent: * # star\nDisallow: /a/ # note\n"
+            "Disallow:\nAllow:\nSitemap:\n",
+        "broken.example":
+            "User-agent *\nDisalow: /x\nUser-agent:\nDisallow: /y\n",
+        "multi.example":
+            "User-agent: a\nCrawl-delay: 9\nUser-agent: *\n"
+            "Crawl-delay: 2\nUser-agent: b\nCrawl-delay: 7\n",
+    }
+    from librecrawl_ray.sources.robots import parse_robots, validate_robots
+    path = tmp_path / "robots.parquet"
+    pq.write_table(pa.table({"host": list(cases),
+                             "content": list(cases.values())}), path)
+    got = duckdb.connect().execute(
+        crawl_robots_audit_sql(str(path))).df()
+    for row in got.itertuples(index=False):
+        r = parse_robots(cases[row.host])
+        p = validate_robots(cases[row.host])
+        assert row.crawl_delay == r.crawl_delay, row.host
+        assert row.n_disallow == len(r.disallow), row.host
+        assert row.n_allow == len(r.allow), row.host
+        assert row.n_sitemaps == len(r.sitemaps), row.host
+        assert row.n_problems == len(p), row.host
+    # the cases actually exercise the branches
+    by = got.set_index("host")
+    assert by.loc["pregroup.example", "n_disallow"] == 1   # /early/ only
+    assert by.loc["pregroup.example", "crawl_delay"] == 3.5
+    assert by.loc["multi.example", "crawl_delay"] == 2.0
+    assert by.loc["broken.example", "n_problems"] == 3
