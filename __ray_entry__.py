@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["source", "sample_key", "doc_id"]) \
             .reset_index(drop=True)[["doc_id", "source", "sample_key"]]
 
+    def q_weighted_sample(sf_dir):
+        from librecrawl_ray.functions.sampling import weighted_sample
+        return weighted_sample(_docs(sf_dir), k=50)
+
     def q_stratified_split(sf_dir):
         from librecrawl_ray.functions.sampling import stratified_split
         out = stratified_split(_docs(sf_dir)).to_pandas()
@@ -660,6 +664,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash,
         "winnow_neardup": q_winnow_neardup,
+        # weight-proportional sampling without replacement (A-ES; new
+        # round 5): hash-derived uniforms make the draw reproducible
+        # across runs/blocks/cluster sizes
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -947,6 +955,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "reservoir_sample": __import__(
             "librecrawl_ray.functions.sampling",
             fromlist=["reservoir_sample_sql"]).reservoir_sample_sql(),
+        "weighted_sample": __import__(
+            "librecrawl_ray.functions.sampling",
+            fromlist=["weighted_sample_sql"]).weighted_sample_sql(k=50),
         "curate_corpus": __import__(
             "librecrawl_ray.pipelines.curate",
             fromlist=["curate_corpus_sql"]).curate_corpus_sql(),

@@ -313,3 +313,71 @@ FROM (
   FROM {table})
 ORDER BY {id_col}
 """
+
+
+def weighted_sample(ds, k: int = 50, weight_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirtakis 2006, A-ES): each row draws key = ln(u)/w where u is a
+    fixed uniform derived from md5(id) (top 52 hash bits / 2^52), and
+    the k LARGEST keys form a weight-proportional sample. Because u is
+    a hash of the row id — not RNG state — the sample is reproducible
+    across runs, block layouts and cluster sizes, the property that
+    makes a 100-TB selection auditable. Zero/negative weights are
+    excluded (never sampled), mirroring the SQL twin's WHERE.
+
+    Shape: stateless per-block key computation + per-block top-k
+    partial; the driver merges blocks×k rows, never the corpus. Returns
+    (doc_id, weight, r_score) with r_score = −ln(u)/w half-away-rounded
+    to 6 dp (ascending r_score ⇔ descending key)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def score(batch: pa.Table) -> pa.Table:
+        id_type = batch.column(id_col).type
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        oi, ow, orr = [], [], []
+        for i, w in zip(ids, ws):
+            if w is None or w <= 0:
+                continue
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:13],
+                    16) / 4503599627370496.0
+            oi.append(i)
+            ow.append(int(w))
+            orr.append(-math.log(max(u, 2.2e-16)) / w)
+        return pa.table({"doc_id": pa.array(oi, id_type),
+                         "weight": pa.array(ow, pa.int64()),
+                         "__r": pa.array(orr, pa.float64())})
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["__r", "doc_id"]).head(k)
+
+    out = ds.select_columns([id_col, weight_col]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .map_batches(topk_partial, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["__r", "doc_id"]).head(k).reset_index(drop=True)
+    out["r_score"] = out.pop("__r").map(
+        lambda x: math.floor(x * 1e6 + 0.5) / 1e6)
+    return out[["doc_id", "weight", "r_score"]]
+
+
+def weighted_sample_sql(table: str = "documents", k: int = 50,
+                        weight_col: str = "n_chars",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``weighted_sample``: identical hash-uniform,
+    identical exponential key, identical ordering and rounding."""
+    return f"""
+WITH __b AS (
+  SELECT {id_col} AS doc_id, {weight_col}::BIGINT AS weight,
+         CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 13)
+              AS UBIGINT) / 4503599627370496.0 AS u
+  FROM {table} WHERE {weight_col} > 0)
+SELECT doc_id, weight,
+       round(-ln(greatest(u, 2.2e-16)) / weight, 6) AS r_score
+FROM __b
+ORDER BY -ln(greatest(u, 2.2e-16)) / weight, doc_id LIMIT {k}"""

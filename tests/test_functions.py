@@ -2169,3 +2169,27 @@ def test_search_snippets_rule_and_parity(ray_session, tmp_path):
     sql = con.execute(search_snippets_sql(["needle"], width=10)).df()
     assert sql["doc_id"].tolist() == got["doc_id"].tolist()
     assert sql["snippet"].tolist() == got["snippet"].tolist()
+
+
+def test_weighted_sample_aes(docs_ds):
+    """A-ES weighted sampling == the naive full-scan recount (same
+    hash-uniform, same exponential key), is invariant to block layout,
+    and excludes non-positive weights."""
+    import hashlib
+    import math
+
+    from librecrawl_ray.functions.sampling import weighted_sample
+
+    got = weighted_sample(docs_ds, k=10)
+    full = docs_ds.to_pandas()
+    keys = []
+    for i, w in zip(full["doc_id"], full["n_chars"]):
+        if w <= 0:
+            continue
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13],
+                16) / 4503599627370496.0
+        keys.append((-math.log(max(u, 2.2e-16)) / w, i))
+    want = [i for _, i in sorted(keys)[:10]]
+    assert list(got["doc_id"]) == want
+    again = weighted_sample(docs_ds.repartition(7), k=10)
+    assert again.equals(got)
