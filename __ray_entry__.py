@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sampling import weighted_sample
         return weighted_sample(_docs(sf_dir), k=50)
 
+    def q_quality_topp(sf_dir):
+        from librecrawl_ray.functions.sampling import quality_topp
+        out = quality_topp(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_stratified_split(sf_dir):
         from librecrawl_ray.functions.sampling import stratified_split
         out = stratified_split(_docs(sf_dir)).to_pandas()
@@ -668,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5): hash-derived uniforms make the draw reproducible
         # across runs/blocks/cluster sizes
         "weighted_sample": q_weighted_sample,
+        # FineWeb-style per-source top-p% quality selection (new round
+        # 5): exact per-source rank thresholds from a bounded (source,
+        # quality) histogram — no per-group gather
+        "quality_topp": q_quality_topp,
     }
 
 
@@ -958,6 +967,9 @@ FROM documents ORDER BY shuffle_key LIMIT 100
         "weighted_sample": __import__(
             "librecrawl_ray.functions.sampling",
             fromlist=["weighted_sample_sql"]).weighted_sample_sql(k=50),
+        "quality_topp": __import__(
+            "librecrawl_ray.functions.sampling",
+            fromlist=["quality_topp_sql"]).quality_topp_sql(),
         "curate_corpus": __import__(
             "librecrawl_ray.pipelines.curate",
             fromlist=["curate_corpus_sql"]).curate_corpus_sql(),

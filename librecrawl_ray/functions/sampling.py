@@ -381,3 +381,131 @@ SELECT doc_id, weight,
        round(-ln(greatest(u, 2.2e-16)) / weight, 6) AS r_score
 FROM __b
 ORDER BY -ln(greatest(u, 2.2e-16)) / weight, doc_id LIMIT {k}"""
+
+
+def quality_topp(ds: rd.Dataset, p_num: int = 1, p_den: int = 10,
+                 id_col: str = "doc_id", source_col: str = "source",
+                 text_col: str = "text", buckets: int = 32) -> rd.Dataset:
+    """FineWeb-style per-source quality selection: keep the top
+    ceil(n_s · p_num/p_den) documents of each source, ranked by
+    (quality DESC, id ASC) with ``text.quality_score`` as the gate.
+    The fraction is a rational so k_s is exact integer arithmetic on
+    both sides (float ceil(0.1·n) can land on either side of an epsilon).
+
+    Distributed shape, three bounded passes (none gathers the corpus):
+
+    1. score — stateless ``map_batches``; quality is 6-dp rounded in
+       [0, 1], so the per-source value histogram is ≤ 10^6+1 rows
+       regardless of corpus size (the histogram-not-rows trick of
+       lm.quality_buckets).
+    2. thresholds — (source, quality, count) shuffle; one cumulative
+       walk from the TOP per source reads off the threshold t_s, and the
+       tie allowance m_s = k_s − |{quality > t_s}|.
+    3. keep — stateless filter quality > t_s (the selected stream, still
+       a Dataset), plus the m_s id-smallest ties AT t_s via per-block
+       bottom-m partials (driver merge is tie-set-sized: one 6-dp value
+       per source).
+
+    Returns a Dataset of (doc_id, source, quality)."""
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_groups
+    from .text import quality_score
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table({
+            "doc_id": batch.column(id_col),
+            "source": batch.column(source_col),
+            "quality": pa.array([quality_score(t) for t in texts],
+                                pa.float64())})
+
+    scored = ds.select_columns([id_col, source_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter(zip(batch.column("source").to_pylist(),
+                                 batch.column("quality").to_pylist()))
+        ss, qs, ns = [], [], []
+        for (s, q), n in c.items():
+            ss.append(s)
+            qs.append(q)
+            ns.append(n)
+        return pa.table({"source": pa.array(ss, pa.string()),
+                         "__q": pa.array(qs, pa.float64()),
+                         "__cnt": pa.array(ns, pa.int64())})
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_t, out_m = [], [], []
+        for s, sub in df.groupby("source", sort=False):
+            h = (sub.groupby("__q", sort=True)["__cnt"].sum()
+                 .reset_index().sort_values("__q", ascending=False))
+            cum = h["__cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            k = (n * p_num + p_den - 1) // p_den
+            pos = int((cum < k).sum())   # first row where cum >= k
+            above = int(cum[pos - 1]) if pos else 0
+            out_s.append(s)
+            out_t.append(float(h["__q"].iloc[pos]))
+            out_m.append(k - above)
+        return pd.DataFrame({"source": out_s, "thr": out_t, "m": out_m})
+
+    thr_df = bucketed_groups(
+        scored.map_batches(hist_partial, batch_format="pyarrow"),
+        "source", per_source, buckets=buckets).to_pandas()
+    thr = dict(zip(thr_df["source"], thr_df["thr"]))
+    m_allow = dict(zip(thr_df["source"], thr_df["m"].astype(int)))
+
+    def keep_strict(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        srcs = batch.column("source").to_pylist()
+        q = batch.column("quality").to_numpy(zero_copy_only=False)
+        t = np.array([thr[s] for s in srcs])
+        return batch.filter(pa.array(q > t))
+
+    def tie_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[thr[s] == q for s, q in zip(df["source"], df["quality"])]]
+        return (df.sort_values(["source", "doc_id"])
+                .groupby("source", sort=False)
+                .head(max(m_allow.values(), default=0)))
+
+    ties = scored.map_batches(tie_partial,
+                              batch_format="pandas").to_pandas()
+    ties = (ties.sort_values(["source", "doc_id"])
+            .groupby("source", sort=False)
+            .apply(lambda g: g.head(m_allow[g.name]),
+                   include_groups=False)
+            .reset_index(level=0)
+            .reset_index(drop=True)[["doc_id", "source", "quality"]])
+    strict = scored.map_batches(keep_strict, batch_format="pyarrow")
+    if len(ties):
+        tie_tbl = pa.table({
+            "doc_id": pa.array(ties["doc_id"]),
+            "source": pa.array(ties["source"], pa.string()),
+            "quality": pa.array(ties["quality"], pa.float64())})
+        return strict.union(rd.from_arrow(tie_tbl))
+    return strict
+
+
+def quality_topp_sql(table: str = "documents", p_num: int = 1,
+                     p_den: int = 10, id_col: str = "doc_id",
+                     source_col: str = "source",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of ``quality_topp``: identical quality formula,
+    identical integer-exact k_s, identical (quality DESC, id ASC) ranking."""
+    from .text import QUALITY_SQL
+    q = QUALITY_SQL.format(col=text_col)
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source, {q} AS quality
+  FROM {table}),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s)
+SELECT doc_id, source, quality
+FROM r WHERE rn <= (n * {p_num} + {p_den} - 1) // {p_den}
+ORDER BY doc_id
+"""

@@ -2193,3 +2193,26 @@ def test_weighted_sample_aes(docs_ds):
     assert list(got["doc_id"]) == want
     again = weighted_sample(docs_ds.repartition(7), k=10)
     assert again.equals(got)
+
+
+def test_quality_topp(docs_ds):
+    """Per-source top-p selection == a naive full recount with the same
+    (quality DESC, doc_id ASC) ranking and integer-exact k_s; tie rows
+    at the threshold score are id-smallest; layout-invariant."""
+    from librecrawl_ray.functions.sampling import quality_topp
+    from librecrawl_ray.functions.text import quality_score
+
+    got = quality_topp(docs_ds, p_num=1, p_den=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    full = docs_ds.to_pandas()
+    full["quality"] = full["text"].map(quality_score)
+    want_ids = []
+    for s, sub in full.groupby("source"):
+        k = (len(sub) * 1 + 3) // 4
+        ranked = sub.sort_values(["quality", "doc_id"],
+                                 ascending=[False, True])
+        want_ids.extend(ranked["doc_id"].head(k))
+    assert sorted(got["doc_id"]) == sorted(want_ids)
+    again = quality_topp(docs_ds.repartition(5), p_num=1, p_den=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert again.equals(got)
