@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = quality_topp(_docs(sf_dir)).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_hll_source_algebra(sf_dir):
+        from librecrawl_ray.functions.sketch import hll_source_algebra
+        return hll_source_algebra(_docs(sf_dir))
+
     def q_stratified_split(sf_dir):
         from librecrawl_ray.functions.sampling import stratified_split
         out = stratified_split(_docs(sf_dir)).to_pandas()
@@ -677,6 +681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 5): exact per-source rank thresholds from a bounded (source,
         # quality) histogram — no per-group gather
         "quality_topp": q_quality_topp,
+        # pairwise HLL set algebra across sources (new round 5): union
+        # by register max-merge, intersection by inclusion-exclusion;
+        # register state re-derived in SQL
+        "hll_source_algebra": q_hll_source_algebra,
     }
 
 
@@ -1143,6 +1151,8 @@ ORDER BY doc_id"""
                                                  heavy_hitters_sql,
                                                  hll_distinct_sql)
     out["hll_distinct"] = hll_distinct_sql("documents")
+    from librecrawl_ray.functions.sketch import hll_source_algebra_sql
+    out["hll_source_algebra"] = hll_source_algebra_sql("documents")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

@@ -475,3 +475,124 @@ SELECT q.q AS q, any_value(s.n)::BIGINT AS n, 0::BIGINT AS max_rank_err,
        min(s.val)::BIGINT AS value
 FROM __q q JOIN __s s ON s.rn >= greatest(ceil(q.q * s.n), 1)
 GROUP BY q.q ORDER BY q"""
+
+
+def hll_source_algebra(ds: rd.Dataset, text_col: str = "text",
+                       source_col: str = "source") -> "pd.DataFrame":
+    """Sketch SET ALGEBRA across sources: one HLL per source, pairwise
+    union by register max-merge, intersection by inclusion–exclusion
+    (est_a + est_b − est_union). This is the question a mixture designer
+    asks of a 100-TB corpus — "how much vocabulary do src3 and src7
+    share?" — answered from |sources|·m bytes of mergeable state instead
+    of the token-bucketed exact shuffle (``stats.source_vocab_overlap``
+    is the exact counterpart; this is its constant-memory sibling).
+
+    Distributed shape: one ``map_batches`` pass emits (source, regs)
+    partial rows — each block reduces to ≤|sources-in-block| register
+    arrays; the driver max-merges |sources|·m int8s and runs the pure
+    pair algebra. I-E intersection estimates can go negative for
+    near-disjoint sets; the raw value is reported (both sides compute
+    the identical double expression, so the twin stays bit-exact).
+
+    Returns (src_a, src_b, est_a, est_b, est_union, est_intersection),
+    one row per unordered pair, estimates 6-dp half-away-rounded."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_src: dict[str, set] = {}
+        for s, t in zip(batch.column(source_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            per_src.setdefault(s, set()).update(
+                _TOKEN_RE.findall((t or "").lower()))
+        srcs, regs_out = [], []
+        for s, toks in per_src.items():
+            regs = np.zeros(HLL_M, np.int8)
+            _hll_update(regs, toks)
+            srcs.append(s)
+            regs_out.append(regs.tolist())
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "regs": pa.array(regs_out, pa.list_(pa.int8()))})
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.select_columns([source_col, text_col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for s, r in zip(b.column("source").to_pylist(),
+                        b.column("regs").to_pylist()):
+            cur = merged.setdefault(s, np.zeros(HLL_M, np.int64))
+            np.maximum(cur, np.asarray(r, np.int64), out=cur)
+
+    def est(regs: np.ndarray) -> float:
+        v = int((regs == 0).sum())
+        s = float(np.power(2.0, -regs.astype(np.float64)).sum())
+        e = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M / s
+        if e <= 2.5 * HLL_M and v > 0:
+            e = HLL_M * math.log(HLL_M / v)
+        return math.floor(e * 1e6 + 0.5) / 1e6
+
+    singles = {s: est(r) for s, r in merged.items()}
+    rows = []
+    for a in sorted(merged):
+        for b in sorted(merged):
+            if a >= b:
+                continue
+            eu = est(np.maximum(merged[a], merged[b]))
+            inter = math.floor(
+                ((singles[a] + singles[b]) - eu) * 1e6 + 0.5) / 1e6
+            rows.append((a, b, singles[a], singles[b], eu, inter))
+    return pd.DataFrame(rows, columns=[
+        "src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_intersection"])
+
+
+def hll_source_algebra_sql(table_expr: str = "documents",
+                           col: str = "text",
+                           source_col: str = "source") -> str:
+    """DuckDB twin of ``hll_source_algebra``: per-source register state,
+    pairwise max-merged registers and both correction branches are all
+    re-derived, so a green row pins the whole algebra, not a tolerance."""
+    m, wb = HLL_M, _W_BITS
+    est = (f"floor((CASE WHEN e_raw <= 2.5 * {m} AND v > 0 "
+           f"THEN {m} * ln({m} / v) ELSE e_raw END) * 1e6 + 0.5) / 1e6")
+    agg = (f"({m} - count(*)) AS v, "
+           f"(0.7213 / (1 + 1.079 / {m})) * {m} * {m} "
+           f"/ (sum(power(2.0, -r)) + ({m} - count(*)) * 1.0) AS e_raw")
+    return f"""
+WITH __toks AS (
+  SELECT DISTINCT {source_col} AS source,
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table_expr}),
+__jr AS (
+  SELECT source,
+         (CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) >> {wb}) AS j,
+         (CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)
+          & ((1::UBIGINT << {wb}) - 1)) AS w
+  FROM __toks),
+__regs AS (
+  SELECT source, j, max(CASE WHEN w > 0
+      THEN {wb} - length(format('{{:b}}', w::BIGINT)) + 1
+      ELSE {wb} + 1 END) AS r
+  FROM __jr GROUP BY source, j),
+__single AS (
+  SELECT source, {est} AS e
+  FROM (SELECT source, {agg} FROM __regs GROUP BY source)),
+__pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM __single a, __single b WHERE a.source < b.source),
+__uregs AS (
+  SELECT p.src_a, p.src_b, g.j, max(g.r) AS r
+  FROM __pairs p JOIN __regs g
+    ON g.source = p.src_a OR g.source = p.src_b
+  GROUP BY p.src_a, p.src_b, g.j),
+__union AS (
+  SELECT src_a, src_b, {est} AS e_u
+  FROM (SELECT src_a, src_b, {agg} FROM __uregs
+        GROUP BY src_a, src_b))
+SELECT u.src_a, u.src_b, a.e AS est_a, b.e AS est_b, u.e_u AS est_union,
+       floor(((a.e + b.e) - u.e_u) * 1e6 + 0.5) / 1e6
+           AS est_intersection
+FROM __union u
+JOIN __single a ON a.source = u.src_a
+JOIN __single b ON b.source = u.src_b
+ORDER BY u.src_a, u.src_b"""

@@ -2216,3 +2216,31 @@ def test_quality_topp(docs_ds):
     again = quality_topp(docs_ds.repartition(5), p_num=1, p_den=4) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert again.equals(got)
+
+
+def test_hll_source_algebra(docs_ds):
+    """Pairwise sketch algebra: union estimate == the single-HLL
+    estimate over the concatenated token sets (max-merge soundness at
+    the API level), estimates within HLL error of exact, and
+    layout-invariant."""
+    import numpy as np
+
+    from librecrawl_ray.functions.sketch import (HLL_M, _TOKEN_RE,
+                                                 hll_source_algebra)
+
+    got = hll_source_algebra(docs_ds)
+    full = docs_ds.to_pandas()
+    toks = {}
+    for s, sub in full.groupby("source"):
+        t = set()
+        for x in sub["text"]:
+            t.update(_TOKEN_RE.findall(x.lower()))
+        toks[s] = t
+    for _, r in got.head(8).iterrows():
+        exact_u = len(toks[r.src_a] | toks[r.src_b])
+        exact_i = len(toks[r.src_a] & toks[r.src_b])
+        assert abs(r.est_union - exact_u) / max(exact_u, 1) < 0.08
+        assert abs(r.est_intersection - exact_i) <= \
+            0.16 * max(exact_u, 1) + 3
+    again = hll_source_algebra(docs_ds.repartition(7))
+    assert again.equals(got)
