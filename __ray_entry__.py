@@ -288,6 +288,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_embedding_covariance(sf_dir):
+        from librecrawl_ray.functions.similarity import (
+            embedding_covariance)
+        return embedding_covariance(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]))
+
     def q_stratified_split(sf_dir):
         from librecrawl_ray.functions.sampling import stratified_split
         out = stratified_split(_docs(sf_dir)).to_pandas()
@@ -685,6 +692,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by register max-merge, intersection by inclusion-exclusion;
         # register state re-derived in SQL
         "hll_source_algebra": q_hll_source_algebra,
+        # one-pass mergeable (n, Σx, XᵀX) moment partials → exact
+        # covariance matrix (new round 5): the whitening input,
+        # tree-reducible at cluster scale
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -1153,6 +1164,9 @@ ORDER BY doc_id"""
     out["hll_distinct"] = hll_distinct_sql("documents")
     from librecrawl_ray.functions.sketch import hll_source_algebra_sql
     out["hll_source_algebra"] = hll_source_algebra_sql("documents")
+    from librecrawl_ray.functions.similarity import (
+        embedding_covariance_sql)
+    out["embedding_covariance"] = embedding_covariance_sql("embeddings")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

@@ -589,3 +589,80 @@ __c AS (
 SELECT cluster, count(*)::BIGINT AS n_vectors,
        floor(sum(c) / count(*) * 1e6 + 0.5) / 1e6 AS mean_cos
 FROM __c GROUP BY cluster ORDER BY cluster"""
+
+
+def embedding_covariance(ds: rd.Dataset, vec_col: str = "embedding",
+                         dim: int = 64) -> "pd.DataFrame":
+    """Full covariance matrix of an embedding column in ONE streaming
+    pass: each block reduces to the mergeable moment triple (n, Σx,
+    XᵀX) — d + d² doubles, never raw vectors — and the partials add
+    associatively (tree-reducible at cluster scale; here the driver
+    sums block-count-bounded rows). This is the whitening /
+    feature-decorrelation input every embedding-hygiene pipeline wants,
+    and the canonical distributed-dense-linear-algebra shape.
+
+    cov(i,j) = G_ij/n − (s_i/n)(s_j/n), computed in that exact float-op
+    order (inputs widened float32→float64, exact) so the SQL twin
+    reproduces it; values floor(x·1e6+0.5)/1e6-rounded — summation-order
+    FP noise is ~1e-12 relative, far inside the 6-dp margin. Returns the
+    upper triangle (dim_i, dim_j, cov), 1-based dims, d(d+1)/2 rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "g": pa.array([(X.T @ X).ravel().tolist()],
+                          pa.list_(pa.float64()))})
+
+    n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+    for b in ds.select_columns([vec_col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for bn, bs, bg in zip(b.column("n").to_pylist(),
+                              b.column("s").to_pylist(),
+                              b.column("g").to_pylist()):
+            n += bn
+            s += np.asarray(bs)
+            g += np.asarray(bg).reshape(dim, dim)
+
+    import math
+    rows = []
+    for i in range(dim):
+        for j in range(i, dim):
+            c = g[i, j] / n - (s[i] / n) * (s[j] / n)
+            rows.append((i + 1, j + 1,
+                         math.floor(c * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame(rows, columns=["dim_i", "dim_j", "cov"])
+
+
+def embedding_covariance_sql(table_expr: str = "embeddings",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``embedding_covariance``: identical float64
+    widening, identical G/n − mean·mean op order, identical
+    floor(x·1e6+0.5) rounding (NOT ROUND — covariances go negative and
+    the two conventions differ there; floor is what both sides run)."""
+    return f"""
+WITH __e AS (
+  SELECT vec_id, generate_subscripts({vec_col}, 1) AS i,
+         unnest({vec_col})::DOUBLE AS x
+  FROM {table_expr}),
+__n AS (SELECT COUNT(*)::BIGINT AS n FROM {table_expr}),
+__s AS (SELECT i, SUM(x) AS s FROM __e GROUP BY i),
+__g AS (
+  SELECT a.i AS dim_i, b.i AS dim_j, SUM(a.x * b.x) AS g
+  FROM __e a JOIN __e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i)
+SELECT g.dim_i, g.dim_j,
+       floor((g.g / n.n - (sa.s / n.n) * (sb.s / n.n)) * 1e6 + 0.5)
+           / 1e6 AS cov
+FROM __g g CROSS JOIN __n n
+JOIN __s sa ON sa.i = g.dim_i
+JOIN __s sb ON sb.i = g.dim_j
+ORDER BY g.dim_i, g.dim_j"""

@@ -2244,3 +2244,23 @@ def test_hll_source_algebra(docs_ds):
             0.16 * max(exact_u, 1) + 3
     again = hll_source_algebra(docs_ds.repartition(7))
     assert again.equals(got)
+
+
+def test_embedding_covariance(emb_ds):
+    """Moment-partial covariance == numpy's population covariance on the
+    gathered matrix (within the 6-dp rounding margin), diagonal is
+    non-negative, and the result is block-layout-invariant."""
+    import numpy as np
+
+    from librecrawl_ray.functions.similarity import embedding_covariance
+
+    got = embedding_covariance(emb_ds)
+    X = np.array(emb_ds.to_pandas()["embedding"].tolist(), np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    for _, r in got.iloc[::97].iterrows():
+        assert abs(r["cov"] - C[int(r.dim_i) - 1,
+                                int(r.dim_j) - 1]) < 1e-6
+    diag = got[got.dim_i == got.dim_j]["cov"]
+    assert (diag >= 0).all()
+    again = embedding_covariance(emb_ds.repartition(6))
+    assert again.equals(got)
