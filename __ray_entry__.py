@@ -288,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_quality_percentiles(sf_dir):
+        from librecrawl_ray.functions.stats import quality_percentiles
+        out = quality_percentiles(_docs(sf_dir)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_embedding_covariance(sf_dir):
         from librecrawl_ray.functions.similarity import (
             embedding_covariance)
@@ -696,6 +701,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covariance matrix (new round 5): the whitening input,
         # tree-reducible at cluster scale
         "embedding_covariance": q_embedding_covariance,
+        # per-source percent-rank quality calibration (new round 5):
+        # histogram-CDF broadcast + stateless rank map; PERCENT_RANK twin
+        "quality_percentiles": q_quality_percentiles,
     }
 
 
@@ -1167,6 +1175,8 @@ ORDER BY doc_id"""
     from librecrawl_ray.functions.similarity import (
         embedding_covariance_sql)
     out["embedding_covariance"] = embedding_covariance_sql("embeddings")
+    from librecrawl_ray.functions.stats import quality_percentiles_sql
+    out["quality_percentiles"] = quality_percentiles_sql("documents")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

@@ -491,3 +491,100 @@ SELECT t.{group_col},
 FROM term t JOIN ts USING ({group_col})
 GROUP BY t.{group_col}, ts.t_s
 ORDER BY t.{group_col}"""
+
+
+def quality_percentiles(ds: rd.Dataset, id_col: str = "doc_id",
+                        source_col: str = "source",
+                        text_col: str = "text",
+                        buckets: int = 32) -> rd.Dataset:
+    """Per-source percent-rank normalization of the quality score — the
+    calibration step that makes quality gates comparable ACROSS sources
+    (a 0.6 from a boilerplate-heavy source and a 0.6 from curated prose
+    mean different things; their percentiles don't).
+
+    Distributed shape: quality is 6-dp rounded in [0, 1], so the
+    per-source (value → count-below) CDF is histogram-sized (≤ 10^6+1
+    entries per source) regardless of corpus size. One (source, quality,
+    count) shuffle builds the CDFs; they broadcast through the closure
+    and a stateless ``map_batches`` emits each row's percentile — no
+    per-row shuffle, the corpus streams through once more.
+
+    pct_rank(v) = |{quality < v}| / (n_s − 1) — PERCENT_RANK's exact
+    definition (ties share the minimum rank); 0.0 for single-row
+    sources, floor(x·1e6+0.5)/1e6-rounded. Returns a Dataset of
+    (doc_id, source, quality, pct_rank)."""
+    import math
+    from collections import Counter
+
+    from ..pipelines.reports import bucketed_groups
+    from .text import quality_score
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table({
+            "doc_id": batch.column(id_col),
+            "source": batch.column(source_col),
+            "quality": pa.array([quality_score(t) for t in texts],
+                                pa.float64())})
+
+    scored = ds.select_columns([id_col, source_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter(zip(batch.column("source").to_pylist(),
+                                 batch.column("quality").to_pylist()))
+        ss, qs, ns = [], [], []
+        for (s, q), n in c.items():
+            ss.append(s)
+            qs.append(q)
+            ns.append(n)
+        return pa.table({"source": pa.array(ss, pa.string()),
+                         "__q": pa.array(qs, pa.float64()),
+                         "__cnt": pa.array(ns, pa.int64())})
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_q, out_p = [], [], []
+        for s, sub in df.groupby("source", sort=False):
+            h = (sub.groupby("__q", sort=True)["__cnt"].sum()
+                 .reset_index())
+            below = h["__cnt"].cumsum().shift(fill_value=0).to_numpy()
+            n = int(h["__cnt"].sum())
+            for q, b in zip(h["__q"], below):
+                p = float(b) / (n - 1) if n > 1 else 0.0
+                out_s.append(s)
+                out_q.append(q)
+                out_p.append(math.floor(p * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({"source": out_s, "__q": out_q, "p": out_p})
+
+    cdf_df = bucketed_groups(
+        scored.map_batches(hist_partial, batch_format="pyarrow"),
+        "source", per_source, buckets=buckets).to_pandas()
+    cdf: dict = {}
+    for s, sub in cdf_df.groupby("source"):
+        cdf[s] = dict(zip(sub["__q"], sub["p"]))
+
+    def label(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        qs = batch.column("quality").to_pylist()
+        return batch.append_column("pct_rank", pa.array(
+            [cdf[s][q] for s, q in zip(srcs, qs)], pa.float64()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
+def quality_percentiles_sql(table: str = "documents",
+                            id_col: str = "doc_id",
+                            source_col: str = "source",
+                            col: str = "text") -> str:
+    """DuckDB twin: identical quality formula, PERCENT_RANK per source,
+    identical floor rounding."""
+    from .text import QUALITY_SQL
+    q = QUALITY_SQL.format(col=col)
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source, {q} AS quality
+  FROM {table})
+SELECT doc_id, source, quality,
+       floor(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality)
+             * 1e6 + 0.5) / 1e6 AS pct_rank
+FROM s ORDER BY doc_id"""

@@ -2264,3 +2264,29 @@ def test_embedding_covariance(emb_ds):
     assert (diag >= 0).all()
     again = embedding_covariance(emb_ds.repartition(6))
     assert again.equals(got)
+
+
+def test_quality_percentiles(docs_ds):
+    """Histogram-CDF percent ranks == pandas rank-based percent ranks
+    per source; bounds hold; layout-invariant."""
+    import math
+
+    from librecrawl_ray.functions.stats import quality_percentiles
+    from librecrawl_ray.functions.text import quality_score
+
+    got = quality_percentiles(docs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    full = docs_ds.to_pandas()
+    full["quality"] = full["text"].map(quality_score)
+    want = full.groupby("source")["quality"] \
+        .rank(method="min").sub(1) \
+        .div(full.groupby("source")["quality"].transform("count").sub(1)
+             .clip(lower=1)) \
+        .map(lambda x: math.floor(x * 1e6 + 0.5) / 1e6)
+    merged = got.set_index("doc_id")["pct_rank"]
+    assert all(merged[i] == want[idx]
+               for idx, i in zip(full.index, full["doc_id"]))
+    assert got["pct_rank"].between(0, 1).all()
+    again = quality_percentiles(docs_ds.repartition(9)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert again.equals(got)
