@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_ngram_diversity(sf_dir):
+        from librecrawl_ray.functions.stats import ngram_diversity
+        return ngram_diversity(_docs(sf_dir))
+
     def q_quality_percentiles(sf_dir):
         from librecrawl_ray.functions.stats import quality_percentiles
         out = quality_percentiles(_docs(sf_dir)).to_pandas()
@@ -704,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source percent-rank quality calibration (new round 5):
         # histogram-CDF broadcast + stateless rank map; PERCENT_RANK twin
         "quality_percentiles": q_quality_percentiles,
+        # per-source n-gram type/token diversity (new round 5): the
+        # self-BLEU-class template-spam diagnostic
+        "ngram_diversity": q_ngram_diversity,
     }
 
 
@@ -1177,6 +1184,8 @@ ORDER BY doc_id"""
     out["embedding_covariance"] = embedding_covariance_sql("embeddings")
     from librecrawl_ray.functions.stats import quality_percentiles_sql
     out["quality_percentiles"] = quality_percentiles_sql("documents")
+    from librecrawl_ray.functions.stats import ngram_diversity_sql
+    out["ngram_diversity"] = ngram_diversity_sql("documents")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

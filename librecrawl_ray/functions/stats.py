@@ -588,3 +588,107 @@ SELECT doc_id, source, quality,
        floor(PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality)
              * 1e6 + 0.5) / 1e6 AS pct_rank
 FROM s ORDER BY doc_id"""
+
+
+def ngram_diversity(ds: rd.Dataset, ns: tuple = (1, 2, 3),
+                    group_col: str = "source", text_col: str = "text",
+                    buckets: int = 32) -> pd.DataFrame:
+    """Per-source n-gram diversity (distinct / total n-gram occurrences
+    for n = 1..3) — the self-BLEU-class repetitiveness diagnostic: a
+    source whose trigram diversity collapses is template spam no matter
+    how good its per-doc quality scores look. N-grams never cross
+    document boundaries.
+
+    Shape: per-batch DISTINCT (group, n, gram) partials → gram-bucketed
+    global dedup → a |sources|·|ns|-sized count; totals come from a
+    separate arithmetic-only partial (len − n + 1 per doc) that ships
+    |sources|·|ns| rows per block. The all-to-all carries distinct grams
+    once — the same discipline as ``source_vocab_overlap``, with the
+    count-vs-distinct split keeping the heavy stream narrow."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.reports import bucketed_groups
+    from .lm import _TOKEN_RE
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = _TOKEN_RE.findall((t or "").lower())
+            for n in ns:
+                for i in range(len(toks) - n + 1):
+                    seen.add((g, n, " ".join(toks[i:i + n])))
+        gs, nn, gr = zip(*seen) if seen else ((), (), ())
+        return pa.table({group_col: pa.array(list(gs), pa.string()),
+                         "n": pa.array(list(nn), pa.int64()),
+                         "gram": pa.array(list(gr), pa.string())})
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            k = len(_TOKEN_RE.findall((t or "").lower()))
+            for n in ns:
+                c[(g, n)] += max(k - n + 1, 0)
+        ks = list(c.keys())
+        return pa.table({group_col: pa.array([k[0] for k in ks],
+                                             pa.string()),
+                         "n": pa.array([k[1] for k in ks], pa.int64()),
+                         "t": pa.array([c[k] for k in ks], pa.int64())})
+
+    src = ds.select_columns([group_col, text_col])
+    distinct = bucketed_groups(
+        src.map_batches(distinct_partial, batch_format="pyarrow"),
+        "gram", lambda df: df.drop_duplicates([group_col, "n", "gram"]),
+        buckets=buckets) \
+        .groupby([group_col, "n"]).count().to_pandas() \
+        .rename(columns={"count()": "distinct_ngrams"})
+    totals = src.map_batches(total_partial, batch_format="pyarrow") \
+        .groupby([group_col, "n"]) \
+        .aggregate(Sum("t", alias_name="total_ngrams")).to_pandas()
+    out = distinct.merge(totals, on=[group_col, "n"])
+    out["distinct_ngrams"] = out["distinct_ngrams"].astype("int64")
+    out["total_ngrams"] = out["total_ngrams"].astype("int64")
+    out["diversity"] = [
+        math.floor(d / t * 1e6 + 0.5) / 1e6 if t else 0.0
+        for d, t in zip(out["distinct_ngrams"], out["total_ngrams"])]
+    return out.sort_values([group_col, "n"]).reset_index(drop=True)
+
+
+def ngram_diversity_sql(table: str = "documents", ns: tuple = (1, 2, 3),
+                        group_col: str = "source",
+                        col: str = "text") -> str:
+    """DuckDB twin: positional n-grams via generate_series + list slice
+    (the bigram_lm idiom), distinct vs total split, identical floor
+    rounding."""
+    per_n = []
+    for n in ns:
+        per_n.append(f"""
+SELECT {group_col} AS source, {n} AS n,
+       array_to_string(ts[p : p + {n} - 1], ' ') AS gram
+FROM (SELECT {group_col}, ts,
+             unnest(generate_series(1, greatest(len(ts) - {n} + 1, 0)))
+                 AS p
+      FROM __tok)""")
+    grams = " UNION ALL ".join(per_n)
+    tot_n = " UNION ALL ".join(
+        f"SELECT {group_col} AS source, {n} AS n, "
+        f"greatest(len(ts) - {n} + 1, 0) AS t FROM __tok" for n in ns)
+    return f"""
+WITH __tok AS (
+  SELECT {group_col}, regexp_extract_all(lower({col}), '\\w+') AS ts
+  FROM {table}),
+__g AS ({grams}),
+__d AS (SELECT source, n, COUNT(DISTINCT gram)::BIGINT AS distinct_ngrams
+        FROM __g GROUP BY source, n),
+__t AS (SELECT source, n, SUM(t)::BIGINT AS total_ngrams
+        FROM ({tot_n}) GROUP BY source, n)
+SELECT d.source, d.n, d.distinct_ngrams, t.total_ngrams,
+       CASE WHEN t.total_ngrams = 0 THEN 0.0
+            ELSE floor(d.distinct_ngrams / t.total_ngrams::DOUBLE
+                       * 1e6 + 0.5) / 1e6 END AS diversity
+FROM __d d JOIN __t t ON d.source = t.source AND d.n = t.n
+ORDER BY d.source, d.n"""

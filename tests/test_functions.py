@@ -2290,3 +2290,31 @@ def test_quality_percentiles(docs_ds):
     again = quality_percentiles(docs_ds.repartition(9)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert again.equals(got)
+
+
+def test_ngram_diversity(docs_ds):
+    """Distinct/total n-gram ratios == a naive full recount; n-grams
+    never cross documents; layout-invariant."""
+    import math
+    import re
+
+    from librecrawl_ray.functions.stats import ngram_diversity
+
+    got = ngram_diversity(docs_ds)
+    full = docs_ds.to_pandas()
+    tok_re = re.compile(r"\w+")
+    for s, sub in full.groupby("source"):
+        for n in (1, 2, 3):
+            seen, total = set(), 0
+            for t in sub["text"]:
+                toks = tok_re.findall(t.lower())
+                total += max(len(toks) - n + 1, 0)
+                for i in range(len(toks) - n + 1):
+                    seen.add(" ".join(toks[i:i + n]))
+            row = got[(got["source"] == s) & (got["n"] == n)].iloc[0]
+            assert row["distinct_ngrams"] == len(seen)
+            assert row["total_ngrams"] == total
+            assert row["diversity"] == \
+                math.floor(len(seen) / total * 1e6 + 0.5) / 1e6
+    again = ngram_diversity(docs_ds.repartition(5))
+    assert again.equals(got)
