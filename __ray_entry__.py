@@ -288,6 +288,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_pca_project(sf_dir):
+        from librecrawl_ray.functions.similarity import pca_project
+        out = pca_project(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]),
+            k=8).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
     def q_ngram_diversity(sf_dir):
         from librecrawl_ray.functions.stats import ngram_diversity
         return ngram_diversity(_docs(sf_dir))
@@ -711,6 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source n-gram type/token diversity (new round 5): the
         # self-BLEU-class template-spam diagnostic
         "ngram_diversity": q_ngram_diversity,
+        # top-k PCA projection (new round 5): driver eigh of the oracled
+        # covariance, broadcast components, stateless matmul per batch.
+        # No SQL twin (eigensolve) — rows-only by design
+        "pca_project": q_pca_project,
     }
 
 

@@ -666,3 +666,77 @@ FROM __g g CROSS JOIN __n n
 JOIN __s sa ON sa.i = g.dim_i
 JOIN __s sb ON sb.i = g.dim_j
 ORDER BY g.dim_i, g.dim_j"""
+
+
+def pca_project(ds: rd.Dataset, k: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                dim: int = 64) -> rd.Dataset:
+    """Project embeddings onto their top-k principal components — the
+    whitening / compaction step downstream of ``embedding_covariance``,
+    and the standard preprocessing before IVF/PQ indexing.
+
+    Scale shape: the covariance comes from the one-pass mergeable
+    moment partials (never gathers vectors); the d×d eigendecomposition
+    runs on the driver (metadata-sized — 64×64 here, 4096 floats at
+    d=1024); the component matrix broadcasts once via ``ray.put`` and a
+    stateless ``map_batches`` streams the corpus through a single
+    matmul per batch. Eigenvector sign is fixed per component (largest
+    |loading| made positive) so the output is deterministic across
+    LAPACK builds; components are eigenvalue-descending.
+
+    No SQL twin — eigendecomposition is not SQL-expressible; the
+    covariance input IS oracled (``embedding_covariance``), which pins
+    everything upstream of the eigensolve. Returns (vec_id, proj:
+    list<double> of length k), centered before projection."""
+    cov_rows = embedding_covariance(ds, vec_col=vec_col, dim=dim)
+    C = np.zeros((dim, dim))
+    for _, r in cov_rows.iterrows():
+        C[int(r.dim_i) - 1, int(r.dim_j) - 1] = r["cov"]
+        C[int(r.dim_j) - 1, int(r.dim_i) - 1] = r["cov"]
+
+    # the mean re-derives from a cheap second aggregate pass (the moment
+    # partials don't return it); metadata-sized
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        return pa.table({"n": pa.array([X.shape[0]], pa.int64()),
+                         "s": pa.array([X.sum(axis=0).tolist()],
+                                       pa.list_(pa.float64()))})
+
+    n, s = 0, np.zeros(dim)
+    for b in ds.select_columns([vec_col]) \
+            .map_batches(mean_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for bn, bs in zip(b.column("n").to_pylist(),
+                          b.column("s").to_pylist()):
+            n += bn
+            s += np.asarray(bs)
+    mu = s / n
+
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]                       # d × k
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    W = W * np.where(flip == 0, 1.0, flip)
+    w_ref = ray.put(W)
+    mu_ref = ray.put(mu)
+
+    def project(batch: pa.Table) -> pa.Table:
+        Wm = ray.get(w_ref)
+        m = ray.get(mu_ref)
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        P = (X - m) @ Wm
+        return pa.table({
+            "vec_id": batch.column(id_col),
+            "proj": pa.array([row.tolist() for row in P],
+                             pa.list_(pa.float64()))})
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(project, batch_format="pyarrow")

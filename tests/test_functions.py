@@ -2318,3 +2318,34 @@ def test_ngram_diversity(docs_ds):
                 math.floor(len(seen) / total * 1e6 + 0.5) / 1e6
     again = ngram_diversity(docs_ds.repartition(5))
     assert again.equals(got)
+
+
+def test_pca_project(emb_ds):
+    """Projection == a from-scratch full-matrix PCA with the same sign
+    convention; component variances are eigenvalue-descending;
+    layout-invariant."""
+    import numpy as np
+
+    from librecrawl_ray.functions.similarity import pca_project
+
+    got = pca_project(emb_ds, k=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.array(emb_ds.to_pandas().sort_values("vec_id")["embedding"]
+                 .tolist(), np.float64)
+    import math
+    C = np.cov(X, rowvar=False, bias=True)
+    Cr = np.vectorize(lambda x: math.floor(x * 1e6 + 0.5) / 1e6)(C)
+    vals, vecs = np.linalg.eigh(Cr)
+    order = np.argsort(vals)[::-1][:4]
+    W = vecs[:, order]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(4)])
+    W = W * np.where(flip == 0, 1.0, flip)
+    want = (X - X.mean(axis=0)) @ W
+    P = np.array(got["proj"].tolist())
+    assert np.allclose(P, want, atol=1e-6)
+    v = P.var(axis=0)
+    assert np.all(np.diff(v) <= 1e-9)
+    again = pca_project(emb_ds.repartition(6), k=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert all(np.allclose(a, b) for a, b in
+               zip(P, np.array(again["proj"].tolist())))
