@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_shuffle_shard_mix(sf_dir):
+        from librecrawl_ray.functions.sampling import shuffle_shard_mix
+        return shuffle_shard_mix(_docs(sf_dir))
+
     def q_pca_project(sf_dir):
         from librecrawl_ray.functions.similarity import pca_project
         out = pca_project(
@@ -723,6 +727,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covariance, broadcast components, stateless matmul per batch.
         # No SQL twin (eigensolve) — rows-only by design
         "pca_project": q_pca_project,
+        # shuffle-quality audit (new round 5): per-hash-shard source-mix
+        # entropy over the deterministic_shuffle key ranges
+        "shuffle_shard_mix": q_shuffle_shard_mix,
     }
 
 
@@ -1198,6 +1205,8 @@ ORDER BY doc_id"""
     out["quality_percentiles"] = quality_percentiles_sql("documents")
     from librecrawl_ray.functions.stats import ngram_diversity_sql
     out["ngram_diversity"] = ngram_diversity_sql("documents")
+    from librecrawl_ray.functions.sampling import shuffle_shard_mix_sql
+    out["shuffle_shard_mix"] = shuffle_shard_mix_sql("documents")
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

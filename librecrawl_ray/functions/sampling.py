@@ -509,3 +509,72 @@ SELECT doc_id, source, quality
 FROM r WHERE rn <= (n * {p_num} + {p_den} - 1) // {p_den}
 ORDER BY doc_id
 """
+
+
+def shuffle_shard_mix(ds: rd.Dataset, id_col: str = "doc_id",
+                      source_col: str = "source") -> "pd.DataFrame":
+    """Shuffle-quality audit: partition rows into 16 shards by the FIRST
+    hex digit of the md5 shuffle key (the same key
+    ``deterministic_shuffle`` sorts by — each shard is one contiguous
+    key range, i.e. one training shard) and report each shard's source
+    mix. A good shuffle gives every shard near-max source entropy; a
+    skewed shard means a training run would see source-correlated
+    batches. Per-batch (shard, source) Counter partials → a 16×|sources|
+    aggregate; nothing corpus-sized moves.
+
+    Numeric contract: mix_entropy = log2(n) − (Σ c·log2 c)/n over the
+    shard's source counts (the lexical_stats op order), floor(x·1e6 +
+    0.5)/1e6. Returns (shard, n_rows, n_sources, mix_entropy), 16 rows."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for i, s in zip(batch.column(id_col).to_pylist(),
+                        batch.column(source_col).to_pylist()):
+            c[(_hex8(str(i))[0], s)] += 1
+        ks = list(c.keys())
+        return pa.table({"shard": pa.array([k[0] for k in ks],
+                                           pa.string()),
+                         "source": pa.array([k[1] for k in ks],
+                                            pa.string()),
+                         "c": pa.array([c[k] for k in ks], pa.int64())})
+
+    counts = ds.select_columns([id_col, source_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["shard", "source"]) \
+        .aggregate(Sum("c", alias_name="c")).to_pandas()
+    rows = []
+    for shard, sub in counts.groupby("shard"):
+        n = int(sub["c"].sum())
+        s = sum(int(c) * math.log2(int(c)) for c in
+                sorted(sub["c"], key=lambda x: -x))
+        ent = math.floor((math.log2(n) - s / n) * 1e6 + 0.5) / 1e6 \
+            if n else 0.0
+        rows.append((shard, n, len(sub), ent))
+    return pd.DataFrame(rows, columns=[
+        "shard", "n_rows", "n_sources", "mix_entropy"]) \
+        .sort_values("shard").reset_index(drop=True)
+
+
+def shuffle_shard_mix_sql(table: str = "documents",
+                          id_col: str = "doc_id",
+                          source_col: str = "source") -> str:
+    """DuckDB twin: identical shard key, identical entropy op order."""
+    return f"""
+WITH __c AS (
+  SELECT substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) AS shard,
+         {source_col} AS source, COUNT(*)::BIGINT AS c
+  FROM {table} GROUP BY 1, 2),
+__p AS (
+  SELECT shard, SUM(c)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_sources,
+         SUM(c * log2(c)) AS s
+  FROM __c GROUP BY shard)
+SELECT shard, n_rows, n_sources,
+       CASE WHEN n_rows > 0
+            THEN floor((log2(n_rows) - s / n_rows) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS mix_entropy
+FROM __p ORDER BY shard"""

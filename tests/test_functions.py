@@ -2349,3 +2349,27 @@ def test_pca_project(emb_ds):
         .sort_values("vec_id").reset_index(drop=True)
     assert all(np.allclose(a, b) for a, b in
                zip(P, np.array(again["proj"].tolist())))
+
+
+def test_shuffle_shard_mix(docs_ds):
+    """Shard counts == a naive md5 recount; entropies bounded by
+    log2(n_sources); layout-invariant."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from librecrawl_ray.functions.sampling import shuffle_shard_mix
+
+    got = shuffle_shard_mix(docs_ds)
+    full = docs_ds.to_pandas()
+    c = Counter(
+        (hashlib.md5(str(i).encode()).hexdigest()[0], s)
+        for i, s in zip(full["doc_id"], full["source"]))
+    for _, r in got.iterrows():
+        sub = {k: v for k, v in c.items() if k[0] == r["shard"]}
+        assert r["n_rows"] == sum(sub.values())
+        assert r["n_sources"] == len(sub)
+        assert 0 <= r["mix_entropy"] <= math.log2(max(len(sub), 2))
+    assert got["n_rows"].sum() == len(full)
+    again = shuffle_shard_mix(docs_ds.repartition(6))
+    assert again.equals(got)
