@@ -288,6 +288,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from librecrawl_ray.functions.sketch import hll_source_algebra
         return hll_source_algebra(_docs(sf_dir))
 
+    def q_bpe_train(sf_dir):
+        from librecrawl_ray.functions.bpe import bpe_train
+        return bpe_train(_docs(sf_dir), num_merges=12)
+
+    def q_bpe_encode(sf_dir):
+        from librecrawl_ray.functions.bpe import bpe_encode_counts, bpe_train
+        merges = bpe_train(_docs(sf_dir), num_merges=12)
+        out = bpe_encode_counts(_docs(sf_dir), merges).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_shuffle_shard_mix(sf_dir):
         from librecrawl_ray.functions.sampling import shuffle_shard_mix
         return shuffle_shard_mix(_docs(sf_dir))
@@ -730,6 +740,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle-quality audit (new round 5): per-hash-shard source-mix
         # entropy over the deterministic_shuffle key ranges
         "shuffle_shard_mix": q_shuffle_shard_mix,
+        # BPE tokenizer training (new round 5): Sennrich word-frequency
+        # approach — the only corpus-sized stage is the word count; the
+        # merge loop runs over the bounded table; SQL twin unrolls the
+        # loop as a CTE chain (greedy merge == non-overlapping replace)
+        "bpe_train": q_bpe_train,
+        # BPE corpus encoding under the trained merges: broadcast merge
+        # list, stateless per-doc token counts
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -1207,6 +1225,9 @@ ORDER BY doc_id"""
     out["ngram_diversity"] = ngram_diversity_sql("documents")
     from librecrawl_ray.functions.sampling import shuffle_shard_mix_sql
     out["shuffle_shard_mix"] = shuffle_shard_mix_sql("documents")
+    from librecrawl_ray.functions.bpe import bpe_encode_sql, bpe_train_sql
+    out["bpe_train"] = bpe_train_sql("documents", num_merges=12)
+    out["bpe_encode"] = bpe_encode_sql("documents", num_merges=12)
     out["heavy_hitters"] = heavy_hitters_sql("documents", k=20)
     out["cms_point_counts"] = cms_point_counts_sql(CMS_PROBES, "documents")
     from librecrawl_ray.functions.sketch import kll_quantiles_sql

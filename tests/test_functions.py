@@ -2373,3 +2373,112 @@ def test_shuffle_shard_mix(docs_ds):
     assert got["n_rows"].sum() == len(full)
     again = shuffle_shard_mix(docs_ds.repartition(6))
     assert again.equals(got)
+
+
+def test_bpe_train_semantics(ray_session):
+    """Merge rules on the classic Sennrich-style corpus; pair counting
+    includes overlaps while merge application is greedy left-to-right
+    non-overlapping (the replace() semantics the SQL twin relies on)."""
+    import ray.data as rd
+
+    from librecrawl_ray.functions.bpe import (_merge_word, bpe_train,
+                                              encode_word)
+
+    # greedy non-overlap: 'aaa' merges to (aa, a), not (aa, aa)
+    assert _merge_word(("a", "a", "a", "</w>"), "a", "a") == \
+        ("aa", "a", "</w>")
+    assert _merge_word(("a", "a", "a", "a", "</w>"), "a", "a") == \
+        ("aa", "aa", "</w>")
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "low lower lowest low low"},
+        {"doc_id": 2, "text": "newer newest new low wider"},
+    ])
+    merges = bpe_train(ds, num_merges=4)
+    # 'lo' then 'low' lead (count 6: low x4, lower, lowest)
+    assert list(merges["step"]) == [1, 2, 3, 4]
+    assert (merges.iloc[0]["sym_a"], merges.iloc[0]["sym_b"]) == ("l", "o")
+    assert (merges.iloc[1]["sym_a"], merges.iloc[1]["sym_b"]) == ("lo", "w")
+    assert merges.iloc[0]["pair_count"] == 6
+    # encode monotonicity: more merges never increase the token count
+    pairs = list(zip(merges["sym_a"], merges["sym_b"]))
+    counts = [encode_word("lowest", pairs[:k]) for k in range(5)]
+    assert counts[0] == len("lowest") + 1
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_bpe_duckdb_parity(docs_ds):
+    """Train + encode == the unrolled-CTE SQL twins on the fixture
+    corpus; layout-invariant across repartitions."""
+    import duckdb
+
+    from librecrawl_ray.functions.bpe import (bpe_encode_counts,
+                                              bpe_encode_sql, bpe_train,
+                                              bpe_train_sql)
+
+    merges = bpe_train(docs_ds, num_merges=10)
+    assert len(merges) == 10
+    con = duckdb.connect()
+    con.register("documents", docs_ds.to_pandas())
+    sql = con.execute(bpe_train_sql("documents", num_merges=10)).df()
+    assert merges.astype({"step": "int64", "pair_count": "int64"}) \
+        .equals(sql.astype({"step": "int64", "pair_count": "int64"}))
+
+    got = bpe_encode_counts(docs_ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(bpe_encode_sql("documents", num_merges=10)).df()
+    assert got.astype("int64").equals(want.astype("int64"))
+
+    again = bpe_train(docs_ds.repartition(7), num_merges=10)
+    assert again.equals(merges)
+
+
+def test_bpe_greedy_equals_duckdb_replace(ray_session):
+    """The Python greedy merge pass == DuckDB's non-overlapping
+    left-to-right replace over the sentinel-bracketed form, including
+    multi-codepoint symbols (the machinery is unicode-exact even though
+    the shared \\w tokenizer contract is ASCII)."""
+    import random
+
+    import duckdb
+
+    from librecrawl_ray.functions.bpe import _merge_word
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "é", "ζ", "ab", "éé", "</w>"]
+    con = duckdb.connect()
+    for _ in range(200):
+        syms = tuple(rng.choice(alphabet)
+                     for _ in range(rng.randint(2, 12)))
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        bracketed = "".join(f"\x01{s}\x02" for s in syms)
+        out = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [bracketed, f"\x01{a}\x02\x01{b}\x02",
+             f"\x01{a}{b}\x02"]).fetchone()[0]
+        got = tuple(p for p in
+                    out.replace("\x01", "").split("\x02") if p != "")
+        assert got == _merge_word(syms, a, b), (syms, a, b)
+
+
+def test_bpe_word_cap_bounds_driver_table(ray_session):
+    """max_words caps the driver copy deterministically (count DESC,
+    word ASC) on an adversarial many-distinct-words corpus; merges stay
+    deterministic under the cap."""
+    import ray.data as rd
+
+    from librecrawl_ray.functions.bpe import train_bpe_merges, \
+        word_count_table
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"unique{i:05d} shared shared"}
+         for i in range(300)])
+    wc = word_count_table(ds, max_words=10)
+    assert len(wc) == 10
+    assert wc.loc[wc["count"].idxmax(), "word"] == "shared"
+    # deterministic under the cap: top word by count, then name
+    assert sorted(wc["count"], reverse=True) == list(wc["count"]) or \
+        set(wc["word"]).issuperset({"shared"})
+    merges = train_bpe_merges(wc, num_merges=3)
+    again = train_bpe_merges(wc.sample(frac=1.0, random_state=3)
+                             .reset_index(drop=True), num_merges=3)
+    assert merges.equals(again)
