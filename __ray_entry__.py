@@ -748,6 +748,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE corpus encoding under the trained merges: broadcast merge
         # list, stateless per-doc token counts
         "bpe_encode": q_bpe_encode,
+        # per-node triangle counts / clustering coefficients over the
+        # crawl link graph (new round 5): degree-oriented compact-forward
+        # wedges closed by a hash join against the oriented edge set
+        "crawl_triangles": C.crawl_triangles,
     }
 
 
@@ -1167,6 +1171,7 @@ ORDER BY doc_id"""
             C.crawl_politeness_report_sql(pr_dir)
         out["crawl_recrawl_priority"] = \
             C.crawl_recrawl_priority_sql(pr_dir)
+        out["crawl_triangles"] = C.crawl_triangles_sql(pr_dir)
     if cdir0:
         out["crawl_robots_audit"] = C.crawl_robots_audit_sql(
             os.path.join(cdir0, "robots.parquet"))

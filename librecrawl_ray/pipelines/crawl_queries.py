@@ -1971,6 +1971,68 @@ FROM read_parquet('{links_glob}')
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# ---------------------------------------------------- triangle counting
+
+def crawl_triangles(sf_dir: str, out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Triangle counts + local clustering coefficients over the crawl's
+    undirected internal link graph (reports.triangle_counts: the
+    degree-oriented compact-forward algorithm, wedges closed by a hash
+    join against the oriented edge set). The mirror/nav-template density
+    diagnostic next to crawl_degree_stats' skew histogram."""
+    full_crawl_pages(sf_dir, out_root)
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    links = reports.load_links(out_dir)
+    return reports.triangle_counts(pages, links)
+
+
+def crawl_triangles_sql(out_dir: str) -> str:
+    """DuckDB twin of ``crawl_triangles``: same edge semantics as the
+    pagerank/HITS/degree twins (normalized, deduped, endpoint semi-join,
+    self-loops dropped); each triangle enumerated exactly once via the
+    canonical u<v<w three-way self-join, per-node counts via a 3-way
+    UNION ALL, lcc with the repo's half-away 6 dp idiom and the engine's
+    float-op order ((2*tri) / (d*(d-1)), then *1e6)."""
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH __p AS (SELECT url FROM read_parquet('{pages_glob}')),
+__nodes AS MATERIALIZED (SELECT DISTINCT {_norm_sql('url')} AS n
+                         FROM __p),
+__u0 AS (
+  SELECT DISTINCT least({_norm_sql('source_url')},
+                        {_norm_sql('target_url')}) AS u,
+         greatest({_norm_sql('source_url')},
+                  {_norm_sql('target_url')}) AS v
+  FROM read_parquet('{links_glob}') WHERE is_internal),
+__und AS MATERIALIZED (
+  SELECT e.u, e.v FROM __u0 e
+  JOIN __nodes a ON e.u = a.n JOIN __nodes b ON e.v = b.n
+  WHERE e.u <> e.v),
+__deg AS MATERIALIZED (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM __und UNION ALL SELECT v AS n FROM __und)
+  GROUP BY n),
+__tri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM __und a JOIN __und b ON b.u = a.v
+  JOIN __und c ON c.u = a.u AND c.v = b.v),
+__cnt AS (
+  SELECT n, count(*)::BIGINT AS triangles
+  FROM (SELECT x AS n FROM __tri UNION ALL SELECT y FROM __tri
+        UNION ALL SELECT z FROM __tri)
+  GROUP BY n)
+SELECT p.url, d.d AS degree, c.triangles,
+       floor((2.0 * c.triangles) / (d.d * (d.d - 1)) * 1e6 + 0.5) / 1e6
+           AS lcc
+FROM (SELECT DISTINCT url, {_norm_sql('url')} AS n FROM __p) p
+JOIN __cnt c ON p.n = c.n
+JOIN __deg d ON p.n = d.n
+ORDER BY p.url"""
+
+
 # -------------------------------------------- J2 link-status distribution
 
 def crawl_link_status_counts(sf_dir: str,

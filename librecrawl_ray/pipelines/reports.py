@@ -1114,6 +1114,132 @@ def degree_histogram(pages: rd.Dataset, links: rd.Dataset) -> \
             .sort_values(["direction", "k"]).reset_index(drop=True))
 
 
+def triangle_counts(pages: rd.Dataset, links: rd.Dataset,
+                    buckets: int = 32) -> "pd.DataFrame":
+    """Per-node triangle counts + local clustering coefficients over the
+    crawl's UNDIRECTED internal link graph (same node/edge semantics as
+    the pagerank/HITS/degree reports: normalized, deduped, endpoints
+    semi-joined to crawled nodes; self-loops dropped). Triangles are the
+    mirror/nav-template density signal: a host whose pages form dense
+    cliques is boilerplate-linked navigation, not editorial linking.
+
+    Distributed shape (degree-oriented "compact-forward", the standard
+    MapReduce triangle algorithm): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one — out-degree under
+    this orientation is O(sqrt(m)) regardless of raw skew, so the wedge
+    fan-out is bounded even for 10^8-inlink hubs. Wedges are generated
+    per source bucket with ONE vectorized self-merge per bucket, then
+    hash-joined against the oriented edge set to close triangles; each
+    triangle is found exactly once (the orientation totally orders its
+    vertices). Only Counter partials and the per-node result rows cross
+    the shuffle — never neighbor lists.
+
+    Returns (url, degree, triangles, lcc) for nodes in >=1 triangle,
+    lcc = 2*tri/(d*(d-1)) rounded half-away at 6 dp, ordered by url.
+    """
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    url_map = bucketed_groups(
+        _add_norm(pages.select_columns(["url"]), "url", "n"),
+        "n", lambda df: df.drop_duplicates(["url", "n"]),
+        buckets=16).materialize()
+    node_keys = bucketed_groups(
+        url_map.select_columns(["n"]), "n",
+        lambda df: df.drop_duplicates(["n"]), buckets=16).materialize()
+
+    raw = _add_norm(
+        _add_norm(links.filter(expr="is_internal == True")
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"])
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        out = out[out["u"] != out["v"]]
+        return out.drop_duplicates(["u", "v"])
+
+    und = bucketed_groups(
+        raw.map_batches(undirect, batch_format="pandas"),
+        "u", lambda df: df.drop_duplicates(["u", "v"]), buckets=buckets)
+    und = hash_join(und, node_keys, key="u", right_key="n")
+    und = hash_join(und, node_keys, key="v", right_key="n").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column("u").to_pylist())
+        c.update(batch.column("v").to_pylist())
+        return pa.table({"n": pa.array(list(c.keys()), pa.string()),
+                         "d": pa.array(list(c.values()), pa.int64())})
+
+    deg = bucketed_agg(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        "n", {"d": ("d", "sum")}).materialize()
+
+    deg_u = deg.map_batches(
+        lambda df: df.rename(columns={"n": "u", "d": "du"}),
+        batch_format="pandas")
+    deg_v = deg.map_batches(
+        lambda df: df.rename(columns={"n": "v", "d": "dv"}),
+        batch_format="pandas")
+    ed = hash_join(hash_join(und, deg_u, key="u"), deg_v, key="v")
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        u_first = (df["du"] < df["dv"]) | \
+            ((df["du"] == df["dv"]) & (df["u"] < df["v"]))
+        return pd.DataFrame({
+            "a": np.where(u_first, df["u"], df["v"]),
+            "b": np.where(u_first, df["v"], df["u"]),
+            "db": np.where(u_first, df["dv"], df["du"]).astype("int64")})
+
+    oriented = ed.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="a", suffixes=("_x", "_y"))
+        lt = (m["db_x"] < m["db_y"]) | \
+            ((m["db_x"] == m["db_y"]) & (m["b_x"] < m["b_y"]))
+        m = m[lt]
+        return pd.DataFrame({"w": m["a"],
+                             "k": m["b_x"] + "\x1f" + m["b_y"]})
+
+    cand = bucketed_groups(oriented, "a", wedges, buckets=buckets)
+    ekeys = oriented.map_batches(
+        lambda df: pd.DataFrame({"k": df["a"] + "\x1f" + df["b"]}),
+        batch_format="pandas")
+    tri = hash_join(cand, ekeys, key="k")
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column("w").to_pylist())
+        for k in batch.column("k").to_pylist():
+            x, y = k.split("\x1f")
+            c[x] += 1
+            c[y] += 1
+        return pa.table({"n": pa.array(list(c.keys()), pa.string()),
+                         "tri": pa.array(list(c.values()), pa.int64())})
+
+    cnt = bucketed_agg(
+        tri.map_batches(tri_partial, batch_format="pyarrow"),
+        "n", {"tri": ("tri", "sum")})
+    out = hash_join(hash_join(cnt, deg, key="n"), url_map, key="n") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                             "degree": pd.Series([], dtype="int64"),
+                             "triangles": pd.Series([], dtype="int64"),
+                             "lcc": pd.Series([], dtype="float64")})
+    d = out["d"].to_numpy(dtype="float64")
+    t = out["tri"].to_numpy(dtype="float64")
+    out["lcc"] = np.floor(2.0 * t / (d * (d - 1.0)) * 1e6 + 0.5) / 1e6
+    out = out.rename(columns={"d": "degree", "tri": "triangles"})
+    out["degree"] = out["degree"].astype("int64")
+    out["triangles"] = out["triangles"].astype("int64")
+    return (out[["url", "degree", "triangles", "lcc"]]
+            .sort_values("url").reset_index(drop=True))
+
+
 def bloom_semi_join(left: rd.Dataset, key: str, right: rd.Dataset,
                     right_key: str, fp_rate: float = 0.01,
                     exact_verify: bool = True) -> rd.Dataset:

@@ -300,3 +300,49 @@ def test_degree_histogram_matches_reference(ray_session, t1_crawl,
     # sanity: every crawled page is accounted for in each direction
     per_dir = got.groupby("direction")["n_nodes"].sum()
     assert (per_dir == len(node_norms)).all()
+
+
+def test_triangle_counts_match_reference(ray_session, t1_crawl, t1_oracle):
+    """triangle_counts == a brute-force set recount over the oracle's
+    own undirected node-filtered edge list (counts, degrees AND the
+    half-away-rounded local clustering coefficient)."""
+    import math
+    from itertools import combinations
+
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"])
+    links = reports.load_links(summary["out_dir"])
+    got = reports.triangle_counts(pages, links)
+
+    node_norms = {norm_url(p["url"]) for p in t1_oracle.pages}
+    und = set()
+    for e in t1_oracle.links:
+        if not e["is_internal"]:
+            continue
+        s, d = norm_url(e["source_url"]), norm_url(e["target_url"])
+        if s != d and s in node_norms and d in node_norms:
+            und.add((min(s, d), max(s, d)))
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = defaultdict(int)
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    # each triangle is discovered once per edge (3×); undo
+    assert all(c % 3 == 0 for c in tri.values())
+    tri = {n: c // 3 for n, c in tri.items()}
+
+    want = {}
+    for n, c in tri.items():
+        d = len(adj[n])
+        want[n] = (d, c, math.floor(2.0 * c / (d * (d - 1.0)) * 1e6
+                                    + 0.5) / 1e6)
+    got_map = {norm_url(r.url): (r.degree, r.triangles, r.lcc)
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+    assert (got["lcc"] <= 1.0).all() and (got["lcc"] > 0.0).all()
+    assert list(got["url"]) == sorted(got["url"])
