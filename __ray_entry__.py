@@ -752,6 +752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl link graph (new round 5): degree-oriented compact-forward
         # wedges closed by a hash join against the oriented edge set
         "crawl_triangles": C.crawl_triangles,
+        # top co-cited page pairs (new round 5): the link-level
+        # mirror/duplicate-cluster signal; per-source-bucket pair
+        # generation, pair-bucketed exact sums, partial top-k
+        "crawl_cocitation": C.crawl_cocitation,
     }
 
 
@@ -1172,6 +1176,7 @@ ORDER BY doc_id"""
         out["crawl_recrawl_priority"] = \
             C.crawl_recrawl_priority_sql(pr_dir)
         out["crawl_triangles"] = C.crawl_triangles_sql(pr_dir)
+        out["crawl_cocitation"] = C.crawl_cocitation_sql(pr_dir)
     if cdir0:
         out["crawl_robots_audit"] = C.crawl_robots_audit_sql(
             os.path.join(cdir0, "robots.parquet"))

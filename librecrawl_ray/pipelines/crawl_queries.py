@@ -2033,6 +2033,45 @@ JOIN __deg d ON p.n = d.n
 ORDER BY p.url"""
 
 
+# -------------------------------------------------- co-citation analysis
+
+def crawl_cocitation(sf_dir: str, out_root: str = "/tmp/graft_crawl") \
+        -> pd.DataFrame:
+    """Top co-cited page pairs over the crawl output
+    (reports.cocitation_pairs): the link-level mirror/duplicate-cluster
+    signal — URLs consistently cited together from the same sources."""
+    full_crawl_pages(sf_dir, out_root)
+    from . import reports
+    out_dir = os.path.join(out_root, tier_for(sf_dir))
+    pages = reports.load_pages(out_dir, columns=["url"])
+    links = reports.load_links(out_dir)
+    return reports.cocitation_pairs(pages, links)
+
+
+def crawl_cocitation_sql(out_dir: str, min_common: int = 2,
+                         top: int = 200) -> str:
+    """DuckDB twin of ``crawl_cocitation``: same directed deduped
+    node-filtered edges as the pagerank/HITS twins; pair counts via a
+    self-join on the shared source, ordered (n_common DESC, a, b)."""
+    pages_glob = os.path.join(out_dir, "pages", "*", "*.parquet")
+    links_glob = os.path.join(out_dir, "links", "*", "*.parquet")
+    return f"""
+WITH __p AS (SELECT url FROM read_parquet('{pages_glob}')),
+__nodes AS MATERIALIZED (SELECT DISTINCT {_norm_sql('url')} AS n
+                         FROM __p),
+__e0 AS (SELECT DISTINCT {_norm_sql('source_url')} AS src,
+                {_norm_sql('target_url')} AS dst
+         FROM read_parquet('{links_glob}') WHERE is_internal),
+__edges AS MATERIALIZED (SELECT e.src, e.dst FROM __e0 e
+            JOIN __nodes a ON e.src = a.n
+            JOIN __nodes b ON e.dst = b.n)
+SELECT a.dst AS url_a, b.dst AS url_b, count(*)::BIGINT AS n_common
+FROM __edges a JOIN __edges b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= {min_common}
+ORDER BY n_common DESC, url_a, url_b LIMIT {top}"""
+
+
 # -------------------------------------------- J2 link-status distribution
 
 def crawl_link_status_counts(sf_dir: str,

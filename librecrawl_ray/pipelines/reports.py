@@ -1240,6 +1240,68 @@ def triangle_counts(pages: rd.Dataset, links: rd.Dataset,
             .sort_values("url").reset_index(drop=True))
 
 
+def cocitation_pairs(pages: rd.Dataset, links: rd.Dataset,
+                     min_common: int = 2, top: int = 200,
+                     buckets: int = 32) -> "pd.DataFrame":
+    """Top co-cited page pairs: (a, b, n_common) where n_common = number
+    of crawled pages linking to BOTH a and b (directed, normalized,
+    deduped internal edges with endpoints in the crawled node set — the
+    pagerank/HITS edge semantics). Co-citation is the link-level
+    mirror/duplicate-cluster signal: two URLs cited together from many
+    sources are usually the same logical resource (http/https, tracking
+    params, language variants) — the graph-side complement to the
+    content-side minhash pass.
+
+    Distributed shape: pairs are generated per SOURCE bucket with one
+    vectorized self-merge + groupby per bucket (pair fan-out per source
+    is out_degree², bounded by the crawl's per-page max_links, never by
+    global inlink skew), pre-counted partials shuffle to a pair-bucketed
+    exact sum, and the top-k is per-block partials merged at the driver
+    (exact for any top-k). Ordered by (n_common DESC, a, b)."""
+    import pandas as pd
+
+    node_keys = bucketed_groups(
+        _add_norm(pages.select_columns(["url"]), "url", "n")
+        .select_columns(["n"]),
+        "n", lambda df: df.drop_duplicates(["n"]), buckets=16).materialize()
+
+    raw = _add_norm(
+        _add_norm(links.filter(expr="is_internal == True")
+                  .select_columns(["source_url", "target_url"]),
+                  "source_url", "src"),
+        "target_url", "dst").select_columns(["src", "dst"]) \
+        .map_batches(lambda df: df.drop_duplicates(["src", "dst"]),
+                     batch_format="pandas")
+    edges = bucketed_groups(
+        raw, "src", lambda df: df.drop_duplicates(["src", "dst"]),
+        buckets=buckets)
+    edges = hash_join(edges, node_keys, key="src", right_key="n")
+    edges = hash_join(edges, node_keys, key="dst", right_key="n")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="src", suffixes=("_x", "_y"))
+        m = m[m["dst_x"] < m["dst_y"]]
+        g = m.groupby(["dst_x", "dst_y"], sort=False) \
+            .size().reset_index(name="n")
+        return g.rename(columns={"dst_x": "url_a", "dst_y": "url_b"})
+
+    part = bucketed_groups(edges, "src", pairs, buckets=buckets)
+    cnt = bucketed_agg(part, ["url_a", "url_b"],
+                       {"n_common": ("n", "sum")}, bucket_on="url_a")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_common"] >= min_common]
+        return df.sort_values(["n_common", "url_a", "url_b"],
+                              ascending=[False, True, True]).head(top)
+
+    out = cnt.map_batches(topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["n_common", "url_a", "url_b"],
+                          ascending=[False, True, True]) \
+        .head(top).reset_index(drop=True)
+    out["n_common"] = out["n_common"].astype("int64")
+    return out[["url_a", "url_b", "n_common"]]
+
+
 def bloom_semi_join(left: rd.Dataset, key: str, right: rd.Dataset,
                     right_key: str, fp_rate: float = 0.01,
                     exact_verify: bool = True) -> rd.Dataset:

@@ -346,3 +346,33 @@ def test_triangle_counts_match_reference(ray_session, t1_crawl, t1_oracle):
     assert got_map == want
     assert (got["lcc"] <= 1.0).all() and (got["lcc"] > 0.0).all()
     assert list(got["url"]) == sorted(got["url"])
+
+
+def test_cocitation_pairs_match_reference(ray_session, t1_crawl,
+                                          t1_oracle):
+    """cocitation_pairs == brute-force pair recount over the oracle's
+    directed node-filtered edge list (threshold, ordering, cap)."""
+    from itertools import combinations
+
+    _, summary = t1_crawl
+    pages = reports.load_pages(summary["out_dir"])
+    links = reports.load_links(summary["out_dir"])
+    got = reports.cocitation_pairs(pages, links, min_common=2, top=200)
+
+    node_norms = {norm_url(p["url"]) for p in t1_oracle.pages}
+    by_src = defaultdict(set)
+    for e in t1_oracle.links:
+        if not e["is_internal"]:
+            continue
+        s, d = norm_url(e["source_url"]), norm_url(e["target_url"])
+        if s in node_norms and d in node_norms:
+            by_src[s].add(d)
+    cnt = defaultdict(int)
+    for s, dsts in by_src.items():
+        for a, b in combinations(sorted(dsts), 2):
+            cnt[(a, b)] += 1
+    want = sorted(((a, b, n) for (a, b), n in cnt.items() if n >= 2),
+                  key=lambda r: (-r[2], r[0], r[1]))[:200]
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == want
+    assert len(want) > 0
