@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bpe_encode_counts(_docs(sf_dir), merges).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_vocab_growth(sf_dir):
+        from librecrawl_ray.functions.stats import vocab_growth
+        return vocab_growth(_docs(sf_dir))
+
     def q_shuffle_shard_mix(sf_dir):
         from librecrawl_ray.functions.sampling import shuffle_shard_mix
         return shuffle_shard_mix(_docs(sf_dir))
@@ -756,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror/duplicate-cluster signal; per-source-bucket pair
         # generation, pair-bucketed exact sums, partial top-k
         "crawl_cocitation": C.crawl_cocitation,
+        # Heaps-law vocabulary growth per source (new round 5): rank-free
+        # integer-threshold curve over token first-occurrence ids
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -1233,6 +1240,8 @@ ORDER BY doc_id"""
     out["quality_percentiles"] = quality_percentiles_sql("documents")
     from librecrawl_ray.functions.stats import ngram_diversity_sql
     out["ngram_diversity"] = ngram_diversity_sql("documents")
+    from librecrawl_ray.functions.stats import vocab_growth_sql
+    out["vocab_growth"] = vocab_growth_sql("documents")
     from librecrawl_ray.functions.sampling import shuffle_shard_mix_sql
     out["shuffle_shard_mix"] = shuffle_shard_mix_sql("documents")
     from librecrawl_ray.functions.bpe import bpe_encode_sql, bpe_train_sql

@@ -692,3 +692,125 @@ SELECT d.source, d.n, d.distinct_ngrams, t.total_ngrams,
                        * 1e6 + 0.5) / 1e6 END AS diversity
 FROM __d d JOIN __t t ON d.source = t.source AND d.n = t.n
 ORDER BY d.source, d.n"""
+
+
+def vocab_growth(ds: rd.Dataset, points: int = 10,
+                 group_col: str = "source", id_col: str = "doc_id",
+                 text_col: str = "text",
+                 buckets: int = 32) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth curve per source: distinct-token
+    vocabulary size after streaming the first 1/points, 2/points, ...
+    of the id-ordered corpus. Sublinear growth is healthy natural text;
+    a flat curve means template spam (the vocabulary saturates), a
+    linear one means noise/serial-number text — the corpus-level
+    complement to the per-doc ``lexical_stats`` gauge, and the signal
+    that decides whether more crawl yields more language.
+
+    Distributed shape — NO ranks, NO sort: the k-th curve point is the
+    id threshold t_k = (k * (max_id + 1)) // points (integer-exact on
+    both sides), "vocabulary at t_k" = |{tokens: first_id < t_k}| where
+    first_id = min doc id per (source, token). First-ids reduce via
+    per-batch min partials into a token-bucketed exact min (the only
+    all-to-all, carrying one row per distinct (source, token) per
+    block); the curve itself is a ≤ |sources|·points-row aggregate of
+    arithmetic-only partials. Returns (source, k, threshold, n_docs,
+    vocab) for (source, k) cells with ≥1 doc in the prefix."""
+    from collections import Counter
+
+    from .lm import _TOKEN_RE
+    from ..pipelines.reports import bucketed_agg
+
+    max_id = int(ds.max(id_col))
+    thresholds = [(k * (max_id + 1)) // points
+                  for k in range(1, points + 1)]
+
+    src = ds.select_columns([group_col, id_col, text_col])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        best: dict = {}
+        for g, i, t in zip(batch.column(group_col).to_pylist(),
+                           batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            for tok in set(_TOKEN_RE.findall((t or "").lower())):
+                key = (g, tok)
+                if key not in best or i < best[key]:
+                    best[key] = i
+        ks = list(best.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "tok": pa.array([k[1] for k in ks], pa.string()),
+            "mid": pa.array([best[k] for k in ks], pa.int64())})
+
+    firsts = bucketed_agg(
+        src.map_batches(first_partial, batch_format="pyarrow"),
+        [group_col, "tok"], {"mid": ("mid", "min")}, bucket_on="tok",
+        buckets=buckets)
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, th in enumerate(thresholds, 1):
+            c = df.loc[df["mid"] < th].groupby(group_col).size()
+            if len(c):
+                rows.append(pd.DataFrame({group_col: c.index, "k": k,
+                                          "v": c.to_numpy()}))
+        if not rows:
+            return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                                 "k": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    vocab = firsts.map_batches(vocab_partial, batch_format="pandas") \
+        .to_pandas().groupby([group_col, "k"], as_index=False)["v"].sum()
+
+    def docs_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, i in zip(batch.column(group_col).to_pylist(),
+                        batch.column(id_col).to_pylist()):
+            for k, th in enumerate(thresholds, 1):
+                if i < th:
+                    c[(g, k)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "k": pa.array([k[1] for k in ks], pa.int64()),
+            "nd": pa.array([c[k] for k in ks], pa.int64())})
+
+    ndocs = src.select_columns([group_col, id_col]) \
+        .map_batches(docs_partial, batch_format="pyarrow") \
+        .to_pandas().groupby([group_col, "k"], as_index=False)["nd"].sum()
+
+    out = ndocs.merge(vocab, on=[group_col, "k"], how="left")
+    out["vocab"] = out["v"].fillna(0).astype("int64")
+    out["n_docs"] = out["nd"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    out["threshold"] = [thresholds[k - 1] for k in out["k"]]
+    out["threshold"] = out["threshold"].astype("int64")
+    return (out[[group_col, "k", "threshold", "n_docs", "vocab"]]
+            .sort_values([group_col, "k"]).reset_index(drop=True))
+
+
+def vocab_growth_sql(table: str = "documents", points: int = 10,
+                     group_col: str = "source", id_col: str = "doc_id",
+                     col: str = "text") -> str:
+    """DuckDB twin of ``vocab_growth``: identical integer thresholds
+    ((k*(max_id+1)) // points), min-first-id per (source, token) via
+    the repo's \\w+ tokenizer parity, curve via threshold joins."""
+    return f"""
+WITH __mx AS (SELECT max({id_col}) AS m FROM {table}),
+__th AS (SELECT k, (k * (m + 1)) // {points} AS th
+         FROM (SELECT unnest(generate_series(1, {points})) AS k), __mx),
+__ft AS (
+  SELECT {group_col} AS source, tok, min({id_col}) AS mid
+  FROM (SELECT {group_col}, {id_col},
+               unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+        FROM {table})
+  GROUP BY 1, 2),
+__v AS (SELECT f.source, t.k, count(*)::BIGINT AS vocab
+        FROM __ft f JOIN __th t ON f.mid < t.th GROUP BY 1, 2),
+__d AS (SELECT d.{group_col} AS source, t.k, t.th,
+               count(*)::BIGINT AS n_docs
+        FROM {table} d JOIN __th t ON d.{id_col} < t.th GROUP BY 1, 2, 3)
+SELECT d.source, d.k::BIGINT AS k, d.th::BIGINT AS threshold, d.n_docs,
+       coalesce(v.vocab, 0)::BIGINT AS vocab
+FROM __d d LEFT JOIN __v v ON d.source = v.source AND d.k = v.k
+ORDER BY d.source, d.k"""

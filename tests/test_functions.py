@@ -2482,3 +2482,38 @@ def test_bpe_word_cap_bounds_driver_table(ray_session):
     again = train_bpe_merges(wc.sample(frac=1.0, random_state=3)
                              .reset_index(drop=True), num_merges=3)
     assert merges.equals(again)
+
+
+def test_vocab_growth(docs_ds):
+    """Curve == a naive first-occurrence recount at the same integer
+    thresholds; monotone per source; layout-invariant."""
+    import re
+
+    from librecrawl_ray.functions.stats import vocab_growth
+
+    got = vocab_growth(docs_ds, points=4)
+    full = docs_ds.to_pandas()
+    tok_re = re.compile(r"\w+")
+    max_id = int(full["doc_id"].max())
+    ths = [(k * (max_id + 1)) // 4 for k in range(1, 5)]
+    for s, sub in full.groupby("source"):
+        firsts = {}
+        for i, t in zip(sub["doc_id"], sub["text"]):
+            for tok in set(tok_re.findall(t.lower())):
+                firsts[tok] = min(firsts.get(tok, i), i)
+        for k, th in enumerate(ths, 1):
+            nd = int((sub["doc_id"] < th).sum())
+            rows = got[(got["source"] == s) & (got["k"] == k)]
+            if nd == 0:
+                assert rows.empty
+                continue
+            row = rows.iloc[0]
+            assert row["n_docs"] == nd
+            assert row["threshold"] == th
+            assert row["vocab"] == sum(1 for v in firsts.values()
+                                       if v < th)
+    # vocabulary never shrinks as the prefix grows
+    for _, sub in got.groupby("source"):
+        assert sub.sort_values("k")["vocab"].is_monotonic_increasing
+    again = vocab_growth(docs_ds.repartition(7), points=4)
+    assert again.equals(got)
