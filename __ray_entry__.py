@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bpe_encode_counts(_docs(sf_dir), merges).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_nb_confusion(sf_dir):
+        from librecrawl_ray.functions.lm import nb_confusion
+        return nb_confusion(_docs(sf_dir))
+
     def q_vocab_growth(sf_dir):
         from librecrawl_ray.functions.stats import vocab_growth
         return vocab_growth(_docs(sf_dir))
@@ -763,6 +767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps-law vocabulary growth per source (new round 5): rank-free
         # integer-threshold curve over token first-occurrence ids
         "vocab_growth": q_vocab_growth,
+        # multinomial Naive Bayes source classifier, self-evaluated as a
+        # confusion matrix (new round 5): the count-trained stand-in for
+        # fastText-style curation classifiers; all-integer output
+        "nb_confusion": q_nb_confusion,
     }
 
 
@@ -1242,6 +1250,8 @@ ORDER BY doc_id"""
     out["ngram_diversity"] = ngram_diversity_sql("documents")
     from librecrawl_ray.functions.stats import vocab_growth_sql
     out["vocab_growth"] = vocab_growth_sql("documents")
+    from librecrawl_ray.functions.lm import nb_confusion_sql
+    out["nb_confusion"] = nb_confusion_sql("documents")
     from librecrawl_ray.functions.sampling import shuffle_shard_mix_sql
     out["shuffle_shard_mix"] = shuffle_shard_mix_sql("documents")
     from librecrawl_ray.functions.bpe import bpe_encode_sql, bpe_train_sql

@@ -410,3 +410,168 @@ __lp AS (
 SELECT {id_col}, count(*)::BIGINT AS n_tokens,
        round(sum(lp) / count(*), 4) AS lm2_score
 FROM __lp GROUP BY {id_col} ORDER BY {id_col}"""
+
+
+def nb_confusion(ds: rd.Dataset, group_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 vocab_cap: int = 5000) -> "pd.DataFrame":
+    """Multinomial Naive Bayes source classifier, self-evaluated as a
+    confusion matrix (declared source × predicted source, n_docs) — the
+    count-trained stand-in for the fastText-style quality/domain
+    classifiers used to curate pretraining corpora: if NB can't tell
+    two sources apart from token counts, neither can a mixture-weight
+    audit, and the pair is a merge candidate.
+
+    Train: token counts per (class, token) via Counter partials →
+    token-bucketed exact sums; the vocabulary is capped at ``vocab_cap``
+    by (corpus count DESC, token ASC) — deterministic across layouts —
+    and out-of-vocabulary tokens are skipped at score time (no OOV
+    rule). Add-one smoothing over the capped vocab: p(tok|c) =
+    (n_{c,tok}+1)/(N_c+V). The model (V × |classes| log-prob matrix)
+    broadcasts once via ray.put; scoring is a per-batch numpy gather +
+    matvec, argmax ties broken by class name ascending. Output is
+    all-integer (counts), so the driver hash is float-noise-free; the
+    per-doc argmax rides the same ln() cross-engine parity as
+    ``bigram_lm_scores``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipelines.reports import bucketed_agg
+
+    SEP = "\x1f"
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for tok in _TOKEN_RE.findall((t or "").lower()):
+                c[g + SEP + tok] += 1
+        return pa.table({"key": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    cnt_ds = bucketed_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        "key", {"n": ("n", "sum")}).materialize()
+
+    def tok_of(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        return pa.table({
+            "tok": pa.array([k.split(SEP, 1)[1] for k in keys],
+                            pa.string()),
+            "n": batch.column("n")})
+
+    tot_ds = bucketed_agg(cnt_ds.map_batches(tok_of,
+                                             batch_format="pyarrow"),
+                          "tok", {"c": ("n", "sum")})
+    vocab_pd = tot_ds.sort(["c", "tok"], descending=[True, False]) \
+        .limit(vocab_cap).to_pandas()
+    vocab = sorted(vocab_pd["tok"])
+    vset = set(vocab)
+    V = float(len(vocab))
+
+    cnt = cnt_ds.to_pandas()
+    ks = cnt["key"].str.split(SEP, n=1, expand=True)
+    cnt["cls"], cnt["tok"] = ks[0], ks[1]
+    cnt = cnt[cnt["tok"].isin(vset)]
+
+    def prior_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column(group_col).to_pylist())
+        return pa.table({"cls": pa.array(list(c.keys()), pa.string()),
+                         "nd": pa.array(list(c.values()), pa.int64())})
+
+    pri = ds.map_batches(prior_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("cls", as_index=False)["nd"].sum()
+    classes = sorted(pri["cls"])
+    n_total = float(pri["nd"].sum())
+    logprior = np.array([
+        math.log(float(pri.set_index("cls")["nd"][c]) / n_total)
+        for c in classes])
+
+    nc = cnt.groupby("cls")["n"].sum().astype(float)
+    tok_index = {t: i for i, t in enumerate(vocab)}
+    cls_index = {c: j for j, c in enumerate(classes)}
+    nmat = np.zeros((len(vocab), len(classes)), dtype=np.float64)
+    nmat[[tok_index[t] for t in cnt["tok"]],
+         [cls_index[c] for c in cnt["cls"]]] = \
+        cnt["n"].to_numpy(dtype=np.float64)
+    denom = np.array([float(nc.get(c, 0.0)) + V for c in classes])
+    logp = np.log((nmat + 1.0) / denom)
+    model_ref = ray.put((tok_index, logp, logprior))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tidx, lp, lpr = ray.get(model_ref)
+        out: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            c: Counter = Counter(
+                tok for tok in _TOKEN_RE.findall((t or "").lower())
+                if tok in tidx)
+            if c:
+                idxs = np.fromiter((tidx[t] for t in c.keys()),
+                                   dtype=np.int64, count=len(c))
+                m = np.fromiter(c.values(), dtype=np.float64,
+                                count=len(c))
+                s = m @ lp[idxs] + lpr
+            else:
+                s = lpr
+            out[(g, int(np.argmax(s)))] += 1
+        ks = list(out.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in ks], pa.string()),
+            "pj": pa.array([k[1] for k in ks], pa.int64()),
+            "n_docs": pa.array([out[k] for k in ks], pa.int64())})
+
+    conf = ds.select_columns([group_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow").to_pandas() \
+        .groupby([group_col, "pj"], as_index=False)["n_docs"].sum()
+    conf["predicted"] = [classes[j] for j in conf["pj"]]
+    conf["n_docs"] = conf["n_docs"].astype("int64")
+    return (conf[[group_col, "predicted", "n_docs"]]
+            .sort_values([group_col, "predicted"])
+            .reset_index(drop=True))
+
+
+def nb_confusion_sql(table: str = "documents", group_col: str = "source",
+                     id_col: str = "doc_id", col: str = "text",
+                     vocab_cap: int = 5000) -> str:
+    """DuckDB twin of ``nb_confusion``: identical capped vocabulary
+    ((count DESC, tok ASC) LIMIT), add-one smoothing term-for-term, the
+    same ln() expressions, argmax via row_number ORDER BY (s DESC, class
+    ASC)."""
+    return f"""
+WITH __toks AS (
+  SELECT {id_col}, {group_col} AS src,
+         unnest(regexp_extract_all(lower({col}), '\\w+')) AS tok
+  FROM {table}),
+__vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM __toks GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT {vocab_cap}),
+__vn AS (SELECT count(*)::DOUBLE AS v FROM __vocab),
+__pri AS (SELECT {group_col} AS cls, count(*)::DOUBLE AS nd
+          FROM {table} GROUP BY 1),
+__tot AS (SELECT sum(nd) AS t FROM __pri),
+__cnt AS (SELECT t.src AS cls, t.tok, count(*)::DOUBLE AS n
+          FROM __toks t JOIN __vocab v USING (tok) GROUP BY 1, 2),
+__nc AS (SELECT p.cls, coalesce(sum(c.n), 0.0) AS nc
+         FROM __pri p LEFT JOIN __cnt c USING (cls) GROUP BY p.cls),
+__dt AS (SELECT t.{id_col}, t.tok, count(*)::DOUBLE AS m
+         FROM __toks t JOIN __vocab v USING (tok) GROUP BY 1, 2),
+__scores AS (
+  SELECT d.{id_col}, d.{group_col} AS source, p.cls,
+         ln(p.nd / (SELECT t FROM __tot)) + coalesce(sum(
+             dt.m * ln((coalesce(c.n, 0) + 1) /
+                       (nc.nc + (SELECT v FROM __vn)))), 0.0) AS s
+  FROM {table} d
+  CROSS JOIN __pri p
+  JOIN __nc nc ON nc.cls = p.cls
+  LEFT JOIN __dt dt ON dt.{id_col} = d.{id_col}
+  LEFT JOIN __cnt c ON c.cls = p.cls AND c.tok = dt.tok
+  GROUP BY d.{id_col}, d.{group_col}, p.cls, p.nd, nc.nc),
+__pred AS (
+  SELECT source, cls AS predicted,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY s DESC, cls ASC) AS rn
+  FROM __scores)
+SELECT source, predicted, count(*)::BIGINT AS n_docs
+FROM __pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -2517,3 +2517,56 @@ def test_vocab_growth(docs_ds):
         assert sub.sort_values("k")["vocab"].is_monotonic_increasing
     again = vocab_growth(docs_ds.repartition(7), points=4)
     assert again.equals(got)
+
+
+def test_nb_confusion(docs_ds):
+    """Confusion matrix == a from-scratch NB (capped vocab, add-one
+    smoothing, class-asc tie-break); row sums cover every doc;
+    layout-invariant."""
+    import math
+    import re
+    from collections import Counter
+
+    from librecrawl_ray.functions.lm import nb_confusion
+
+    got = nb_confusion(docs_ds, vocab_cap=300)
+    full = docs_ds.to_pandas()
+    tok_re = re.compile(r"\w+")
+
+    corpus = Counter()
+    per_cls: dict = {}
+    for s, t in zip(full["source"], full["text"]):
+        toks = tok_re.findall(t.lower())
+        corpus.update(toks)
+        per_cls.setdefault(s, Counter()).update(toks)
+    vocab = set(t for t, _ in sorted(corpus.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:300])
+    classes = sorted(full["source"].unique())
+    nd = full["source"].value_counts()
+    n_total = float(len(full))
+    nc = {c: float(sum(n for t, n in per_cls.get(c, Counter()).items()
+                       if t in vocab)) for c in classes}
+    V = float(len(vocab))
+
+    want: Counter = Counter()
+    for s, t in zip(full["source"], full["text"]):
+        best, best_c = None, None
+        for c in classes:
+            sc = math.log(float(nd[c]) / n_total)
+            for tok, m in Counter(tok_re.findall(t.lower())).items():
+                if tok in vocab:
+                    n = float(per_cls.get(c, Counter()).get(tok, 0))
+                    sc += m * math.log((n + 1.0) / (nc[c] + V))
+            if best is None or sc > best + 1e-12:
+                best, best_c = sc, c
+        want[(s, best_c)] += 1
+    got_map = {(r.source, r.predicted): r.n_docs
+               for r in got.itertuples(index=False)}
+    assert got_map == dict(want)
+    # every doc is classified exactly once
+    assert got["n_docs"].sum() == len(full)
+    # a majority of docs should land on their own source's diagonal
+    # only if sources are separable; at minimum the matrix is complete
+    assert set(got["source"]) == set(classes)
+    again = nb_confusion(docs_ds.repartition(6), vocab_cap=300)
+    assert again.equals(got)
